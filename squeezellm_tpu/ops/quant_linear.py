@@ -1,0 +1,199 @@
+"""QuantLinear: the functional TPU equivalent of the reference's
+``QuantLinearLUT`` module (reference squeezellm/quant.py:28-383).
+
+No module mutation: a quantized linear is a static :class:`QuantLinearSpec`
+plus a params dict of arrays (a pytree leaf-group), applied with
+:func:`quant_linear_apply`. Dispatch over (dense | +sparse | +hybrid) is
+static — it is baked into the jitted graph, mirroring the reference's 12
+fused CUDA entry points without runtime branching.
+
+Params dict keys:
+  qweight       int32 (n_words, out)      packed codes (formats.pack_codes)
+  lut           f32   (out, 2**bits)      per-output-channel codebook
+  bias          f32   (out,)              optional
+  sp_rows/cols  int32 (nnz_pad,)          optional sparse sidecar (COO)
+  sp_vals       f32   (nnz_pad,)
+  topx_weights  f32   (in, topX)          optional hybrid dense channels
+  topx_indices  int32 (topX,)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from squeezellm_tpu import formats
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantLinearSpec:
+    bits: int
+    in_features: int
+    out_features: int
+    has_bias: bool = False
+    nnz_pad: int = 0  # 0 => no sparse sidecar
+    topx: int = 0  # 0 => no hybrid dense channels
+
+    @property
+    def include_sparse(self) -> bool:
+        return self.nnz_pad > 0
+
+
+def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto"):
+    """y = x @ dequant(qweight)^T-layout + sparse + hybrid + bias.
+
+    Args:
+      x: (..., in_features) array; accumulation is f32, output cast back to
+        x.dtype (matching reference forward, quant.py:311).
+      backend: 'auto' | 'xla' | 'pallas'. 'auto' uses the fused Pallas
+        kernel on TPU and XLA elsewhere.
+    """
+    import jax.numpy as jnp
+
+    from squeezellm_tpu.ops import xla_ops
+
+    if backend == "auto":
+        import jax
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    in_dtype = x.dtype
+    if backend == "pallas":
+        from squeezellm_tpu.ops import pallas_ops
+
+        y = pallas_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
+    else:
+        y = xla_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
+
+    if spec.include_sparse:
+        y = y + xla_ops.sparse_matmul(
+            x, params["sp_rows"], params["sp_cols"], params["sp_vals"],
+            spec.out_features,
+        )
+    if spec.topx > 0:
+        y = y + xla_ops.hybrid_matmul(
+            x, params["topx_weights"], params["topx_indices"], spec.out_features
+        )
+    if spec.has_bias:
+        y = y + params["bias"]
+    return y.astype(in_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Offline packing (numpy) — the functional analogue of QuantLinearLUT.pack2
+# (reference quant.py:97-208).
+# ---------------------------------------------------------------------------
+
+
+def pack_linear(
+    weight: np.ndarray,
+    lut: np.ndarray,
+    labels: Optional[np.ndarray] = None,
+    bias: Optional[np.ndarray] = None,
+    outliers: Optional[np.ndarray] = None,
+    bits: int = 4,
+    nnz_pad_multiple: int = 512,
+    topx_weights: Optional[np.ndarray] = None,
+    topx_indices: Optional[np.ndarray] = None,
+):
+    """Pack one linear layer into (spec, params-as-numpy).
+
+    Args:
+      weight: (out, in) dense weight with outlier slots already zeroed
+        (as produced by the outlier-removal pass).
+      lut: (out, 2**bits) per-channel centroids.
+      labels: (out, in) k-means labels; if None, nearest-centroid assigned.
+      outliers: optional (out, in) dense matrix of extracted outlier values.
+        Stored with the zero-correction applied: each value becomes
+        ``w - centroid_nearest_zero(channel)`` because the dense path
+        dequantizes the zeroed slot to that centroid (quant.py:117-123).
+
+    Returns:
+      (QuantLinearSpec, dict of numpy arrays)
+    """
+    out_features, in_features = weight.shape
+    assert lut.shape == (out_features, 2**bits), lut.shape
+    if labels is None:
+        labels = formats.assign_codes(weight, lut)
+    params = {
+        "qweight": formats.pack_codes(labels.T, bits),
+        "lut": lut.astype(np.float32),
+    }
+    nnz_pad = 0
+    if outliers is not None:
+        corrected = np.asarray(outliers, dtype=np.float32).copy()
+        zero_map = lut[
+            np.arange(out_features), np.argmin(np.abs(lut), axis=1)
+        ].astype(np.float32)  # centroid nearest 0, per channel
+        nz = corrected != 0
+        corrected[nz] -= np.broadcast_to(zero_map[:, None], corrected.shape)[nz]
+        coo = formats.SparseCOO.from_dense(corrected, pad_multiple=nnz_pad_multiple)
+        params["sp_rows"] = coo.rows
+        params["sp_cols"] = coo.cols
+        params["sp_vals"] = coo.vals
+        nnz_pad = len(coo.vals)
+    topx = 0
+    if topx_weights is not None:
+        assert topx_indices is not None
+        params["topx_weights"] = topx_weights.astype(np.float32)
+        params["topx_indices"] = topx_indices.astype(np.int32)
+        topx = len(topx_indices)
+    if bias is not None:
+        params["bias"] = bias.astype(np.float32)
+    spec = QuantLinearSpec(
+        bits=bits,
+        in_features=in_features,
+        out_features=out_features,
+        has_bias=bias is not None,
+        nnz_pad=nnz_pad,
+        topx=topx,
+    )
+    return spec, params
+
+
+def make_random_params(
+    key,
+    spec: QuantLinearSpec,
+    lut_scale: float = 0.02,
+    on_device: bool = True,
+):
+    """Random packed params with realistic LUT statistics (for benchmarks)."""
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    nw = formats.n_words(spec.in_features, spec.bits)
+    params = {
+        "qweight": jax.random.randint(
+            k1, (nw, spec.out_features), jnp.iinfo(jnp.int32).min,
+            jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+        ),
+        "lut": jnp.sort(
+            jax.random.normal(k2, (spec.out_features, 2**spec.bits)) * lut_scale,
+            axis=1,
+        ).astype(jnp.float32),
+    }
+    if spec.include_sparse:
+        params["sp_rows"] = jax.random.randint(
+            k3, (spec.nnz_pad,), 0, spec.out_features, dtype=jnp.int32
+        )
+        params["sp_cols"] = jax.random.randint(
+            k4, (spec.nnz_pad,), 0, spec.in_features, dtype=jnp.int32
+        )
+        params["sp_vals"] = (
+            jax.random.normal(k3, (spec.nnz_pad,)) * lut_scale * 4
+        ).astype(jnp.float32)
+        # keep COO sorted by row, CSR-order invariant
+        order = jnp.argsort(params["sp_rows"])
+        params["sp_rows"] = params["sp_rows"][order]
+        params["sp_cols"] = params["sp_cols"][order]
+    if spec.topx > 0:
+        params["topx_weights"] = (
+            jax.random.normal(k4, (spec.in_features, spec.topx)) * lut_scale
+        ).astype(jnp.float32)
+        params["topx_indices"] = jnp.arange(spec.topx, dtype=jnp.int32)
+    if spec.has_bias:
+        params["bias"] = jnp.zeros((spec.out_features,), jnp.float32)
+    return params

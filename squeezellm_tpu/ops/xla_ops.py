@@ -1,0 +1,59 @@
+"""Pure-XLA implementations of the LUT-dequant matmul family.
+
+These are the semantic reference for the fused Pallas kernels
+(ops/pallas_ops.py) and the fallback path on CPU. Functionally equivalent
+to the reference CUDA ops (quant_cuda_kernel.cu:132-738):
+
+  dense       y = x @ dequant(qweight, lut)                (+ bias)
+  +sparse     y += sparse-outlier contribution (COO)       [N5/N6 SpMV]
+  +hybrid     y[topx_idx] += x @ topx_weights              [N7/N8, additive]
+
+Everything is jittable, statically shaped, and fuses under XLA. The gather
+`lut[o, code]` is expressed as take_along_axis which XLA lowers to a
+dynamic-gather; on TPU the Pallas path replaces it with an in-VMEM
+select-tree.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from squeezellm_tpu import formats
+
+
+def dequantize(qweight, lut, bits: int, in_features: int):
+    """Packed words + per-channel LUT -> dense weights ``(in, out)`` f32."""
+    codes = formats.unpack_codes_jnp(qweight, bits, in_features)  # (in, out)
+    # W[i, o] = lut[o, codes[i, o]]
+    return jnp.take_along_axis(lut, codes.T, axis=1).T.astype(jnp.float32)
+
+
+def lut_matmul(x, qweight, lut, bits: int):
+    """Dense LUT matmul: ``x (..., in) -> (..., out)`` in f32 accumulation."""
+    in_features = x.shape[-1]
+    w = dequantize(qweight, lut, bits, in_features)
+    return jnp.matmul(x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+
+
+def sparse_matmul(x, sp_rows, sp_cols, sp_vals, out_features: int):
+    """Sparse-outlier contribution: ``y[..., r] += v * x[..., c]``.
+
+    COO entries are zero-padded (vals == 0) so padding is a no-op. Uses a
+    scatter-add over the last axis — deterministic on TPU (no atomics),
+    replacing the reference's atomicAdd CSR SpMV (quant_cuda_kernel.cu:1040-1089).
+    """
+    contrib = x[..., sp_cols].astype(jnp.float32) * sp_vals  # (..., nnz)
+    y = jnp.zeros(x.shape[:-1] + (out_features,), dtype=jnp.float32)
+    return y.at[..., sp_rows].add(contrib, indices_are_sorted=False)
+
+
+def hybrid_matmul(x, topx_weights, topx_indices, out_features: int):
+    """Top-X dense-channel contribution (additive, matching atomicAdd
+    semantics of DenseMatVecKernel, quant_cuda_kernel.cu:1091-1123)."""
+    # topx_weights: (in, topX)
+    part = jnp.matmul(
+        x.astype(jnp.float32), topx_weights, preferred_element_type=jnp.float32
+    )  # (..., topX)
+    y = jnp.zeros(x.shape[:-1] + (out_features,), dtype=jnp.float32)
+    return y.at[..., topx_indices].add(part)

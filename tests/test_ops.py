@@ -1,0 +1,154 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from squeezellm_tpu import formats
+from squeezellm_tpu.ops import quant_linear, xla_ops
+
+
+def _random_quantized(rng, out_f, in_f, bits):
+    lut = np.sort(rng.normal(size=(out_f, 2**bits)).astype(np.float32), axis=1)
+    codes = rng.integers(0, 2**bits, size=(in_f, out_f), dtype=np.uint8)
+    qweight = formats.pack_codes(codes, bits)
+    w_dense = formats.dequant_np(codes, lut)  # (in, out)
+    return lut, codes, qweight, w_dense
+
+
+@pytest.mark.parametrize("bits", [3, 4])
+def test_xla_dequantize_matches_numpy(bits):
+    rng = np.random.default_rng(0)
+    lut, codes, qweight, w_dense = _random_quantized(rng, 48, 80, bits)
+    w = xla_ops.dequantize(jnp.asarray(qweight), jnp.asarray(lut), bits, 80)
+    np.testing.assert_allclose(np.asarray(w), w_dense, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("bits", [3, 4])
+@pytest.mark.parametrize("batch", [1, 5])
+def test_xla_lut_matmul(bits, batch):
+    rng = np.random.default_rng(1)
+    lut, codes, qweight, w_dense = _random_quantized(rng, 48, 80, bits)
+    x = rng.normal(size=(batch, 80)).astype(np.float32)
+    y = xla_ops.lut_matmul(jnp.asarray(x), jnp.asarray(qweight), jnp.asarray(lut), bits)
+    np.testing.assert_allclose(np.asarray(y), x @ w_dense, rtol=1e-5, atol=1e-5)
+
+
+def test_sparse_matmul_matches_dense():
+    rng = np.random.default_rng(2)
+    out_f, in_f = 40, 64
+    dense = np.zeros((out_f, in_f), dtype=np.float32)
+    mask = rng.random((out_f, in_f)) < 0.05
+    dense[mask] = rng.normal(size=mask.sum()).astype(np.float32)
+    coo = formats.SparseCOO.from_dense(dense, pad_multiple=128)
+    x = rng.normal(size=(3, in_f)).astype(np.float32)
+    y = xla_ops.sparse_matmul(
+        jnp.asarray(x),
+        jnp.asarray(coo.rows),
+        jnp.asarray(coo.cols),
+        jnp.asarray(coo.vals),
+        out_f,
+    )
+    np.testing.assert_allclose(np.asarray(y), x @ dense.T, rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_matmul_additive():
+    rng = np.random.default_rng(3)
+    in_f, out_f, topx = 32, 24, 5
+    tw = rng.normal(size=(in_f, topx)).astype(np.float32)
+    idx = np.array([3, 7, 11, 20, 23], dtype=np.int32)
+    x = rng.normal(size=(2, in_f)).astype(np.float32)
+    y = xla_ops.hybrid_matmul(jnp.asarray(x), jnp.asarray(tw), jnp.asarray(idx), out_f)
+    expected = np.zeros((2, out_f), dtype=np.float32)
+    expected[:, idx] += x @ tw
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("bits", [3, 4])
+def test_pallas_interpret_matches_xla(bits):
+    from squeezellm_tpu.ops import pallas_ops
+
+    rng = np.random.default_rng(4)
+    out_f, in_f = 384, 320
+    lut, codes, qweight, w_dense = _random_quantized(rng, out_f, in_f, bits)
+    x = rng.normal(size=(4, in_f)).astype(np.float32)
+    y_ref = x @ w_dense
+    y = pallas_ops.lut_matmul(
+        jnp.asarray(x), jnp.asarray(qweight), jnp.asarray(lut), bits,
+        b_blk=8, w_blk=16, o_blk=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_interpret_unaligned_shapes():
+    from squeezellm_tpu.ops import pallas_ops
+
+    rng = np.random.default_rng(5)
+    out_f, in_f, bits = 200, 130, 3  # 130 = 13 words of 10 codes
+    lut, codes, qweight, w_dense = _random_quantized(rng, out_f, in_f, bits)
+    x = rng.normal(size=(3, in_f)).astype(np.float32)
+    y = pallas_ops.lut_matmul(
+        jnp.asarray(x), jnp.asarray(qweight), jnp.asarray(lut), bits,
+        b_blk=8, w_blk=8, o_blk=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y), x @ w_dense, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("bits", [3, 4])
+@pytest.mark.parametrize("sparse", [False, True])
+def test_quant_linear_end_to_end(bits, sparse):
+    """pack_linear + quant_linear_apply reconstructs x @ W^T including the
+    zero-correction identity at outlier slots (quant.py:117-123 semantics)."""
+    rng = np.random.default_rng(6)
+    out_f, in_f = 40, 64
+    w_orig = rng.normal(size=(out_f, in_f)).astype(np.float32)
+
+    outliers = None
+    w_dense_part = w_orig
+    if sparse:
+        mask = rng.random((out_f, in_f)) < 0.05
+        outliers = np.where(mask, w_orig, 0.0).astype(np.float32)
+        w_dense_part = np.where(mask, 0.0, w_orig)
+
+    # Simple per-channel "codebook": uniform quantiles as centroids.
+    lut = np.quantile(
+        w_dense_part, np.linspace(0, 1, 2**bits), axis=1
+    ).T.astype(np.float32)
+    bias = rng.normal(size=(out_f,)).astype(np.float32)
+
+    spec, params = quant_linear.pack_linear(
+        w_dense_part, lut, bias=bias, outliers=outliers, bits=bits,
+        nnz_pad_multiple=128,
+    )
+    params = jax.tree.map(jnp.asarray, params)
+
+    x = rng.normal(size=(2, in_f)).astype(np.float32)
+    y = quant_linear.quant_linear_apply(spec, params, jnp.asarray(x), backend="xla")
+
+    # Expected: dense dequant of w_dense_part + exact outliers + bias.
+    codes = formats.assign_codes(w_dense_part, lut)
+    deq = np.take_along_axis(lut, codes.astype(np.int64), axis=1)
+    if sparse:
+        # at outlier slots the dense path contributes centroid-nearest-zero,
+        # and the sparse val was stored as (w - that) => sum is w exactly.
+        expected_w = np.where(mask, w_orig, deq)
+    else:
+        expected_w = deq
+    expected = x @ expected_w.T + bias
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_make_random_params_shapes():
+    spec = quant_linear.QuantLinearSpec(
+        bits=4, in_features=64, out_features=32, has_bias=True, nnz_pad=128, topx=4
+    )
+    params = quant_linear.make_random_params(jax.random.PRNGKey(0), spec)
+    assert params["qweight"].shape == (8, 32)
+    assert params["lut"].shape == (32, 16)
+    assert params["sp_vals"].shape == (128,)
+    assert params["topx_weights"].shape == (64, 4)
+    y = quant_linear.quant_linear_apply(
+        spec, params, jnp.ones((2, 64), jnp.float32), backend="xla"
+    )
+    assert y.shape == (2, 32)
+    assert np.isfinite(np.asarray(y)).all()
