@@ -1,0 +1,209 @@
+"""Command-line interface.
+
+Mirrors the reference's entry points with one CLI
+(reference llama.py:252-363 and quantization/{chunk_models,
+generate_outlier_config,nuq,pack}.py):
+
+  quantize       dense HF ckpt (+optional grad^2 ckpt) -> quantized ckpt
+                 (chunk -> outlier config -> k-means -> pack in one pass)
+  convert        reference SqueezeLLM .pt ckpt -> our checkpoint format
+  eval           perplexity (GPTQ protocol; == --eval)
+  benchmark      per-token decode latency (== --benchmark/--check/--torch_profile)
+  generate       greedy/sampled generation
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_any(path: str):
+    """Load either a quantized checkpoint dir (manifest.json) or a dense HF
+    model dir. Returns (model_type, config, specs, params)."""
+    import os
+
+    if os.path.exists(os.path.join(path, "manifest.json")):
+        from squeezellm_tpu import checkpoint
+
+        return checkpoint.load_quantized(path)
+    from squeezellm_tpu.utils import hf
+
+    return hf.load_dense_model(path)
+
+
+def _eval_tokens(args, config, model_dir=None):
+    import numpy as np
+
+    from squeezellm_tpu import data as data_mod
+
+    tokenizer = None
+    if args.dataset not in ("synthetic",) and not args.dataset.endswith(".npy"):
+        from squeezellm_tpu.utils import hf
+
+        if model_dir and hf.has_tokenizer(model_dir):
+            tokenizer = hf.load_tokenizer(model_dir)
+    _, test = data_mod.get_loaders(
+        args.dataset, nsamples=args.nsamples, seed=args.seed,
+        seqlen=args.seqlen, tokenizer=tokenizer, vocab_size=config.vocab_size,
+    )
+    return np.asarray(test)
+
+
+def cmd_quantize(args):
+    import numpy as np
+
+    from squeezellm_tpu import checkpoint
+    from squeezellm_tpu.models import registry
+    from squeezellm_tpu.quantize import outlier_config as oc_mod
+    from squeezellm_tpu.quantize import pipeline
+    from squeezellm_tpu.utils import hf
+
+    model_type, config, specs, params = hf.load_dense_model(args.model)
+    module_names = registry.get_module_names(model_type)
+
+    grads = None
+    if args.gradient:
+        import torch
+
+        grads = []
+        for li in range(config.n_layers):
+            g = torch.load(f"{args.gradient}/layer_{li}.pt", map_location="cpu")
+            grads.append({n: np.asarray(g[n].float().numpy()) for n in module_names})
+
+    outlier_cfg = None
+    if args.outlier_range:
+        layers_w = (
+            {n: np.asarray(lp[n]["w"]) for n in module_names}
+            for lp in params["layers"]
+        )
+        cfg = oc_mod.make_outlier_config(layers_w, args.outlier_range, verbose=True)
+        outlier_cfg = cfg["outlier_config"]
+        print(f"measured outlier %: {cfg['outlier_threshold']}")
+
+    qspecs, qparams = pipeline.quantize_model(
+        model_type, config, params, args.bits,
+        gradients_per_layer=grads,
+        sensitivity=args.sensitivity,
+        outlier_config=outlier_cfg,
+        method=args.method,
+        verbose=True,
+    )
+    checkpoint.save_quantized(args.output, model_type, config, qspecs, qparams)
+    print(f"saved quantized checkpoint to {args.output}")
+
+
+def cmd_convert(args):
+    from squeezellm_tpu import convert
+
+    convert.convert_reference_checkpoint(
+        args.checkpoint, args.model, args.wbits, args.output
+    )
+    print(f"converted {args.checkpoint} -> {args.output}")
+
+
+def cmd_eval(args):
+    from squeezellm_tpu import eval as eval_mod
+
+    model_type, config, specs, params = _load_any(args.model)
+    tokens = _eval_tokens(args, config, args.model)
+    ppl = eval_mod.perplexity(
+        model_type, config, specs, params, tokens,
+        seqlen=args.seqlen, nsamples=args.nsamples_eval,
+        backend=args.backend, verbose=True,
+    )
+    print(json.dumps({"dataset": args.dataset, "seqlen": args.seqlen, "ppl": ppl}))
+
+
+def cmd_benchmark(args):
+    import numpy as np
+
+    from squeezellm_tpu import engine as engine_mod
+
+    model_type, config, specs, params = _load_any(args.model)
+    eng = engine_mod.Engine(model_type, config, specs, params, backend=args.backend)
+    tokens = _eval_tokens(args, config, args.model)
+    ids = tokens[:, : args.tokens]
+
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            stats = eng.benchmark(ids, check=args.check)
+        print(f"profile trace written to {args.profile}")
+    else:
+        stats = eng.benchmark(ids, check=args.check)
+    print(json.dumps(stats, indent=2))
+
+
+def cmd_generate(args):
+    import numpy as np
+
+    from squeezellm_tpu import engine as engine_mod
+
+    model_type, config, specs, params = _load_any(args.model)
+    eng = engine_mod.Engine(model_type, config, specs, params, backend=args.backend)
+    prompt = np.asarray([int(t) for t in args.prompt_tokens.split(",")], np.int32)[None]
+    out = eng.generate(prompt, args.max_new_tokens, temperature=args.temperature)
+    print(json.dumps({"tokens": out[0].tolist()}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="squeezellm-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("quantize", help="quantize a dense HF checkpoint")
+    q.add_argument("--model", required=True, help="HF model dir (config + weights)")
+    q.add_argument("--gradient", default=None,
+                   help="dir of chunked grad^2 files layer_{i}.pt")
+    q.add_argument("--bits", type=int, default=4, choices=[3, 4])
+    q.add_argument("--sensitivity", type=float, default=0.0,
+                   help="top-%% of weights by grad^2 moved to sparse")
+    q.add_argument("--outlier-range", type=float, default=None,
+                   help="IQR multiplier for threshold outliers (e.g. 1.8)")
+    q.add_argument("--method", default="batched", choices=["batched", "sklearn"])
+    q.add_argument("--output", required=True)
+    q.set_defaults(fn=cmd_quantize)
+
+    c = sub.add_parser("convert", help="convert a reference SqueezeLLM .pt")
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--model", required=True, help="HF model dir with config.json")
+    c.add_argument("--wbits", type=int, required=True, choices=[3, 4])
+    c.add_argument("--output", required=True)
+    c.set_defaults(fn=cmd_convert)
+
+    def _common_eval(sp):
+        sp.add_argument("model", help="quantized ckpt dir or dense HF dir")
+        sp.add_argument("--dataset", default="synthetic")
+        sp.add_argument("--seqlen", type=int, default=2048)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--nsamples", type=int, default=128)
+        sp.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+
+    e = sub.add_parser("eval", help="perplexity evaluation")
+    _common_eval(e)
+    e.add_argument("--nsamples-eval", type=int, default=None)
+    e.set_defaults(fn=cmd_eval)
+
+    b = sub.add_parser("benchmark", help="decode latency benchmark")
+    _common_eval(b)
+    b.add_argument("--tokens", type=int, default=128)
+    b.add_argument("--check", action="store_true")
+    b.add_argument("--profile", default=None, help="write a jax profiler trace dir")
+    b.set_defaults(fn=cmd_benchmark)
+
+    g = sub.add_parser("generate", help="generate tokens")
+    g.add_argument("model")
+    g.add_argument("--prompt-tokens", required=True, help="comma-separated ids")
+    g.add_argument("--max-new-tokens", type=int, default=32)
+    g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    g.set_defaults(fn=cmd_generate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

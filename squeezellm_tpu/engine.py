@@ -1,0 +1,163 @@
+"""Inference engine: prefill + decode loop with a preallocated KV cache,
+plus the latency benchmark harness.
+
+Replaces the reference's HF-generate-based benchmark (reference
+llama.py:189-249): per-token wall clock with device sync
+(block_until_ready == torch.cuda.synchronize), median latency, optional
+next-token perplexity check (--check), and device memory stats.
+
+The jitted decode step donates the KV cache so decoding is allocation-free
+after warmup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from squeezellm_tpu.models import common, registry
+
+
+@dataclasses.dataclass
+class Engine:
+    model_type: str
+    config: Any
+    specs: Any
+    params: Any
+    backend: str = "auto"
+    dtype: Any = jnp.float32
+    cache_dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self._mod = registry.get_model_module(self.model_type)
+        mod, config, specs = self._mod, self.config, self.specs
+        backend, dtype = self.backend, self.dtype
+
+        def _prefill(params, tokens, cache):
+            return mod.prefill(config, specs, params, tokens, cache,
+                               backend=backend, dtype=dtype)
+
+        def _decode(params, token, pos, cache):
+            return mod.decode_step(config, specs, params, token, pos, cache,
+                                   backend=backend, dtype=dtype)
+
+        # donate the cache: decode updates it in place on device
+        self._prefill = jax.jit(_prefill, donate_argnums=(2,))
+        self._decode = jax.jit(_decode, donate_argnums=(3,))
+
+    def new_cache(self, batch: int = 1, max_seq: Optional[int] = None):
+        c = self.config
+        return common.init_kv_cache(
+            batch, max_seq or c.max_seq, c.n_layers, c.n_kv_heads, c.head_dim,
+            self.cache_dtype,
+        )
+
+    def generate(
+        self,
+        prompt_tokens: np.ndarray,
+        max_new_tokens: int,
+        temperature: float = 0.0,
+        seed: int = 0,
+        max_seq: Optional[int] = None,
+    ) -> np.ndarray:
+        """Greedy (temperature=0) or sampled generation.
+
+        prompt_tokens: (B, S) int32. Returns (B, S + max_new_tokens).
+        """
+        prompt = jnp.asarray(prompt_tokens, jnp.int32)
+        b, s = prompt.shape
+        cache = self.new_cache(b, max_seq)
+        logits, cache = self._prefill(self.params, prompt, cache)
+        key = jax.random.PRNGKey(seed)
+        out = [prompt]
+        # pos must be a device scalar: a python int would bake into the jitted
+        # graph and retrace the decode step at every position.
+        pos = jnp.asarray(s, jnp.int32)
+        tok = self._select(logits, temperature, key)
+        for i in range(max_new_tokens):
+            out.append(tok)
+            if i == max_new_tokens - 1:
+                break
+            logits, cache = self._decode(self.params, tok, pos, cache)
+            key, sub = jax.random.split(key)
+            tok = self._select(logits, temperature, sub)
+            pos = pos + 1
+        return np.asarray(jnp.concatenate(out, axis=1))
+
+    @staticmethod
+    def _select(logits, temperature, key):
+        if temperature <= 0.0:
+            return jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
+        return jax.random.categorical(
+            key, logits[:, -1] / temperature, axis=-1
+        )[:, None].astype(jnp.int32)
+
+    def benchmark(
+        self,
+        input_ids: np.ndarray,
+        check: bool = False,
+        warmup: int = 3,
+        max_seq: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """Reference-protocol decode benchmark (llama.py:223-249): feed
+        tokens one at a time with the KV cache, record per-token wall-clock
+        with device sync; optional next-token ppl check.
+
+        input_ids: (1, T). Token 0 seeds the loop; tokens 1..T-1 are the
+        'generated' sequence whose prediction quality --check measures.
+        """
+        ids = np.asarray(input_ids).reshape(1, -1).astype(np.int32)
+        T = ids.shape[1]
+        cache = self.new_cache(1, max_seq)
+
+        # warmup / compile (pos as device scalar: one trace for all positions)
+        tok0 = jnp.asarray(ids[:, :1])
+        zero = jnp.asarray(0, jnp.int32)
+        logits, cache = self._decode(self.params, tok0, zero, cache)
+        logits.block_until_ready()
+        for w in range(warmup):
+            logits, cache = self._decode(self.params, tok0, zero, cache)
+        logits.block_until_ready()
+        # reset cache state
+        cache = self.new_cache(1, max_seq)
+
+        times = []
+        nll = 0.0
+        for i in range(T):
+            tok = jnp.asarray(ids[:, i : i + 1])
+            tick = time.perf_counter()
+            logits, cache = self._decode(self.params, tok, jnp.asarray(i, jnp.int32), cache)
+            logits.block_until_ready()
+            times.append(time.perf_counter() - tick)
+            if check and i < T - 1:
+                logp = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+                nll -= float(logp[ids[0, i + 1]])
+
+        stats: Dict[str, Any] = {
+            "tokens": T,
+            "median_latency_s": float(np.median(times)),
+            "mean_latency_s": float(np.mean(times)),
+            "p99_latency_s": float(np.percentile(times, 99)),
+            "tokens_per_s": 1.0 / float(np.median(times)),
+        }
+        if check:
+            stats["check_ppl"] = float(np.exp(nll / (T - 1)))
+        mem = _device_memory_stats()
+        if mem is not None:
+            stats["peak_memory_mib"] = mem
+        return stats
+
+
+def _device_memory_stats() -> Optional[float]:
+    try:
+        s = jax.local_devices()[0].memory_stats()
+        if s and "peak_bytes_in_use" in s:
+            return s["peak_bytes_in_use"] / (1024 * 1024)
+    except Exception:
+        pass
+    return None

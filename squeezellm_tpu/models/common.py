@@ -1,0 +1,146 @@
+"""Shared functional building blocks: linears (dense or LUT-quantized),
+norms, RoPE, attention with a preallocated KV cache.
+
+Everything is a pure function of (static spec, params pytree, inputs) — the
+TPU-idiomatic replacement for the reference's nn.Module mutation
+(make_quant_lut's setattr dance, reference squeezellm/quant.py:386-435).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from squeezellm_tpu.ops.quant_linear import QuantLinearSpec, quant_linear_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearSpec:
+    """Static description of one linear: dense fp or LUT-quantized."""
+
+    in_features: int
+    out_features: int
+    has_bias: bool = False
+    quant: Optional[QuantLinearSpec] = None  # None => dense weights
+
+    @property
+    def is_quant(self) -> bool:
+        return self.quant is not None
+
+
+def apply_linear(spec: LinearSpec, params, x, *, backend: str = "auto"):
+    """y = x @ W^T (+ b). Dense params: {'w': (out, in), 'b'?}; quantized:
+    the quant_linear params dict."""
+    if spec.is_quant:
+        return quant_linear_apply(spec.quant, params, x, backend=backend)
+    y = jnp.matmul(
+        x, params["w"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    if spec.has_bias:
+        y = y + params["b"].astype(x.dtype)
+    return y
+
+
+def rms_norm(x, weight, eps: float):
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(dt) * weight.astype(dt)
+
+
+def layer_norm(x, weight, bias, eps: float):
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# RoPE (HF LLaMA convention: rotate_half over contiguous halves)
+# ---------------------------------------------------------------------------
+
+
+def rope_cos_sin(positions, head_dim: int, theta: float, dtype=jnp.float32):
+    """positions: int array (...,). Returns cos/sin of shape (..., head_dim)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., hd/2)
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x, cos, sin):
+    """x: (B, S, H, D); cos/sin: (B, S, D) or (S, D)."""
+    if cos.ndim == x.ndim - 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rotated * sin
+
+
+# ---------------------------------------------------------------------------
+# Attention with preallocated KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(batch: int, max_seq: int, n_layers: int, n_kv_heads: int,
+                  head_dim: int, dtype=jnp.float32):
+    """Per-layer list of {'k','v'} of shape (B, max_seq, H_kv, D)."""
+    return [
+        {
+            "k": jnp.zeros((batch, max_seq, n_kv_heads, head_dim), dtype),
+            "v": jnp.zeros((batch, max_seq, n_kv_heads, head_dim), dtype),
+        }
+        for _ in range(n_layers)
+    ]
+
+
+def repeat_kv(x, n_rep: int):
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(
+        b, s, h * n_rep, d
+    )
+
+
+def attention(q, k, v, mask):
+    """q: (B, Sq, H, D); k/v: (B, Sk, H, D); mask: broadcastable to
+    (B, H, Sq, Sk) boolean (True = attend). Softmax in f32."""
+    dt = q.dtype
+    scale = 1.0 / jnp.sqrt(jnp.array(q.shape[-1], jnp.float32))
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32).astype(dt)
+
+
+def causal_mask(sq: int, sk: int, offset: int = 0, sliding_window: Optional[int] = None):
+    """(1, 1, sq, sk) boolean causal mask; query i sits at position offset+i."""
+    qpos = offset + jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+    m = kpos <= qpos
+    if sliding_window is not None:
+        m = jnp.logical_and(m, kpos > qpos - sliding_window)
+    return m[None, None]
+
+
+def decode_mask(max_seq: int, pos, sliding_window: Optional[int] = None):
+    """(1, 1, 1, max_seq) mask for a single query at dynamic position pos."""
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, max_seq), 1)
+    m = kpos <= pos
+    if sliding_window is not None:
+        m = jnp.logical_and(m, kpos > pos - sliding_window)
+    return m[None, None]

@@ -1,0 +1,268 @@
+"""Functional LLaMA-family decoder (LLaMA 1/2, Vicuna, Mistral, XGen).
+
+Covers the reference's llama/mistral/vicuna/xgen model families
+(reference squeezellm/model_parse.py:32-63: modules q,k,v,o,gate,up,down)
+as one pure-jnp implementation with GQA and optional sliding-window
+attention (Mistral). No HF-transformers runtime dependency — HF checkpoints
+are imported into a plain params pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from squeezellm_tpu.models import common
+from squeezellm_tpu.models.common import LinearSpec
+
+MODULE_NAMES = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    max_seq: int = 2048
+    sliding_window: Optional[int] = None  # Mistral: 4096
+    tie_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.n_heads
+
+    def linear_shapes(self) -> Dict[str, Tuple[int, int]]:
+        """(out, in) of each quantizable module, torch W orientation."""
+        h = self.hidden_size
+        kv = self.n_kv_heads * self.head_dim
+        return {
+            "q": (h, h),
+            "k": (kv, h),
+            "v": (kv, h),
+            "o": (h, h),
+            "gate": (self.intermediate_size, h),
+            "up": (self.intermediate_size, h),
+            "down": (h, self.intermediate_size),
+        }
+
+    @staticmethod
+    def from_hf_config(d: dict) -> "LlamaConfig":
+        """From an HF config.json dict (llama / mistral / vicuna / xgen)."""
+        return LlamaConfig(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            n_layers=d["num_hidden_layers"],
+            n_heads=d["num_attention_heads"],
+            n_kv_heads=d.get("num_key_value_heads") or d["num_attention_heads"],
+            rope_theta=d.get("rope_theta", 10000.0),
+            rms_eps=d.get("rms_norm_eps", 1e-5),
+            max_seq=min(d.get("max_position_embeddings", 2048), 8192),
+            sliding_window=d.get("sliding_window"),
+            tie_embeddings=d.get("tie_word_embeddings", False),
+        )
+
+
+def dense_specs(config: LlamaConfig) -> dict:
+    """All-dense (w16) spec tree: per-layer module specs + lm_head."""
+    shapes = config.linear_shapes()
+    layer = {
+        name: LinearSpec(in_features=i, out_features=o)
+        for name, (o, i) in shapes.items()
+    }
+    return {
+        "layers": tuple(dict(layer) for _ in range(config.n_layers)),
+        "lm_head": LinearSpec(
+            in_features=config.hidden_size, out_features=config.vocab_size
+        ),
+    }
+
+
+def random_dense_params(config: LlamaConfig, key, dtype=jnp.float32) -> dict:
+    """Random dense params (for tests/benchmarks)."""
+    shapes = config.linear_shapes()
+    keys = jax.random.split(key, config.n_layers + 2)
+
+    def lin(k, o, i):
+        return {"w": (jax.random.normal(k, (o, i), dtype) * (0.5 / np.sqrt(i)))}
+
+    layers = []
+    for li in range(config.n_layers):
+        ks = jax.random.split(keys[li], len(shapes))
+        d = {n: lin(k, o, i) for k, (n, (o, i)) in zip(ks, shapes.items())}
+        d["input_norm"] = jnp.ones((config.hidden_size,), dtype)
+        d["post_norm"] = jnp.ones((config.hidden_size,), dtype)
+        layers.append(d)
+    return {
+        "embed": jax.random.normal(
+            keys[-2], (config.vocab_size, config.hidden_size), dtype
+        ) * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((config.hidden_size,), dtype),
+        "lm_head": {
+            "w": jax.random.normal(
+                keys[-1], (config.vocab_size, config.hidden_size), dtype
+            ) * 0.02
+        },
+    }
+
+
+def from_torch_state_dict(config: LlamaConfig, sd, dtype=jnp.float32) -> dict:
+    """Import a HF LlamaForCausalLM/MistralForCausalLM state dict
+    (torch tensors or numpy arrays) into the dense params pytree."""
+
+    def g(name):
+        t = sd[name]
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        return jnp.asarray(np.asarray(t), dtype)
+
+    hf_names = {
+        "q": "self_attn.q_proj",
+        "k": "self_attn.k_proj",
+        "v": "self_attn.v_proj",
+        "o": "self_attn.o_proj",
+        "gate": "mlp.gate_proj",
+        "up": "mlp.up_proj",
+        "down": "mlp.down_proj",
+    }
+    layers = []
+    for i in range(config.n_layers):
+        p = f"model.layers.{i}."
+        d = {n: {"w": g(p + hf + ".weight")} for n, hf in hf_names.items()}
+        d["input_norm"] = g(p + "input_layernorm.weight")
+        d["post_norm"] = g(p + "post_attention_layernorm.weight")
+        layers.append(d)
+    lm_head = (
+        g("model.embed_tokens.weight")
+        if config.tie_embeddings or "lm_head.weight" not in sd
+        else g("lm_head.weight")
+    )
+    return {
+        "embed": g("model.embed_tokens.weight"),
+        "layers": layers,
+        "final_norm": g("model.norm.weight"),
+        "lm_head": {"w": lm_head},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+
+def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
+                backend="auto"):
+    b, s, h = x.shape
+    hd, nh, nkv = config.head_dim, config.n_heads, config.n_kv_heads
+    q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
+    k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
+    v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, nkv, hd)
+    v = v.reshape(b, s, nkv, hd)
+    q = common.apply_rope(q, cos, sin)
+    k = common.apply_rope(k, cos, sin)
+
+    if cache is not None:
+        # write new k/v at pos (decode: s==1) or [0, s) (prefill: pos==0)
+        start = 0 if pos is None else pos
+        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
+                                          (0, start, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
+                                          (0, start, 0, 0))
+        cache = {"k": ck, "v": cv}
+        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+
+    n_rep = nh // nkv
+    k = common.repeat_kv(k, n_rep)
+    v = common.repeat_kv(v, n_rep)
+    out = common.attention(q, k, v, mask)
+    out = out.reshape(b, s, nh * hd)
+    out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
+    return out, cache
+
+
+def _mlp_block(specs, params, x, backend="auto"):
+    gate = common.apply_linear(specs["gate"], params["gate"], x, backend=backend)
+    up = common.apply_linear(specs["up"], params["up"], x, backend=backend)
+    return common.apply_linear(
+        specs["down"], params["down"], jax.nn.silu(gate) * up, backend=backend
+    )
+
+
+def _layer(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
+           backend="auto"):
+    h = common.rms_norm(x, params["input_norm"], config.rms_eps)
+    attn_out, cache = _attn_block(
+        config, specs, params, h, cos, sin, mask, cache, pos, backend
+    )
+    x = x + attn_out
+    h = common.rms_norm(x, params["post_norm"], config.rms_eps)
+    x = x + _mlp_block(specs, params, h, backend)
+    return x, cache
+
+
+def forward(config: LlamaConfig, specs, params, tokens, *, backend="auto",
+            dtype=jnp.float32):
+    """Full-sequence causal forward -> logits (B, S, V). The eval path."""
+    b, s = tokens.shape
+    x = params["embed"][tokens].astype(dtype)
+    positions = jnp.arange(s)
+    cos, sin = common.rope_cos_sin(positions, config.head_dim, config.rope_theta, dtype)
+    mask = common.causal_mask(s, s, sliding_window=config.sliding_window)
+    for spec_d, param_d in zip(specs["layers"], params["layers"]):
+        x, _ = _layer(config, spec_d, param_d, x, cos, sin, mask, backend=backend)
+    x = common.rms_norm(x, params["final_norm"], config.rms_eps)
+    return common.apply_linear(
+        specs["lm_head"], params["lm_head"], x, backend=backend
+    ).astype(jnp.float32)
+
+
+def prefill(config: LlamaConfig, specs, params, tokens, cache, *,
+            backend="auto", dtype=jnp.float32):
+    """Process the prompt, fill the KV cache; returns (last-token logits, cache)."""
+    b, s = tokens.shape
+    x = params["embed"][tokens].astype(dtype)
+    positions = jnp.arange(s)
+    cos, sin = common.rope_cos_sin(positions, config.head_dim, config.rope_theta, dtype)
+    max_seq = cache[0]["k"].shape[1]
+    mask = common.causal_mask(s, max_seq, sliding_window=config.sliding_window)
+    new_cache = []
+    for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
+        x, lc = _layer(config, spec_d, param_d, x, cos, sin, mask,
+                       cache=layer_cache, pos=0, backend=backend)
+        new_cache.append(lc)
+    x = common.rms_norm(x[:, -1:], params["final_norm"], config.rms_eps)
+    logits = common.apply_linear(specs["lm_head"], params["lm_head"], x,
+                                 backend=backend)
+    return logits.astype(jnp.float32), new_cache
+
+
+def decode_step(config: LlamaConfig, specs, params, token, pos, cache, *,
+                backend="auto", dtype=jnp.float32):
+    """One decode step. token: (B, 1) int32; pos: scalar int32 (0-based
+    position of this token). Returns (logits (B, 1, V), cache)."""
+    x = params["embed"][token].astype(dtype)
+    positions = jnp.full((token.shape[0], 1), pos, jnp.int32)
+    cos, sin = common.rope_cos_sin(positions, config.head_dim, config.rope_theta, dtype)
+    max_seq = cache[0]["k"].shape[1]
+    mask = common.decode_mask(max_seq, pos, sliding_window=config.sliding_window)
+    new_cache = []
+    for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
+        x, lc = _layer(config, spec_d, param_d, x, cos, sin, mask,
+                       cache=layer_cache, pos=pos, backend=backend)
+        new_cache.append(lc)
+    x = common.rms_norm(x, params["final_norm"], config.rms_eps)
+    logits = common.apply_linear(specs["lm_head"], params["lm_head"], x,
+                                 backend=backend)
+    return logits.astype(jnp.float32), new_cache

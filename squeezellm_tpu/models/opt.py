@@ -1,0 +1,256 @@
+"""Functional OPT decoder (OPT 1.3B - 30B).
+
+Covers the reference's opt family (reference squeezellm/model_parse.py:40-49:
+modules q,k,v,o(out_proj),up(fc1),down(fc2)). Pre-LN architecture with
+learned positional embeddings (HF offset +2) and ReLU MLP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from squeezellm_tpu.models import common
+from squeezellm_tpu.models.common import LinearSpec
+
+MODULE_NAMES = ("q", "k", "v", "o", "up", "down")
+_POS_OFFSET = 2  # HF OPTLearnedPositionalEmbedding offset
+
+
+@dataclasses.dataclass(frozen=True)
+class OPTConfig:
+    vocab_size: int = 50272
+    hidden_size: int = 2048
+    ffn_dim: int = 8192
+    n_layers: int = 24
+    n_heads: int = 32
+    max_seq: int = 2048
+    ln_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.n_heads
+
+    @property
+    def n_kv_heads(self) -> int:
+        return self.n_heads
+
+    def linear_shapes(self) -> Dict[str, Tuple[int, int]]:
+        h = self.hidden_size
+        return {
+            "q": (h, h),
+            "k": (h, h),
+            "v": (h, h),
+            "o": (h, h),
+            "up": (self.ffn_dim, h),
+            "down": (h, self.ffn_dim),
+        }
+
+    @staticmethod
+    def from_hf_config(d: dict) -> "OPTConfig":
+        assert d.get("word_embed_proj_dim", d["hidden_size"]) == d["hidden_size"], (
+            "OPT variants with embedding projection are not supported"
+        )
+        assert d.get("do_layer_norm_before", True), "post-LN OPT not supported"
+        return OPTConfig(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            ffn_dim=d["ffn_dim"],
+            n_layers=d["num_hidden_layers"],
+            n_heads=d["num_attention_heads"],
+            max_seq=d.get("max_position_embeddings", 2048),
+            ln_eps=1e-5,
+        )
+
+
+def dense_specs(config: OPTConfig) -> dict:
+    shapes = config.linear_shapes()
+    layer = {
+        name: LinearSpec(in_features=i, out_features=o, has_bias=True)
+        for name, (o, i) in shapes.items()
+    }
+    return {
+        "layers": tuple(dict(layer) for _ in range(config.n_layers)),
+        "lm_head": LinearSpec(
+            in_features=config.hidden_size, out_features=config.vocab_size
+        ),
+    }
+
+
+def random_dense_params(config: OPTConfig, key, dtype=jnp.float32) -> dict:
+    shapes = config.linear_shapes()
+    keys = jax.random.split(key, config.n_layers + 3)
+
+    def lin(k, o, i):
+        return {
+            "w": jax.random.normal(k, (o, i), dtype) * (0.5 / np.sqrt(i)),
+            "b": jnp.zeros((o,), dtype),
+        }
+
+    layers = []
+    h = config.hidden_size
+    for li in range(config.n_layers):
+        ks = jax.random.split(keys[li], len(shapes))
+        d = {n: lin(k, o, i) for k, (n, (o, i)) in zip(ks, shapes.items())}
+        d["attn_norm"] = {"w": jnp.ones((h,), dtype), "b": jnp.zeros((h,), dtype)}
+        d["ffn_norm"] = {"w": jnp.ones((h,), dtype), "b": jnp.zeros((h,), dtype)}
+        layers.append(d)
+    return {
+        "embed": jax.random.normal(keys[-3], (config.vocab_size, h), dtype) * 0.02,
+        "embed_pos": jax.random.normal(
+            keys[-2], (config.max_seq + _POS_OFFSET, h), dtype
+        ) * 0.02,
+        "layers": layers,
+        "final_norm": {"w": jnp.ones((h,), dtype), "b": jnp.zeros((h,), dtype)},
+        "lm_head": {"w": jax.random.normal(keys[-1], (config.vocab_size, h), dtype) * 0.02},
+    }
+
+
+def from_torch_state_dict(config: OPTConfig, sd, dtype=jnp.float32) -> dict:
+    def g(name):
+        t = sd[name]
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        return jnp.asarray(np.asarray(t), dtype)
+
+    hf_names = {
+        "q": "self_attn.q_proj",
+        "k": "self_attn.k_proj",
+        "v": "self_attn.v_proj",
+        "o": "self_attn.out_proj",
+        "up": "fc1",
+        "down": "fc2",
+    }
+    layers = []
+    for i in range(config.n_layers):
+        p = f"model.decoder.layers.{i}."
+        d = {
+            n: {"w": g(p + hf + ".weight"), "b": g(p + hf + ".bias")}
+            for n, hf in hf_names.items()
+        }
+        d["attn_norm"] = {
+            "w": g(p + "self_attn_layer_norm.weight"),
+            "b": g(p + "self_attn_layer_norm.bias"),
+        }
+        d["ffn_norm"] = {
+            "w": g(p + "final_layer_norm.weight"),
+            "b": g(p + "final_layer_norm.bias"),
+        }
+        layers.append(d)
+    embed = g("model.decoder.embed_tokens.weight")
+    lm_head = g("lm_head.weight") if "lm_head.weight" in sd else embed
+    return {
+        "embed": embed,
+        "embed_pos": g("model.decoder.embed_positions.weight"),
+        "layers": layers,
+        "final_norm": {
+            "w": g("model.decoder.final_layer_norm.weight"),
+            "b": g("model.decoder.final_layer_norm.bias"),
+        },
+        "lm_head": {"w": lm_head},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+
+def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
+                backend="auto"):
+    b, s, h = x.shape
+    hd, nh = config.head_dim, config.n_heads
+    q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
+    k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
+    v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, nh, hd)
+    v = v.reshape(b, s, nh, hd)
+
+    if cache is not None:
+        start = 0 if pos is None else pos
+        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
+                                          (0, start, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
+                                          (0, start, 0, 0))
+        cache = {"k": ck, "v": cv}
+        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+
+    out = common.attention(q, k, v, mask)
+    out = out.reshape(b, s, h)
+    out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
+    return out, cache
+
+
+def _layer(config, specs, params, x, mask, cache=None, pos=None, backend="auto"):
+    h = common.layer_norm(x, params["attn_norm"]["w"], params["attn_norm"]["b"],
+                          config.ln_eps)
+    attn_out, cache = _attn_block(config, specs, params, h, mask, cache, pos, backend)
+    x = x + attn_out
+    h = common.layer_norm(x, params["ffn_norm"]["w"], params["ffn_norm"]["b"],
+                          config.ln_eps)
+    h = common.apply_linear(specs["up"], params["up"], h, backend=backend)
+    h = jax.nn.relu(h)
+    h = common.apply_linear(specs["down"], params["down"], h, backend=backend)
+    return x + h, cache
+
+
+def _embed(config, params, tokens, pos_start, dtype):
+    x = params["embed"][tokens].astype(dtype)
+    s = tokens.shape[1]
+    positions = pos_start + jnp.arange(s) + _POS_OFFSET
+    return x + params["embed_pos"][positions][None].astype(dtype)
+
+
+def forward(config: OPTConfig, specs, params, tokens, *, backend="auto",
+            dtype=jnp.float32):
+    b, s = tokens.shape
+    x = _embed(config, params, tokens, 0, dtype)
+    mask = common.causal_mask(s, s)
+    for spec_d, param_d in zip(specs["layers"], params["layers"]):
+        x, _ = _layer(config, spec_d, param_d, x, mask, backend=backend)
+    x = common.layer_norm(x, params["final_norm"]["w"], params["final_norm"]["b"],
+                          config.ln_eps)
+    return common.apply_linear(
+        specs["lm_head"], params["lm_head"], x, backend=backend
+    ).astype(jnp.float32)
+
+
+def prefill(config: OPTConfig, specs, params, tokens, cache, *, backend="auto",
+            dtype=jnp.float32):
+    b, s = tokens.shape
+    x = _embed(config, params, tokens, 0, dtype)
+    max_seq = cache[0]["k"].shape[1]
+    mask = common.causal_mask(s, max_seq)
+    new_cache = []
+    for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
+        x, lc = _layer(config, spec_d, param_d, x, mask, cache=layer_cache,
+                       pos=0, backend=backend)
+        new_cache.append(lc)
+    x = common.layer_norm(x[:, -1:], params["final_norm"]["w"],
+                          params["final_norm"]["b"], config.ln_eps)
+    logits = common.apply_linear(specs["lm_head"], params["lm_head"], x,
+                                 backend=backend)
+    return logits.astype(jnp.float32), new_cache
+
+
+def decode_step(config: OPTConfig, specs, params, token, pos, cache, *,
+                backend="auto", dtype=jnp.float32):
+    x = params["embed"][token].astype(dtype)
+    x = x + params["embed_pos"][pos + _POS_OFFSET][None, None].astype(dtype)
+    max_seq = cache[0]["k"].shape[1]
+    mask = common.decode_mask(max_seq, pos)
+    new_cache = []
+    for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
+        x, lc = _layer(config, spec_d, param_d, x, mask, cache=layer_cache,
+                       pos=pos, backend=backend)
+        new_cache.append(lc)
+    x = common.layer_norm(x, params["final_norm"]["w"], params["final_norm"]["b"],
+                          config.ln_eps)
+    logits = common.apply_linear(specs["lm_head"], params["lm_head"], x,
+                                 backend=backend)
+    return logits.astype(jnp.float32), new_cache

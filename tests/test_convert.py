@@ -1,0 +1,105 @@
+"""Converter test: synthesize a reference-format state dict (same buffer
+names/layouts as QuantLinearLUT, quant.py:48-95) and check the converted
+model computes the same math."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from squeezellm_tpu import convert, formats
+from squeezellm_tpu.models import llama
+
+TINY = llama.LlamaConfig(
+    vocab_size=64, hidden_size=32, intermediate_size=64, n_layers=1,
+    n_heads=2, n_kv_heads=2, max_seq=32,
+)
+
+_HF = {
+    "q": "self_attn.q_proj", "k": "self_attn.k_proj", "v": "self_attn.v_proj",
+    "o": "self_attn.o_proj", "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+    "down": "mlp.down_proj",
+}
+
+
+def _make_reference_sd(rng, bits=3, sparse=True):
+    sd = {}
+    expected_w = {}  # effective dense weight (out, in) per module
+    shapes = TINY.linear_shapes()
+    for name, (out_f, in_f) in shapes.items():
+        lut = np.sort(rng.normal(size=(out_f, 2**bits)).astype(np.float32) * 0.1, axis=1)
+        codes = rng.integers(0, 2**bits, size=(in_f, out_f), dtype=np.uint8)
+        deq = formats.dequant_np(codes, lut).T  # (out, in)
+        w_eff = deq.copy()
+        p = f"model.layers.0.{_HF[name]}."
+        sd[p + "qweight"] = formats.pack_codes_ref(codes, bits)
+        sd[p + "lookup_table"] = lut
+        if sparse:
+            mask = rng.random((out_f, in_f)) < 0.02
+            vals_dense = np.where(mask, rng.normal(size=(out_f, in_f)).astype(np.float32), 0)
+            w_eff = w_eff + vals_dense  # reference semantics: sparse adds on top
+            crow = np.zeros(out_f + 1, dtype=np.int32)
+            np.cumsum(mask.sum(1), out=crow[1:])
+            cols = np.concatenate([np.nonzero(mask[r])[0] for r in range(out_f)]).astype(np.int32)
+            vals = np.concatenate([vals_dense[r, mask[r]] for r in range(out_f)]).astype(np.float32)
+            sd[p + "rows"] = crow
+            sd[p + "cols"] = cols
+            sd[p + "vals"] = vals
+            # hybrid: 2 dense channels, additive
+            tw = rng.normal(size=(in_f, 2)).astype(np.float32) * 0.05
+            ti = np.array([1, out_f - 1], dtype=np.int32)
+            sd[p + "full_rows"] = tw
+            sd[p + "full_row_indices"] = ti
+            w_eff[ti] = w_eff[ti] + tw.T
+        expected_w[name] = w_eff
+
+    sd["model.layers.0.input_layernorm.weight"] = np.ones(32, np.float32)
+    sd["model.layers.0.post_attention_layernorm.weight"] = np.ones(32, np.float32)
+    sd["model.embed_tokens.weight"] = rng.normal(size=(64, 32)).astype(np.float32) * 0.1
+    sd["model.norm.weight"] = np.ones(32, np.float32)
+    sd["lm_head.weight"] = rng.normal(size=(64, 32)).astype(np.float32) * 0.1
+    return sd, expected_w
+
+
+def test_convert_reference_state_dict_matches_dense_math():
+    rng = np.random.default_rng(0)
+    sd, expected_w = _make_reference_sd(rng, bits=3, sparse=True)
+    specs, params = convert.convert_state_dict(sd, "llama", TINY, wbits=3,
+                                               nnz_pad_multiple=64)
+    params_dev = jax.tree.map(jnp.asarray, params)
+
+    # dense-equivalent model for ground truth
+    dense_specs = llama.dense_specs(TINY)
+    dense_params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"]),
+        "final_norm": jnp.asarray(sd["model.norm.weight"]),
+        "lm_head": {"w": jnp.asarray(sd["lm_head.weight"])},
+        "layers": [
+            {
+                **{n: {"w": jnp.asarray(expected_w[n])} for n in llama.MODULE_NAMES},
+                "input_norm": jnp.ones(32),
+                "post_norm": jnp.ones(32),
+            }
+        ],
+    }
+
+    tokens = jnp.asarray(rng.integers(0, 64, size=(1, 9)), jnp.int32)
+    y_q = llama.forward(TINY, specs, params_dev, tokens, backend="xla")
+    y_d = llama.forward(TINY, dense_specs, dense_params, tokens, backend="xla")
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_d), rtol=2e-4, atol=2e-4)
+
+
+def test_convert_dense_only_4bit():
+    rng = np.random.default_rng(1)
+    sd, expected_w = _make_reference_sd(rng, bits=4, sparse=False)
+    specs, params = convert.convert_state_dict(sd, "llama", TINY, wbits=4)
+    assert all(
+        specs["layers"][0][n].quant.nnz_pad == 0 for n in llama.MODULE_NAMES
+    )
+    w = np.asarray(
+        __import__("squeezellm_tpu.ops.xla_ops", fromlist=["x"]).dequantize(
+            jnp.asarray(params["layers"][0]["q"]["qweight"]),
+            jnp.asarray(params["layers"][0]["q"]["lut"]), 4, 32,
+        )
+    )
+    np.testing.assert_allclose(w.T, expected_w["q"], atol=0)

@@ -1,0 +1,105 @@
+import numpy as np
+
+import jax.numpy as jnp
+
+from squeezellm_tpu import data as data_mod
+from squeezellm_tpu import engine as engine_mod
+from squeezellm_tpu import eval as eval_mod
+from squeezellm_tpu.models import llama
+
+import jax
+
+TINY = llama.LlamaConfig(
+    vocab_size=96, hidden_size=48, intermediate_size=96, n_layers=2,
+    n_heads=4, n_kv_heads=4, max_seq=48,
+)
+
+
+def _engine():
+    params = llama.random_dense_params(TINY, jax.random.PRNGKey(0))
+    specs = llama.dense_specs(TINY)
+    return engine_mod.Engine("llama", TINY, specs, params, backend="xla")
+
+
+def test_generate_greedy_deterministic():
+    eng = _engine()
+    prompt = np.array([[1, 2, 3, 4]], dtype=np.int32)
+    out1 = eng.generate(prompt, max_new_tokens=6)
+    out2 = eng.generate(prompt, max_new_tokens=6)
+    assert out1.shape == (1, 10)
+    np.testing.assert_array_equal(out1, out2)
+    np.testing.assert_array_equal(out1[:, :4], prompt)
+
+
+def test_generate_matches_forward_argmax():
+    """Greedy generation must follow the argmax chain of full forwards."""
+    eng = _engine()
+    prompt = np.array([[5, 9, 2]], dtype=np.int32)
+    out = eng.generate(prompt, max_new_tokens=4)
+    specs = llama.dense_specs(TINY)
+    seq = prompt.copy()
+    for _ in range(4):
+        logits = llama.forward(TINY, specs, eng.params, jnp.asarray(seq),
+                               backend="xla")
+        nxt = int(np.argmax(np.asarray(logits[0, -1])))
+        seq = np.concatenate([seq, [[nxt]]], axis=1)
+    np.testing.assert_array_equal(out, seq)
+
+
+def test_benchmark_stats_and_check():
+    eng = _engine()
+    ids = np.arange(8, dtype=np.int32)[None] % TINY.vocab_size
+    stats = eng.benchmark(ids, check=True, warmup=1)
+    assert stats["tokens"] == 8
+    assert stats["median_latency_s"] > 0
+    assert stats["tokens_per_s"] > 0
+    assert np.isfinite(stats["check_ppl"]) and stats["check_ppl"] > 1.0
+
+
+def test_perplexity_seqlen_protocol():
+    eng = _engine()
+    corpus = data_mod.synthetic_tokens(TINY.vocab_size, 4 * 16 + 5, seed=1)
+    ppl = eval_mod.perplexity("llama", TINY, eng.specs, eng.params, corpus,
+                              seqlen=16, backend="xla")
+    assert np.isfinite(ppl)
+    # random model on random tokens: ppl should be near vocab size
+    assert 10 < ppl < 10000
+
+
+def test_perplexity_matches_manual():
+    eng = _engine()
+    corpus = data_mod.synthetic_tokens(TINY.vocab_size, 40, seed=2)
+    seqlen = 16
+    ppl = eval_mod.perplexity("llama", TINY, eng.specs, eng.params, corpus,
+                              seqlen=seqlen, backend="xla")
+    # manual: two strides
+    nll = 0.0
+    for i in range(2):
+        tok = jnp.asarray(corpus[:, i * seqlen : (i + 1) * seqlen], jnp.int32)
+        logits = llama.forward(TINY, eng.specs, eng.params, tok, backend="xla")
+        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        ll = jnp.take_along_axis(logp, tok[:, 1:][..., None], axis=-1)
+        nll += -float(jnp.mean(ll)) * seqlen
+    np.testing.assert_allclose(ppl, float(np.exp(nll / (2 * seqlen))), rtol=1e-4)
+
+
+def test_data_loaders_synthetic():
+    calib, corpus = data_mod.get_loaders("synthetic", nsamples=4, seqlen=32,
+                                         vocab_size=100, seed=0)
+    assert calib.shape == (4, 32)
+    assert corpus.dtype == np.int32 and corpus.shape[0] == 1
+    calib2, _ = data_mod.get_loaders("synthetic", nsamples=4, seqlen=32,
+                                     vocab_size=100, seed=0)
+    np.testing.assert_array_equal(calib, calib2)  # seeded determinism
+
+
+def test_data_loader_npy(tmp_path):
+    corpus = np.arange(1000, dtype=np.int32)
+    p = tmp_path / "tokens.npy"
+    np.save(p, corpus)
+    calib, test = data_mod.get_loaders(str(p), nsamples=3, seqlen=64)
+    assert calib.shape == (3, 64)
+    assert test.shape == (1, 1000)
+    # windows are slices of the corpus
+    for row in calib:
+        assert row[0] + 63 == row[63]

@@ -1,0 +1,180 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from squeezellm_tpu import checkpoint, data as data_mod, eval as eval_mod
+from squeezellm_tpu.models import llama
+from squeezellm_tpu.quantize import kmeans as kmeans_mod
+from squeezellm_tpu.quantize import outlier_config as oc_mod
+from squeezellm_tpu.quantize import outliers as outliers_mod
+from squeezellm_tpu.quantize import pipeline
+
+
+def _wq_mse(x, w, cents, labels):
+    q = np.take_along_axis(cents, labels.astype(np.int64), axis=1)
+    return float((w * (x - q) ** 2).sum() / w.sum())
+
+
+def test_weighted_kmeans_quality_vs_sklearn():
+    rng = np.random.default_rng(0)
+    C, N, k = 8, 512, 8
+    x = rng.normal(size=(C, N)).astype(np.float32)
+    w = (rng.random((C, N)) ** 2).astype(np.float32)
+
+    cents, labels = kmeans_mod.weighted_kmeans_batched(x, w, k, seed=0)
+    assert cents.shape == (C, k) and labels.shape == (C, N)
+    assert (np.diff(cents, axis=1) >= 0).all()  # sorted codebooks
+
+    from sklearn.cluster import KMeans
+
+    ours = _wq_mse(x, w, cents, labels)
+    ref = 0.0
+    for c in range(C):
+        km = KMeans(n_clusters=k, random_state=0, n_init="auto", max_iter=50).fit(
+            x[c].reshape(-1, 1), sample_weight=w[c]
+        )
+        qc = km.cluster_centers_.reshape(-1)[km.labels_]
+        ref += float((w[c] * (x[c] - qc) ** 2).sum() / w[c].sum())
+    ref /= C
+    # batched solver within 5% of sklearn's weighted quantization MSE
+    assert ours <= ref * 1.05, (ours, ref)
+
+
+def test_kmeans_labels_are_nearest():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 128)).astype(np.float32)
+    cents, labels = kmeans_mod.weighted_kmeans_batched(x, None, 4, seed=0)
+    d = np.abs(x[:, :, None] - cents[:, None, :])
+    np.testing.assert_array_equal(labels, d.argmin(axis=2))
+
+
+def test_kmeans_determinism():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(3, 100)).astype(np.float32)
+    w = rng.random((3, 100)).astype(np.float32)
+    c1, l1 = kmeans_mod.weighted_kmeans_batched(x, w, 8, seed=0)
+    c2, l2 = kmeans_mod.weighted_kmeans_batched(x, w, 8, seed=0)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_fit_module_luts_zero_mask_semantics():
+    """Zeroed (outlier) slots must get zero sample weight (nuq.py:172-173)."""
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(2, 64)).astype(np.float32)
+    g = np.ones_like(w)
+    w[0, :32] = 0.0  # as if outliers removed
+    lut, labels = kmeans_mod.fit_module_luts(w, g, bits=3)
+    assert lut.shape == (2, 8)
+    # quantization of the nonzero half should be decent despite zeros
+    q = np.take_along_axis(lut, labels.astype(np.int64), axis=1)
+    err = np.abs(q[0, 32:] - w[0, 32:]).mean()
+    assert err < 0.4
+
+
+def test_sklearn_parity_method():
+    rng = np.random.default_rng(4)
+    w = rng.normal(size=(3, 96)).astype(np.float32)
+    g = (rng.random((3, 96)) ** 2).astype(np.float32)
+    lut, labels = kmeans_mod.fit_module_luts(w, g, bits=3, method="sklearn")
+    # canonical: sorted luts, labels point at nearest centroid
+    assert (np.diff(lut, axis=1) >= -1e-7).all()
+    d = np.abs(w[:, :, None] - lut[:, None, :])
+    np.testing.assert_array_equal(labels, d.argmin(axis=2).astype(np.uint8))
+
+
+def test_outlier_sensitivity_and_threshold():
+    rng = np.random.default_rng(5)
+    w = {"q": rng.normal(size=(16, 32)).astype(np.float32)}
+    g = {"q": rng.random((16, 32)).astype(np.float32) ** 2}
+    orig = w["q"].copy()
+    outs = outliers_mod.remove_outliers(
+        w, sensitivity=5.0, outlier_config={"q": 2.0}, gradients=g
+    )
+    # decomposition: dense + outliers == original
+    np.testing.assert_allclose(w["q"] + outs["q"], orig, atol=0)
+    # extracted slots are zeroed in dense
+    assert ((w["q"] == 0) | (outs["q"] == 0)).all()
+    # threshold rule respected: nothing above 2.0 left in dense
+    assert np.abs(w["q"]).max() < 2.0
+    # ~5% by sensitivity extracted (plus threshold ones)
+    frac = (outs["q"] != 0).mean()
+    assert 0.04 < frac < 0.2
+
+
+def test_outlier_config_iqr():
+    rng = np.random.default_rng(6)
+    layers = [{"q": rng.normal(size=(32, 32)), "k": rng.normal(size=(32, 32))}]
+    cfg = oc_mod.make_outlier_config(layers, threshold_range=1.8)
+    assert set(cfg["outlier_config"][0]) == {"q", "k"}
+    t = cfg["outlier_config"][0]["q"]
+    assert 1.5 < t < 6.0  # IQR rule on N(0,1): ~ .67+1.8*1.35 ≈ 3.1
+    assert cfg["outlier_threshold"] >= 0
+
+
+TINY = llama.LlamaConfig(
+    vocab_size=96, hidden_size=48, intermediate_size=96, n_layers=2,
+    n_heads=4, n_kv_heads=2, max_seq=48,
+)
+
+
+@pytest.mark.parametrize("bits,sparse", [(4, False), (3, True)])
+def test_quantize_model_end_to_end_ppl(bits, sparse):
+    """Quantize a tiny llama; perplexity must stay close to the dense model
+    (the --eval北star protocol at toy scale)."""
+    params = llama.random_dense_params(TINY, jax.random.PRNGKey(7))
+    specs = llama.dense_specs(TINY)
+    corpus = data_mod.synthetic_tokens(TINY.vocab_size, 3 * 32, seed=8)
+
+    ppl_dense = eval_mod.perplexity("llama", TINY, specs, params, corpus,
+                                    seqlen=32, backend="xla")
+
+    grads = None
+    outlier_cfg = None
+    if sparse:
+        # uniform grads + IQR thresholds per layer
+        module_names = llama.MODULE_NAMES
+        grads = [
+            {n: np.ones_like(np.asarray(lp[n]["w"])) for n in module_names}
+            for lp in params["layers"]
+        ]
+        outlier_cfg = [
+            {
+                n: oc_mod.module_threshold(np.asarray(lp[n]["w"]), 1.8)
+                for n in module_names
+            }
+            for lp in params["layers"]
+        ]
+
+    qspecs, qparams = pipeline.quantize_model(
+        "llama", TINY, params, bits,
+        gradients_per_layer=grads, outlier_config=outlier_cfg,
+        nnz_pad_multiple=64,
+    )
+    qparams_dev = jax.tree.map(jnp.asarray, qparams)
+    ppl_q = eval_mod.perplexity("llama", TINY, qspecs, qparams_dev, corpus,
+                                seqlen=32, backend="xla")
+    assert np.isfinite(ppl_q)
+    # toy model, random weights: quantization shifts ppl but must stay sane
+    assert abs(np.log(ppl_q) - np.log(ppl_dense)) < 0.35, (ppl_q, ppl_dense)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = llama.random_dense_params(TINY, jax.random.PRNGKey(9))
+    qspecs, qparams = pipeline.quantize_model(
+        "llama", TINY, params, 4, sensitivity=0.0, nnz_pad_multiple=64
+    )
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_quantized(path, "llama", TINY, qspecs, qparams)
+    mt, cfg, specs2, params2 = checkpoint.load_quantized(path)
+    assert mt == "llama" and cfg == TINY
+    assert specs2["layers"] == qspecs["layers"]
+
+    corpus = data_mod.synthetic_tokens(TINY.vocab_size, 64, seed=10)
+    tok = jnp.asarray(corpus[:, :32], jnp.int32)
+    y1 = llama.forward(TINY, qspecs, jax.tree.map(jnp.asarray, qparams), tok,
+                       backend="xla")
+    y2 = llama.forward(TINY, specs2, params2, tok, backend="xla")
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6, atol=1e-6)
