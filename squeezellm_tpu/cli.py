@@ -162,7 +162,8 @@ def main(argv=None):
                    help="top-%% of weights by grad^2 moved to sparse")
     q.add_argument("--outlier-range", type=float, default=None,
                    help="IQR multiplier for threshold outliers (e.g. 1.8)")
-    q.add_argument("--method", default="batched", choices=["batched", "sklearn"])
+    q.add_argument("--method", default="auto",
+                   choices=["auto", "native", "batched", "sklearn"])
     q.add_argument("--output", required=True)
     q.set_defaults(fn=cmd_quantize)
 

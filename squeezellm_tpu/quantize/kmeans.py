@@ -131,7 +131,7 @@ def fit_module_luts(
     weight: np.ndarray,
     gradient: Optional[np.ndarray],
     bits: int,
-    method: str = "batched",
+    method: str = "auto",
     seed: int = 0,
     pool=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -159,6 +159,17 @@ def fit_module_luts(
     if zero_rows.any():
         sw[zero_rows] = 1.0
 
+    if method == "auto":
+        from squeezellm_tpu import _native
+
+        method = "native" if _native.available() else "batched"
+    if method == "native":
+        from squeezellm_tpu import _native
+
+        cents, labels = _native.weighted_kmeans_batched(
+            weight, sw.astype(np.float32), k, seed=seed
+        )
+        return cents, labels
     if method == "batched":
         return weighted_kmeans_batched(weight, sw, k, seed=seed)
     if method == "sklearn":

@@ -32,7 +32,7 @@ def quantize_layer(
     sensitivity: float = 0.0,
     outlier_thresholds: Optional[Dict[str, float]] = None,
     biases: Optional[Dict[str, np.ndarray]] = None,
-    method: str = "batched",
+    method: str = "auto",
     nnz_pad_multiple: int = 512,
     seed: int = 0,
 ) -> Dict[str, Tuple[Any, Dict[str, np.ndarray]]]:
@@ -72,7 +72,7 @@ def quantize_model(
     gradients_per_layer=None,
     sensitivity: float = 0.0,
     outlier_config: Optional[list] = None,
-    method: str = "batched",
+    method: str = "auto",
     nnz_pad_multiple: int = 512,
     verbose: bool = False,
 ):
