@@ -99,25 +99,22 @@ def main():
         n_tokens = 8
 
     key = jax.random.PRNGKey(0)
-    specs, params = _build_quantized_llama(config, bits=4, sparsity=0.0045, key=key)
-    eng = engine_mod.Engine("llama", config, specs, params,
-                            backend="pallas" if on_tpu else "xla",
-                            cache_dtype=jnp.bfloat16)
-    tok_s, stats = _decode_tok_s(eng, n_tokens, config.vocab_size)
 
-    # ---- fp16-equivalent baseline ----
+    # ---- fp16-equivalent baseline FIRST (bf16 7B ~13.5 GB; it and the
+    # quantized model don't fit HBM together) ----
     baseline_tok_s = None
     try:
         dense_params = llama.random_dense_params(config, key, dtype=jnp.bfloat16)
-        dense_params["embed"] = params["embed"].astype(jnp.bfloat16)
-        dense_params["lm_head"]["w"] = params["lm_head"]["w"].astype(jnp.bfloat16)
         dspecs = llama.dense_specs(config)
         deng = engine_mod.Engine("llama", config, dspecs, dense_params,
                                  backend="xla", dtype=jnp.bfloat16,
                                  cache_dtype=jnp.bfloat16)
-        baseline_tok_s, _ = _decode_tok_s(deng, max(8, n_tokens // 4),
+        baseline_tok_s, _ = _decode_tok_s(deng, max(16, n_tokens // 4),
                                           config.vocab_size)
         del dense_params, deng
+        import gc
+
+        gc.collect()
     except Exception as e:  # OOM etc.
         print(f"bf16 baseline failed ({type(e).__name__}); using roofline estimate",
               file=sys.stderr)
@@ -139,6 +136,12 @@ def main():
             config.vocab_size * config.hidden_size * 2
         )
         baseline_tok_s = bw / total
+
+    specs, params = _build_quantized_llama(config, bits=4, sparsity=0.0045, key=key)
+    eng = engine_mod.Engine("llama", config, specs, params,
+                            backend="pallas" if on_tpu else "xla",
+                            cache_dtype=jnp.bfloat16)
+    tok_s, stats = _decode_tok_s(eng, n_tokens, config.vocab_size)
 
     result = {
         "metric": "llama2_7b_w4s45_decode_tok_s" if on_tpu

@@ -28,8 +28,8 @@ def bench(fn, x, K=64, trials=3):
         def body(i, carry):
             xp, s = carry
             y = fn(xp)
-            s2 = jnp.sum(y[0]) * 1e-30
-            return (x * (1.0 + s2), s + s2)
+            s2 = jnp.sum(y[0].astype(jnp.float32)) * 1e-30
+            return ((x * (1.0 + s2)).astype(x.dtype), s + s2)
 
         _, s = jax.lax.fori_loop(0, K, body, (x, jnp.float32(0)))
         return s

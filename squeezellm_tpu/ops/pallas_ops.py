@@ -11,9 +11,9 @@ block — deterministic, no atomics (the reference relies on atomicAdd).
 Design notes:
 * The activation is pre-reshaped to ``(B, codes_per_word, n_words)`` so the
   kernel never needs a lane-interleave: code ``j`` of every word forms the
-  contiguous slice ``x3[:, j, :]``, and the dot
-  ``x3[:, j, :] @ dequant_j`` accumulates the same sum as the natural
-  order (reduction order is associative in f32-accum).
+  a contiguous 2D row-slab per code plane, and the per-plane dot
+  accumulates the same sum as the natural order (reduction order is
+  associative in f32-accum).
 * 3-bit uses the lane-friendly 10-codes-per-word layout (formats.pack_codes),
   not the reference's cross-word bit-spill, so the unpack is one shift+mask
   per code plane.
@@ -59,12 +59,57 @@ def _select_tree(bit_planes, leaves):
     return level[0]
 
 
-def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int):
+def _dequant_plane_select(codes, lut_ref, bits):
+    """Select-tree dequant: (W, O) codes -> (W, O) f32. ~2**bits ops/elem.
+    Portable (works in interpret mode and on all TPU gens)."""
+    leaves = [lut_ref[:, k][None, :] for k in range(2**bits)]
+    bit_planes = [
+        ((codes >> jnp.uint32(b)) & jnp.uint32(1)) != 0 for b in range(bits)
+    ]
+    return _select_tree(bit_planes, leaves)
+
+
+def _dequant_plane_gather(codes, lut_t_ref, bits):
+    """Hardware-shuffle dequant via tpu.dynamic_gather: (W, O) codes ->
+    (W, O) f32 in ~3 (3-bit) / ~6 (4-bit) VPU ops per element.
+
+    Mosaic lowers take_along_axis to tpu.dynamic_gather when the gather
+    dimension fits ONE vreg (8 f32 sublanes), so the lookup runs as an
+    in-register sublane shuffle, chunked in 8-row tiles. lut_t_ref holds the
+    transposed table (2**bits, O) — 8-entry tables gather directly; 16-entry
+    tables use two 8-row gathers selected by the code's top bit.
+    """
+    w_blk = codes.shape[0]
+    idx = (codes & jnp.uint32(7)).astype(jnp.int32)
+    chunks = []
+    if bits <= 3:
+        tab = lut_t_ref[0:8, :]
+        for c in range(0, w_blk, 8):
+            chunks.append(jnp.take_along_axis(tab, idx[c : c + 8, :], axis=0))
+        return jnp.concatenate(chunks, axis=0)
+    assert bits == 4
+    lo = lut_t_ref[0:8, :]
+    hi = lut_t_ref[8:16, :]
+    is_hi = (codes & jnp.uint32(8)) != 0
+    for c in range(0, w_blk, 8):
+        i8 = idx[c : c + 8, :]
+        vlo = jnp.take_along_axis(lo, i8, axis=0)
+        vhi = jnp.take_along_axis(hi, i8, axis=0)
+        chunks.append(jnp.where(is_hi[c : c + 8, :], vhi, vlo))
+    return jnp.concatenate(chunks, axis=0)
+
+
+def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
+                       mode: str, b_blk: int, precision):
     """One (batch-block, out-block, in-block) grid step.
 
-    x_ref:   (B_BLK, cpw, W_BLK) f32 — pre-reshaped activation slice
+    x_ref:   (cpw * B_BLK, W_BLK) f32 — plane-major activation slice:
+             rows [j*B_BLK, (j+1)*B_BLK) hold x values multiplying code
+             plane j of each packed word (see the host-side relayout).
+             All blocks are 2D: 3D blocks with a middle-axis slice
+             miscompile silently in Mosaic (wrong values on hardware).
     qw_ref:  (W_BLK, O_BLK) int32 — packed words
-    lut_ref: (O_BLK, 2**bits) f32
+    lut_ref: (O_BLK, 2**bits) f32 ('select') or (8*ceil(K/8), O_BLK) ('gather')
     out_ref: (B_BLK, O_BLK) f32 — revisited across the in-block grid dim
     """
     i = pl.program_id(2)
@@ -74,25 +119,28 @@ def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     words = qw_ref[:].astype(jnp.uint32)  # (W_BLK, O_BLK)
-    # LUT leaf rows, broadcast over the word (sublane) axis.
-    leaves = [lut_ref[:, k][None, :] for k in range(2**bits)]
 
     acc = out_ref[:]
     for j in range(cpw):
         codes = (words >> jnp.uint32(bits * j)) & jnp.uint32(2**bits - 1)
-        bit_planes = [
-            ((codes >> jnp.uint32(b)) & jnp.uint32(1)) != 0 for b in range(bits)
-        ]
-        wj = _select_tree(bit_planes, leaves)  # (W_BLK, O_BLK) f32
+        if mode == "gather":
+            wj = _dequant_plane_gather(codes, lut_ref, bits)
+        else:
+            wj = _dequant_plane_select(codes, lut_ref, bits)
+        # precision=HIGHEST: the MXU truncates f32 operands to bf16 at
+        # default precision — silently wrong vs the f32 reference numerics.
         acc = acc + jnp.dot(
-            x_ref[:, j, :], wj, preferred_element_type=jnp.float32
+            x_ref[j * b_blk : (j + 1) * b_blk, :], wj,
+            preferred_element_type=jnp.float32,
+            precision=precision,
         )
     out_ref[:] = acc
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "b_blk", "w_blk", "o_blk", "interpret"),
+    static_argnames=("bits", "b_blk", "w_blk", "o_blk", "interpret", "mode",
+                     "precision"),
 )
 def lut_matmul(
     x,
@@ -104,6 +152,8 @@ def lut_matmul(
     w_blk: int = 256,
     o_blk: int = 512,
     interpret: bool = False,
+    mode: str = "gather",
+    precision: str = "highest",
 ):
     """Fused LUT-dequant matmul: ``x (..., in) -> (..., out)`` f32.
 
@@ -120,36 +170,59 @@ def lut_matmul(
 
     b_blk = min(b_blk, _round_up(batch, 8))
     o_blk = min(o_blk, _round_up(out_features, 128))
-    w_blk = min(w_blk, _round_up(nw, 8))
+    # last-two block dims must be (8,128)-aligned on hardware
+    w_blk = min(w_blk, _round_up(nw, 128))
 
     bp = _round_up(batch, b_blk)
     op = _round_up(out_features, o_blk)
     wp = _round_up(nw, w_blk)
 
-    # Pre-reshape activation to (B, cpw, nw): x3[b, j, w] = x[b, w*cpw + j].
+    # Pre-reshape activation to plane-major 2D layout: for batch-block b,
+    # rows [b*cpw*b_blk + j*b_blk + t] hold x[b*b_blk + t, w*cpw + j].
     xpad = jnp.pad(xf, ((0, bp - batch), (0, wp * cpw - in_features)))
-    x3 = xpad.reshape(bp, wp, cpw).transpose(0, 2, 1)
+    x2 = (
+        xpad.reshape(bp // b_blk, b_blk, wp, cpw)
+        .transpose(0, 3, 1, 2)
+        .reshape(bp // b_blk * cpw * b_blk, wp)
+    )
 
     qw = jnp.pad(qweight, ((0, wp - nw), (0, op - out_features)))
     lutp = jnp.pad(lut.astype(jnp.float32), ((0, op - out_features), (0, 0)))
 
+    if mode == "gather" and bits > 4:
+        mode = "select"  # >8-entry-per-vreg tables can't hardware-gather
+    if mode == "gather":
+        # transposed table, rows padded to the 8-sublane vreg height
+        k_rows = max(8, 2**bits)
+        lut_in = jnp.pad(lutp.T, ((0, k_rows - 2**bits), (0, 0)))
+        lut_spec = pl.BlockSpec(
+            (k_rows, o_blk), lambda b, o, i: (0, o), memory_space=pltpu.VMEM
+        )
+    else:
+        lut_in = lutp
+        lut_spec = pl.BlockSpec(
+            (o_blk, 2**bits), lambda b, o, i: (o, 0), memory_space=pltpu.VMEM
+        )
+
     grid = (bp // b_blk, op // o_blk, wp // w_blk)
 
     out = pl.pallas_call(
-        functools.partial(_lut_matmul_kernel, bits=bits, cpw=cpw),
+        functools.partial(
+            _lut_matmul_kernel, bits=bits, cpw=cpw, mode=mode, b_blk=b_blk,
+            precision=jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (b_blk, cpw, w_blk),
-                lambda b, o, i: (b, 0, i),
+                (cpw * b_blk, w_blk),
+                lambda b, o, i: (b, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (w_blk, o_blk), lambda b, o, i: (i, o), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (o_blk, 2**bits), lambda b, o, i: (o, 0), memory_space=pltpu.VMEM
-            ),
+            lut_spec,
         ],
         out_specs=pl.BlockSpec(
             (b_blk, o_blk), lambda b, o, i: (b, o), memory_space=pltpu.VMEM
@@ -164,6 +237,6 @@ def lut_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x3, qw, lutp)
+    )(x2, qw, lut_in)
 
     return out[:batch, :out_features].reshape(*lead, out_features)

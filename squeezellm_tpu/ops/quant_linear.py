@@ -54,16 +54,20 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
 
     from squeezellm_tpu.ops import xla_ops
 
-    if backend == "auto":
-        import jax
+    import jax
 
+    if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     in_dtype = x.dtype
     if backend == "pallas":
         from squeezellm_tpu.ops import pallas_ops
 
-        y = pallas_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
+        # off-TPU the Pallas kernel only runs interpreted
+        interpret = jax.default_backend() != "tpu"
+        y = pallas_ops.lut_matmul(
+            x, params["qweight"], params["lut"], spec.bits, interpret=interpret
+        )
     else:
         y = xla_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
 
