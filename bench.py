@@ -2,21 +2,25 @@
 
 Prints ONE JSON line:
   {"metric": "llama2_7b_w4s45_decode_tok_s", "value": <tok/s>,
-   "unit": "tokens/s", "vs_baseline": <ratio vs measured bf16 dense decode>}
+   "unit": "tokens/s", "vs_baseline": <ratio vs bf16 dense decode>}
 
 Baseline = bf16 (fp16-equivalent) dense decode of the same model on the same
 chip — the reference's own comparison axis (README.md:11 "same latency,
-smaller footprint"). If the bf16 model does not fit in HBM the baseline
-falls back to an fp16 memory-roofline estimate from a measured bf16 GEMV
-stream rate.
+smaller footprint"). On a 16 GB v5e the bf16 7B model (~13.5 GB) and the
+quantized model cannot coexist in HBM, and a single OOM poisons the process
+allocator — so each phase runs in its OWN subprocess:
 
-Runs on whatever jax.default_backend() is (the real TPU under axon); falls
-back to a scaled-down model on CPU so the bench always emits a line.
+  phase=quant     quantized decode tok/s + a measured bf16-GEMV stream rate
+                  (for a memory-roofline baseline estimate)
+  phase=baseline  real end-to-end bf16 dense decode tok/s (may OOM; optional)
+
+The parent combines them; if the bf16 phase fails, vs_baseline falls back to
+the roofline estimate from the quant phase.
 """
 
-import functools
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,7 +31,6 @@ def _build_quantized_llama(config, bits, sparsity, key):
     import jax
     import jax.numpy as jnp
 
-    from squeezellm_tpu.models import common as mcommon
     from squeezellm_tpu.models import llama
     from squeezellm_tpu.models.common import LinearSpec
     from squeezellm_tpu.ops.quant_linear import QuantLinearSpec, make_random_params
@@ -71,87 +74,133 @@ def _build_quantized_llama(config, bits, sparsity, key):
     return specs, params
 
 
+def _flagship_config(on_tpu):
+    from squeezellm_tpu.models import llama
+
+    if on_tpu:
+        return llama.LlamaConfig(max_seq=2048), int(os.environ.get("BENCH_TOKENS", "64"))
+    # CPU smoke fallback: scaled-down model, same code path
+    return llama.LlamaConfig(
+        vocab_size=1024, hidden_size=512, intermediate_size=1376,
+        n_layers=4, n_heads=8, n_kv_heads=8, max_seq=256,
+    ), 8
+
+
 def _decode_tok_s(engine, n_tokens, vocab):
     ids = (np.arange(n_tokens, dtype=np.int32)[None] * 7919) % vocab
     stats = engine.benchmark(ids, check=False, warmup=3)
     return stats["tokens_per_s"], stats
 
 
-def main():
+def _roofline_baseline_tok_s(config):
+    """bf16 memory-roofline decode estimate: measured bf16 GEMV stream rate
+    over the model's total weight bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    k = jax.random.PRNGKey(1)
+    w = jax.random.normal(k, (config.hidden_size, config.intermediate_size),
+                          jnp.bfloat16)
+    x = jax.random.normal(k, (1, config.hidden_size), jnp.bfloat16)
+    f = jax.jit(lambda a, b: a @ b)
+    f(x, w).block_until_ready()
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(50):
+        r = f(x, w)
+    r.block_until_ready()
+    bw = w.size * 2 * 50 / (time.perf_counter() - t0)
+    shapes = config.linear_shapes()
+    layer_bytes = sum(o * i * 2 for o, i in shapes.values())
+    total = layer_bytes * config.n_layers + (
+        config.vocab_size * config.hidden_size * 2
+    )
+    return bw / total
+
+
+def _phase_quant():
+    import jax
+    import jax.numpy as jnp
+
+    from squeezellm_tpu import engine as engine_mod
+
+    on_tpu = jax.default_backend() == "tpu"
+    config, n_tokens = _flagship_config(on_tpu)
+    roofline = _roofline_baseline_tok_s(config)
+    specs, params = _build_quantized_llama(
+        config, bits=4, sparsity=0.0045, key=jax.random.PRNGKey(0)
+    )
+    eng = engine_mod.Engine("llama", config, specs, params,
+                            backend="pallas" if on_tpu else "xla",
+                            cache_dtype=jnp.bfloat16)
+    tok_s, _ = _decode_tok_s(eng, n_tokens, config.vocab_size)
+    print(json.dumps({"tok_s": tok_s, "roofline_baseline_tok_s": roofline,
+                      "on_tpu": on_tpu}))
+
+
+def _phase_baseline():
     import jax
     import jax.numpy as jnp
 
     from squeezellm_tpu import engine as engine_mod
     from squeezellm_tpu.models import llama
 
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
-
-    if on_tpu:
-        config = llama.LlamaConfig(max_seq=2048)  # llama-2-7b shapes
-        n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
-    else:
-        # CPU smoke fallback: scaled-down model, same code path
-        config = llama.LlamaConfig(
-            vocab_size=1024, hidden_size=512, intermediate_size=1376,
-            n_layers=4, n_heads=8, n_kv_heads=8, max_seq=256,
-        )
-        n_tokens = 8
-
-    key = jax.random.PRNGKey(0)
-
-    # ---- fp16-equivalent baseline FIRST (bf16 7B ~13.5 GB; it and the
-    # quantized model don't fit HBM together) ----
-    baseline_tok_s = None
-    try:
-        dense_params = llama.random_dense_params(config, key, dtype=jnp.bfloat16)
-        dspecs = llama.dense_specs(config)
-        deng = engine_mod.Engine("llama", config, dspecs, dense_params,
-                                 backend="xla", dtype=jnp.bfloat16,
-                                 cache_dtype=jnp.bfloat16)
-        baseline_tok_s, _ = _decode_tok_s(deng, max(16, n_tokens // 4),
-                                          config.vocab_size)
-        del dense_params, deng
-        import gc
-
-        gc.collect()
-    except Exception as e:  # OOM etc.
-        print(f"bf16 baseline failed ({type(e).__name__}); using roofline estimate",
-              file=sys.stderr)
-        # measured bf16 stream rate on one big GEMV
-        k = jax.random.PRNGKey(1)
-        w = jax.random.normal(k, (config.hidden_size, config.intermediate_size),
-                              jnp.bfloat16)
-        x = jax.random.normal(k, (1, config.hidden_size), jnp.bfloat16)
-        f = jax.jit(lambda a, b: a @ b)
-        f(x, w).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(50):
-            r = f(x, w)
-        r.block_until_ready()
-        bw = w.size * 2 * 50 / (time.perf_counter() - t0)
-        shapes = config.linear_shapes()
-        layer_bytes = sum(o * i * 2 for o, i in shapes.values())
-        total = layer_bytes * config.n_layers + (
-            config.vocab_size * config.hidden_size * 2
-        )
-        baseline_tok_s = bw / total
-
-    specs, params = _build_quantized_llama(config, bits=4, sparsity=0.0045, key=key)
-    eng = engine_mod.Engine("llama", config, specs, params,
-                            backend="pallas" if on_tpu else "xla",
+    on_tpu = jax.default_backend() == "tpu"
+    config, n_tokens = _flagship_config(on_tpu)
+    dense_params = llama.random_dense_params(config, jax.random.PRNGKey(0),
+                                             dtype=jnp.bfloat16)
+    dspecs = llama.dense_specs(config)
+    eng = engine_mod.Engine("llama", config, dspecs, dense_params,
+                            backend="xla", dtype=jnp.bfloat16,
                             cache_dtype=jnp.bfloat16)
-    tok_s, stats = _decode_tok_s(eng, n_tokens, config.vocab_size)
+    tok_s, _ = _decode_tok_s(eng, max(16, n_tokens // 4), config.vocab_size)
+    print(json.dumps({"tok_s": tok_s}))
 
+
+def _run_phase(name, timeout_s):
+    env = dict(os.environ, BENCH_PHASE=name)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"phase {name} timed out", file=sys.stderr)
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    print(f"phase {name} failed:\n{out.stderr[-2000:]}", file=sys.stderr)
+    return None
+
+
+def main():
+    phase = os.environ.get("BENCH_PHASE")
+    if phase == "quant":
+        return _phase_quant()
+    if phase == "baseline":
+        return _phase_baseline()
+
+    quant = _run_phase("quant", timeout_s=900)
+    if quant is None:
+        print(json.dumps({"metric": "llama2_7b_w4s45_decode_tok_s",
+                          "value": None, "unit": "tokens/s",
+                          "vs_baseline": None}))
+        return 1
+    baseline = _run_phase("baseline", timeout_s=600)
+    base_tok_s = baseline["tok_s"] if baseline else quant["roofline_baseline_tok_s"]
     result = {
-        "metric": "llama2_7b_w4s45_decode_tok_s" if on_tpu
+        "metric": "llama2_7b_w4s45_decode_tok_s" if quant["on_tpu"]
         else "llama_small_w4s45_decode_tok_s_cpu",
-        "value": round(tok_s, 2),
+        "value": round(quant["tok_s"], 2),
         "unit": "tokens/s",
-        "vs_baseline": round(tok_s / baseline_tok_s, 3) if baseline_tok_s else None,
+        "vs_baseline": round(quant["tok_s"] / base_tok_s, 3) if base_tok_s else None,
     }
     print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -161,9 +161,13 @@ def from_torch_state_dict(config: LlamaConfig, sd, dtype=jnp.float32) -> dict:
 
 
 def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
-                backend="auto"):
+                backend="auto", axis_name=None):
     b, s, h = x.shape
-    hd, nh, nkv = config.head_dim, config.n_heads, config.n_kv_heads
+    # head counts derive from the (possibly TP-sharded) linear specs, not the
+    # config: under shard_map each device owns n_heads/tp local heads.
+    hd = config.head_dim
+    nh = specs["q"].out_features // hd
+    nkv = specs["k"].out_features // hd
     q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
     k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
     v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
@@ -188,48 +192,66 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
     v = common.repeat_kv(v, n_rep)
     out = common.attention(q, k, v, mask)
     out = out.reshape(b, s, nh * hd)
+    # o-proj is row-parallel under TP: partial products reduce over the axis
     out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
     return out, cache
 
 
-def _mlp_block(specs, params, x, backend="auto"):
+def _mlp_block(specs, params, x, backend="auto", axis_name=None):
     gate = common.apply_linear(specs["gate"], params["gate"], x, backend=backend)
     up = common.apply_linear(specs["up"], params["up"], x, backend=backend)
-    return common.apply_linear(
+    y = common.apply_linear(
         specs["down"], params["down"], jax.nn.silu(gate) * up, backend=backend
     )
+    if axis_name is not None:
+        y = jax.lax.psum(y, axis_name)  # down-proj is row-parallel
+    return y
 
 
 def _layer(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
-           backend="auto"):
+           backend="auto", axis_name=None):
     h = common.rms_norm(x, params["input_norm"], config.rms_eps)
     attn_out, cache = _attn_block(
-        config, specs, params, h, cos, sin, mask, cache, pos, backend
+        config, specs, params, h, cos, sin, mask, cache, pos, backend, axis_name
     )
     x = x + attn_out
     h = common.rms_norm(x, params["post_norm"], config.rms_eps)
-    x = x + _mlp_block(specs, params, h, backend)
+    x = x + _mlp_block(specs, params, h, backend, axis_name)
     return x, cache
 
 
+def _lm_head(specs, params, x, backend, axis_name):
+    logits = common.apply_linear(specs["lm_head"], params["lm_head"], x,
+                                 backend=backend)
+    if axis_name is not None:
+        # vocab-sharded (column-parallel) head: gather the full logit row
+        logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
+    return logits.astype(jnp.float32)
+
+
 def forward(config: LlamaConfig, specs, params, tokens, *, backend="auto",
-            dtype=jnp.float32):
-    """Full-sequence causal forward -> logits (B, S, V). The eval path."""
+            dtype=jnp.float32, axis_name=None):
+    """Full-sequence causal forward -> logits (B, S, V). The eval path.
+
+    axis_name: mesh axis for explicit Megatron-style TP under shard_map
+    (specs/params must be the per-device locals from parallel.tp_shard_map).
+    """
     b, s = tokens.shape
     x = params["embed"][tokens].astype(dtype)
     positions = jnp.arange(s)
     cos, sin = common.rope_cos_sin(positions, config.head_dim, config.rope_theta, dtype)
     mask = common.causal_mask(s, s, sliding_window=config.sliding_window)
     for spec_d, param_d in zip(specs["layers"], params["layers"]):
-        x, _ = _layer(config, spec_d, param_d, x, cos, sin, mask, backend=backend)
+        x, _ = _layer(config, spec_d, param_d, x, cos, sin, mask,
+                      backend=backend, axis_name=axis_name)
     x = common.rms_norm(x, params["final_norm"], config.rms_eps)
-    return common.apply_linear(
-        specs["lm_head"], params["lm_head"], x, backend=backend
-    ).astype(jnp.float32)
+    return _lm_head(specs, params, x, backend, axis_name)
 
 
 def prefill(config: LlamaConfig, specs, params, tokens, cache, *,
-            backend="auto", dtype=jnp.float32):
+            backend="auto", dtype=jnp.float32, axis_name=None):
     """Process the prompt, fill the KV cache; returns (last-token logits, cache)."""
     b, s = tokens.shape
     x = params["embed"][tokens].astype(dtype)
@@ -240,16 +262,15 @@ def prefill(config: LlamaConfig, specs, params, tokens, cache, *,
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
         x, lc = _layer(config, spec_d, param_d, x, cos, sin, mask,
-                       cache=layer_cache, pos=0, backend=backend)
+                       cache=layer_cache, pos=0, backend=backend,
+                       axis_name=axis_name)
         new_cache.append(lc)
     x = common.rms_norm(x[:, -1:], params["final_norm"], config.rms_eps)
-    logits = common.apply_linear(specs["lm_head"], params["lm_head"], x,
-                                 backend=backend)
-    return logits.astype(jnp.float32), new_cache
+    return _lm_head(specs, params, x, backend, axis_name), new_cache
 
 
 def decode_step(config: LlamaConfig, specs, params, token, pos, cache, *,
-                backend="auto", dtype=jnp.float32):
+                backend="auto", dtype=jnp.float32, axis_name=None):
     """One decode step. token: (B, 1) int32; pos: scalar int32 (0-based
     position of this token). Returns (logits (B, 1, V), cache)."""
     x = params["embed"][token].astype(dtype)
@@ -260,9 +281,8 @@ def decode_step(config: LlamaConfig, specs, params, token, pos, cache, *,
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
         x, lc = _layer(config, spec_d, param_d, x, cos, sin, mask,
-                       cache=layer_cache, pos=pos, backend=backend)
+                       cache=layer_cache, pos=pos, backend=backend,
+                       axis_name=axis_name)
         new_cache.append(lc)
     x = common.rms_norm(x, params["final_norm"], config.rms_eps)
-    logits = common.apply_linear(specs["lm_head"], params["lm_head"], x,
-                                 backend=backend)
-    return logits.astype(jnp.float32), new_cache
+    return _lm_head(specs, params, x, backend, axis_name), new_cache

@@ -161,9 +161,11 @@ def from_torch_state_dict(config: OPTConfig, sd, dtype=jnp.float32) -> dict:
 
 
 def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
-                backend="auto"):
+                backend="auto", axis_name=None):
     b, s, h = x.shape
-    hd, nh = config.head_dim, config.n_heads
+    # local head count from the (possibly TP-sharded) q spec
+    hd = config.head_dim
+    nh = specs["q"].out_features // hd
     q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
     k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
     v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
@@ -181,22 +183,36 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
         k, v = ck.astype(x.dtype), cv.astype(x.dtype)
 
     out = common.attention(q, k, v, mask)
-    out = out.reshape(b, s, h)
+    out = out.reshape(b, s, nh * hd)
     out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)  # row-parallel o-proj
     return out, cache
 
 
-def _layer(config, specs, params, x, mask, cache=None, pos=None, backend="auto"):
+def _layer(config, specs, params, x, mask, cache=None, pos=None, backend="auto",
+           axis_name=None):
     h = common.layer_norm(x, params["attn_norm"]["w"], params["attn_norm"]["b"],
                           config.ln_eps)
-    attn_out, cache = _attn_block(config, specs, params, h, mask, cache, pos, backend)
+    attn_out, cache = _attn_block(config, specs, params, h, mask, cache, pos,
+                                  backend, axis_name)
     x = x + attn_out
     h = common.layer_norm(x, params["ffn_norm"]["w"], params["ffn_norm"]["b"],
                           config.ln_eps)
     h = common.apply_linear(specs["up"], params["up"], h, backend=backend)
     h = jax.nn.relu(h)
     h = common.apply_linear(specs["down"], params["down"], h, backend=backend)
+    if axis_name is not None:
+        h = jax.lax.psum(h, axis_name)  # row-parallel down-proj
     return x + h, cache
+
+
+def _lm_head(specs, params, x, backend, axis_name):
+    logits = common.apply_linear(specs["lm_head"], params["lm_head"], x,
+                                 backend=backend)
+    if axis_name is not None:
+        logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
+    return logits.astype(jnp.float32)
 
 
 def _embed(config, params, tokens, pos_start, dtype):
@@ -207,21 +223,20 @@ def _embed(config, params, tokens, pos_start, dtype):
 
 
 def forward(config: OPTConfig, specs, params, tokens, *, backend="auto",
-            dtype=jnp.float32):
+            dtype=jnp.float32, axis_name=None):
     b, s = tokens.shape
     x = _embed(config, params, tokens, 0, dtype)
     mask = common.causal_mask(s, s)
     for spec_d, param_d in zip(specs["layers"], params["layers"]):
-        x, _ = _layer(config, spec_d, param_d, x, mask, backend=backend)
+        x, _ = _layer(config, spec_d, param_d, x, mask, backend=backend,
+                      axis_name=axis_name)
     x = common.layer_norm(x, params["final_norm"]["w"], params["final_norm"]["b"],
                           config.ln_eps)
-    return common.apply_linear(
-        specs["lm_head"], params["lm_head"], x, backend=backend
-    ).astype(jnp.float32)
+    return _lm_head(specs, params, x, backend, axis_name)
 
 
 def prefill(config: OPTConfig, specs, params, tokens, cache, *, backend="auto",
-            dtype=jnp.float32):
+            dtype=jnp.float32, axis_name=None):
     b, s = tokens.shape
     x = _embed(config, params, tokens, 0, dtype)
     max_seq = cache[0]["k"].shape[1]
@@ -229,17 +244,15 @@ def prefill(config: OPTConfig, specs, params, tokens, cache, *, backend="auto",
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
         x, lc = _layer(config, spec_d, param_d, x, mask, cache=layer_cache,
-                       pos=0, backend=backend)
+                       pos=0, backend=backend, axis_name=axis_name)
         new_cache.append(lc)
     x = common.layer_norm(x[:, -1:], params["final_norm"]["w"],
                           params["final_norm"]["b"], config.ln_eps)
-    logits = common.apply_linear(specs["lm_head"], params["lm_head"], x,
-                                 backend=backend)
-    return logits.astype(jnp.float32), new_cache
+    return _lm_head(specs, params, x, backend, axis_name), new_cache
 
 
 def decode_step(config: OPTConfig, specs, params, token, pos, cache, *,
-                backend="auto", dtype=jnp.float32):
+                backend="auto", dtype=jnp.float32, axis_name=None):
     x = params["embed"][token].astype(dtype)
     x = x + params["embed_pos"][pos + _POS_OFFSET][None, None].astype(dtype)
     max_seq = cache[0]["k"].shape[1]
@@ -247,10 +260,8 @@ def decode_step(config: OPTConfig, specs, params, token, pos, cache, *,
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
         x, lc = _layer(config, spec_d, param_d, x, mask, cache=layer_cache,
-                       pos=pos, backend=backend)
+                       pos=pos, backend=backend, axis_name=axis_name)
         new_cache.append(lc)
     x = common.layer_norm(x, params["final_norm"]["w"], params["final_norm"]["b"],
                           config.ln_eps)
-    logits = common.apply_linear(specs["lm_head"], params["lm_head"], x,
-                                 backend=backend)
-    return logits.astype(jnp.float32), new_cache
+    return _lm_head(specs, params, x, backend, axis_name), new_cache
