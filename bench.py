@@ -28,14 +28,42 @@ import numpy as np
 
 
 def _build_quantized_llama(config, bits, sparsity, key):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from squeezellm_tpu.models import llama
     from squeezellm_tpu.models.common import LinearSpec
+    from squeezellm_tpu.ops import butterfly
     from squeezellm_tpu.ops.quant_linear import QuantLinearSpec, make_random_params
 
     shapes = config.linear_shapes()
+
+    # one butterfly plan per distinct (out, in) shape, shared by all layers:
+    # the single-core host can't afford 224 greedy assignments, and for a
+    # synthetic benchmark the pattern is representative either way. Sharing
+    # the same device arrays also keeps the HBM cost at one plan per shape.
+    plan_cache = {}
+
+    def sparse_arrays(o, i, nnz_pad):
+        if (o, i) not in plan_cache:
+            rng = np.random.default_rng(o * 131 + i)
+            rows = np.sort(rng.integers(0, o, nnz_pad)).astype(np.int32)
+            cols = rng.integers(0, i, nnz_pad).astype(np.int32)
+            vals = (rng.standard_normal(nnz_pad) * 0.08).astype(np.float32)
+            plan = butterfly.build_plan(rows, cols, vals, o, i)
+            plan_cache[(o, i)] = {
+                "sp_rows": jnp.asarray(rows),
+                "sp_cols": jnp.asarray(cols),
+                "sp_vals": jnp.asarray(vals),
+                "bf_chi": jnp.asarray(plan.chi),
+                "bf_vals": jnp.asarray(plan.vals),
+                "bf_route": jnp.asarray(plan.route),
+                "_plan": plan,
+            }
+        return plan_cache[(o, i)]
+
     spec_layers = []
     param_layers = []
     for li in range(config.n_layers):
@@ -52,6 +80,15 @@ def _build_quantized_llama(config, bits, sparsity, key):
                                     nnz_pad=nnz_pad)
             key, sub = jax.random.split(key)
             param_d[name] = make_random_params(sub, qspec)
+            if nnz_pad:
+                sa = sparse_arrays(o, i, nnz_pad)
+                plan = sa["_plan"]
+                param_d[name].update(
+                    {k: v for k, v in sa.items() if k != "_plan"}
+                )
+                qspec = dataclasses.replace(
+                    qspec, bf_rows=plan.n_rows, bf_oh=plan.oh, bf_ih=plan.ih
+                )
             spec_d[name] = LinearSpec(in_features=i, out_features=o, quant=qspec)
         spec_layers.append(spec_d)
         param_layers.append(param_d)

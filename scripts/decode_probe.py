@@ -1,0 +1,90 @@
+"""True on-device decode-step cost at 7B scale, tunnel-proof.
+
+Wraps N decode steps in one lax.scan (single dispatch, one fetch), so the
+axon tunnel's ~29ms RTT and ~0.27ms/enqueue host costs don't pollute the
+measurement. Reports ms/token for each variant:
+
+  PYTHONPATH=.:/root/.axon_site python -u scripts/decode_probe.py \
+      [--variants pallas-s45 pallas-s0 xla-s0 bf16] [--steps 32]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build(variant):
+    from bench import _build_quantized_llama
+    from squeezellm_tpu.models import llama
+
+    config = llama.LlamaConfig(max_seq=2048)
+    if variant == "bf16":
+        params = llama.random_dense_params(config, jax.random.PRNGKey(0),
+                                           dtype=jnp.bfloat16)
+        specs = llama.dense_specs(config)
+        backend, dtype = "xla", jnp.bfloat16
+    else:
+        backend = "pallas" if variant.startswith("pallas") else "xla"
+        sparsity = 0.0045 if variant.endswith("s45") else 0.0
+        specs, params = _build_quantized_llama(
+            config, bits=4, sparsity=sparsity, key=jax.random.PRNGKey(0)
+        )
+        dtype = jnp.float32
+    return config, specs, params, backend, dtype
+
+
+def probe(variant, steps):
+    from squeezellm_tpu.models import common, llama
+
+    config, specs, params, backend, dtype = build(variant)
+    cache = common.init_kv_cache(1, config.max_seq, config.n_layers,
+                                 config.n_kv_heads, config.head_dim,
+                                 jnp.bfloat16)
+
+    @jax.jit
+    def run(params, tokens, cache):
+        def step(carry, tok):
+            cache, pos = carry
+            logits, cache = llama.decode_step(
+                config, specs, params, tok, pos, cache,
+                backend=backend, dtype=dtype,
+            )
+            nxt = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+            return (cache, pos + 1), nxt[0, 0]
+
+        (cache, _), toks = jax.lax.scan(
+            step, (cache, jnp.asarray(0, jnp.int32)), tokens
+        )
+        return toks[-1]
+
+    tokens = jnp.ones((steps, 1, 1), jnp.int32)
+    t0 = time.perf_counter()
+    int(run(params, tokens, cache))
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(run(params, tokens, cache))
+        best = min(best, (time.perf_counter() - t0))
+    ms_tok = best / steps * 1e3
+    print(f"{variant:12s} compile {compile_s:6.1f}s | {ms_tok:8.2f} ms/token "
+          f"({1e3/ms_tok:6.1f} tok/s)", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", nargs="*",
+                    default=["pallas-s0", "pallas-s45", "xla-s0"])
+    ap.add_argument("--steps", type=int, default=32)
+    args = ap.parse_args()
+    print("backend:", jax.default_backend(), flush=True)
+    for v in args.variants:
+        probe(v, args.steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,26 +21,38 @@ from squeezellm_tpu.ops import pallas_ops, xla_ops
 
 
 def bench(fn, x, K=64, trials=3):
-    """fn: x -> y. Returns seconds per op."""
+    """fn: x -> y. Returns seconds per op.
 
-    @jax.jit
-    def loop(x):
-        def body(i, carry):
-            xp, s = carry
-            y = fn(xp)
-            s2 = jnp.sum(y[0].astype(jnp.float32)) * 1e-30
-            return ((x * (1.0 + s2)).astype(x.dtype), s + s2)
+    The axon tunnel costs ~29ms per dispatch+fetch, so a single timed loop
+    of K iterations measures overhead/K, not the op. Instead time loops of
+    K and 2K iterations and report (T(2K) - T(K)) / K — the fixed dispatch,
+    fetch and warm-up costs cancel exactly."""
 
-        _, s = jax.lax.fori_loop(0, K, body, (x, jnp.float32(0)))
-        return s
+    def make_loop(n):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(x, n):
+            def body(i, carry):
+                xp, s = carry
+                y = fn(xp)
+                s2 = jnp.sum(y[0].astype(jnp.float32)) * 1e-30
+                return ((x * (1.0 + s2)).astype(x.dtype), s + s2)
 
-    float(loop(x))  # compile + warm
+            _, s = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+            return s
+
+        return lambda x: loop(x, n)
+
+    lk, l2k = make_loop(K), make_loop(2 * K)
+    float(lk(x)), float(l2k(x))  # compile + warm
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        float(loop(x))
-        best = min(best, (time.perf_counter() - t0) / K)
-    return best
+        float(lk(x))
+        t1 = time.perf_counter()
+        float(l2k(x))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / K)
+    return max(best, 1e-9)
 
 
 def main():

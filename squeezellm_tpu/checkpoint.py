@@ -70,7 +70,8 @@ def save_quantized(path: str, model_type: str, config, specs, params) -> None:
             if spec.is_quant:
                 q = spec.quant
                 meta.update(
-                    quant=True, bits=q.bits, nnz_pad=q.nnz_pad, topx=q.topx
+                    quant=True, bits=q.bits, nnz_pad=q.nnz_pad, topx=q.topx,
+                    bf_rows=q.bf_rows, bf_oh=q.bf_oh, bf_ih=q.bf_ih,
                 )
             else:
                 meta["quant"] = False
@@ -130,7 +131,8 @@ def load_quantized(path: str, to_device: bool = True) -> Tuple[str, Any, Any, An
                 qspec = QuantLinearSpec(
                     bits=meta["bits"], in_features=i, out_features=o,
                     has_bias=meta["has_bias"], nnz_pad=meta["nnz_pad"],
-                    topx=meta["topx"],
+                    topx=meta["topx"], bf_rows=meta.get("bf_rows", 0),
+                    bf_oh=meta.get("bf_oh", 0), bf_ih=meta.get("bf_ih", 0),
                 )
                 spec_d[name] = LinearSpec(
                     in_features=i, out_features=o, has_bias=meta["has_bias"],

@@ -99,6 +99,20 @@ def _dequant_plane_gather(codes, lut_t_ref, bits):
     return jnp.concatenate(chunks, axis=0)
 
 
+def _dequant_plane_gather16(codes, lut_t_ref, bits):
+    """bf16 single-gather dequant: the (2**bits, O) table is bf16, so a
+    16-entry table fits ONE 16-sublane bf16 vreg and the whole lookup is a
+    single tpu.dynamic_gather per 8-row code chunk — ~3 VPU ops/element vs
+    ~6 for the two-gather f32 path. Table values are rounded to bf16."""
+    w_blk = codes.shape[0]
+    idx = (codes & jnp.uint32(2**bits - 1)).astype(jnp.int32)
+    tab = lut_t_ref[0 : 2**bits, :]
+    chunks = []
+    for c in range(0, w_blk, 8):
+        chunks.append(jnp.take_along_axis(tab, idx[c : c + 8, :], axis=0))
+    return jnp.concatenate(chunks, axis=0)
+
+
 def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
                        mode: str, b_blk: int, precision):
     """One (batch-block, out-block, in-block) grid step.
@@ -123,18 +137,133 @@ def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
     acc = out_ref[:]
     for j in range(cpw):
         codes = (words >> jnp.uint32(bits * j)) & jnp.uint32(2**bits - 1)
-        if mode == "gather":
+        if mode == "bf16":
+            wj = _dequant_plane_gather16(codes, lut_ref, bits)
+        elif mode == "gather":
             wj = _dequant_plane_gather(codes, lut_ref, bits)
         else:
             wj = _dequant_plane_select(codes, lut_ref, bits)
         # precision=HIGHEST: the MXU truncates f32 operands to bf16 at
         # default precision — silently wrong vs the f32 reference numerics.
+        # (bf16 mode feeds the MXU native bf16: one pass, exact for bf16.)
         acc = acc + jnp.dot(
             x_ref[j * b_blk : (j + 1) * b_blk, :], wj,
             preferred_element_type=jnp.float32,
-            precision=precision,
+            precision=None if mode == "bf16" else precision,
         )
     out_ref[:] = acc
+
+
+# ---------------------------------------------------------------------------
+# Butterfly-routed sparse matvec (see ops/butterfly.py for the offline
+# planner). Replaces the XLA scatter-add path for decode: gathers x within
+# lanes (8-sublane dynamic_gather chain), routes values across lanes with 7
+# static roll-by-2^j rounds under precomputed take/keep masks, and slab-sums
+# into y. Replaces the reference's atomicAdd CSR SpMV
+# (quant_cuda_kernel.cu:1040-1089) with deterministic vector ops.
+# ---------------------------------------------------------------------------
+
+
+def _butterfly_kernel(x_ref, chi_ref, vals_ref, route_ref, out_ref, *,
+                      ih: int, oh: int, r_blk: int):
+    """One slab-group grid step.
+
+    x_ref:     (ih, 128) f32 — x2d, same block every step
+    chi_ref:   (r_blk, 128) int32 — source sublane rows
+    vals_ref:  (r_blk, 128) f32
+    route_ref: (r_blk, 128) int32 — packed take/keep bits per round
+    out_ref:   (oh, 128) f32 — accumulated across steps
+    """
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x2 = x_ref[:]
+    chi = chi_ref[:]
+    # gather xv[k, l] = x2[chi[k, l], l]: chain of 8-sublane dynamic_gathers
+    chunks = []
+    for c0 in range(0, r_blk, 8):
+        idx8 = chi[c0 : c0 + 8, :]
+        lo = idx8 & 7
+        hi = idx8 >> 3
+        res = jnp.zeros((8, 128), jnp.float32)
+        for t in range(ih // 8):
+            cand = jnp.take_along_axis(x2[8 * t : 8 * (t + 1), :], lo, axis=0)
+            res = jnp.where(hi == t, cand, res)
+        chunks.append(res)
+    cur = jnp.concatenate(chunks, axis=0) * vals_ref[:]
+
+    route = route_ref[:]
+    for j in range(7):
+        rolled = pltpu.roll(cur, 1 << j, axis=1)
+        take = (route >> (2 * j + 1)) & 1
+        keep = (route >> (2 * j)) & 1
+        cur = jnp.where(take == 1, rolled,
+                        jnp.where(keep == 1, cur, 0.0))
+
+    acc = out_ref[:]
+    for m in range(r_blk // oh):
+        acc = acc + cur[m * oh : (m + 1) * oh, :]
+    out_ref[:] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("oh", "ih", "out_features", "interpret", "slab_rows"),
+)
+def butterfly_spmv(
+    x,
+    chi,
+    vals,
+    route,
+    *,
+    oh: int,
+    ih: int,
+    out_features: int,
+    interpret: bool = False,
+    slab_rows: int = 2048,
+):
+    """Sparse contribution for one vector x (in_features,) -> (out_features,).
+
+    chi/vals/route: the (R, 128) arrays of a ButterflyPlan (R % oh == 0).
+    """
+    R = chi.shape[0]
+    assert R % oh == 0, (R, oh)
+    # rows per grid step: a multiple of oh, close to slab_rows
+    u = max(1, min(R // oh, slab_rows // oh))
+    r_blk = u * oh
+    n_steps = -(-R // r_blk)
+    rp = n_steps * r_blk
+    if rp != R:
+        chi = jnp.pad(chi, ((0, rp - R), (0, 0)))
+        vals = jnp.pad(vals, ((0, rp - R), (0, 0)))
+        route = jnp.pad(route, ((0, rp - R), (0, 0)))
+
+    xf = x.reshape(-1).astype(jnp.float32)
+    x2 = jnp.zeros((ih * 128,), jnp.float32).at[: xf.shape[0]].set(xf)
+    x2 = x2.reshape(ih, 128)
+
+    out = pl.pallas_call(
+        functools.partial(_butterfly_kernel, ih=ih, oh=oh, r_blk=r_blk),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((ih, 128), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 128), lambda s: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 128), lambda s: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 128), lambda s: (s, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((oh, 128), lambda s: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((oh, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x2, chi, vals, route)
+
+    return out.reshape(-1)[:out_features]
 
 
 @functools.partial(
@@ -189,9 +318,18 @@ def lut_matmul(
     qw = jnp.pad(qweight, ((0, wp - nw), (0, op - out_features)))
     lutp = jnp.pad(lut.astype(jnp.float32), ((0, op - out_features), (0, 0)))
 
-    if mode == "gather" and bits > 4:
-        mode = "select"  # >8-entry-per-vreg tables can't hardware-gather
-    if mode == "gather":
+    if mode in ("gather", "bf16") and bits > 4:
+        mode = "select"  # >16-entry tables can't hardware-gather
+    if mode == "bf16":
+        # bf16 transposed table: 16 sublanes = one bf16 vreg, single gather
+        k_rows = max(16, 2**bits)
+        lut_in = jnp.pad(
+            lutp.T.astype(jnp.bfloat16), ((0, k_rows - 2**bits), (0, 0))
+        )
+        lut_spec = pl.BlockSpec(
+            (k_rows, o_blk), lambda b, o, i: (0, o), memory_space=pltpu.VMEM
+        )
+    elif mode == "gather":
         # transposed table, rows padded to the 8-sublane vreg height
         k_rows = max(8, 2**bits)
         lut_in = jnp.pad(lutp.T, ((0, k_rows - 2**bits), (0, 0)))
@@ -203,6 +341,9 @@ def lut_matmul(
         lut_spec = pl.BlockSpec(
             (o_blk, 2**bits), lambda b, o, i: (o, 0), memory_space=pltpu.VMEM
         )
+
+    if mode == "bf16":
+        x2 = x2.astype(jnp.bfloat16)
 
     grid = (bp // b_blk, op // o_blk, wp // w_blk)
 

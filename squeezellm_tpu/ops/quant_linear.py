@@ -35,6 +35,12 @@ class QuantLinearSpec:
     has_bias: bool = False
     nnz_pad: int = 0  # 0 => no sparse sidecar
     topx: int = 0  # 0 => no hybrid dense channels
+    # butterfly-routed SpMV plan shape (ops/butterfly.py); 0 => no plan.
+    # When present, params also carry bf_chi/bf_vals/bf_route (bf_rows, 128)
+    # and the TPU decode path uses them instead of the COO scatter.
+    bf_rows: int = 0
+    bf_oh: int = 0
+    bf_ih: int = 0
 
     @property
     def include_sparse(self) -> bool:
@@ -72,10 +78,28 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
         y = xla_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
 
     if spec.include_sparse:
-        y = y + xla_ops.sparse_matmul(
-            x, params["sp_rows"], params["sp_cols"], params["sp_vals"],
-            spec.out_features,
-        )
+        flat_b = int(np.prod(x.shape[:-1]))
+        if spec.bf_rows > 0 and backend == "pallas" and flat_b <= 4:
+            # butterfly-routed SpMV: ~100-1000x faster than the XLA
+            # scatter on TPU at decode batch sizes
+            from squeezellm_tpu.ops import pallas_ops
+
+            interpret = jax.default_backend() != "tpu"
+            xf = x.reshape(flat_b, spec.in_features)
+            rows = [
+                pallas_ops.butterfly_spmv(
+                    xf[b], params["bf_chi"], params["bf_vals"],
+                    params["bf_route"], oh=spec.bf_oh, ih=spec.bf_ih,
+                    out_features=spec.out_features, interpret=interpret,
+                )
+                for b in range(flat_b)
+            ]
+            y = y + jnp.stack(rows).reshape(*x.shape[:-1], spec.out_features)
+        else:
+            y = y + xla_ops.sparse_matmul(
+                x, params["sp_rows"], params["sp_cols"], params["sp_vals"],
+                spec.out_features,
+            )
     if spec.topx > 0:
         y = y + xla_ops.hybrid_matmul(
             x, params["topx_weights"], params["topx_indices"], spec.out_features
@@ -101,6 +125,7 @@ def pack_linear(
     nnz_pad_multiple: int = 512,
     topx_weights: Optional[np.ndarray] = None,
     topx_indices: Optional[np.ndarray] = None,
+    build_butterfly: bool = False,
 ):
     """Pack one linear layer into (spec, params-as-numpy).
 
@@ -154,6 +179,10 @@ def pack_linear(
         nnz_pad=nnz_pad,
         topx=topx,
     )
+    if build_butterfly and nnz_pad:
+        from squeezellm_tpu.ops import butterfly
+
+        spec, params = butterfly.attach_plan(spec, params)
     return spec, params
 
 

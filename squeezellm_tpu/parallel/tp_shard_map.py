@@ -222,12 +222,15 @@ def shard_linear(
             new_p["bias"] = (b / tp).astype(b.dtype)
             pspecs["bias"] = _repl_spec(b)
 
+    # butterfly plans are built per full matrix; drop them here (per-shard
+    # plans can be re-attached with butterfly.prepare_model on the locals)
     q_local = dataclasses.replace(
         q,
         in_features=in_l,
         out_features=out_l,
         nnz_pad=nnz_max,
         topx=topx_l,
+        bf_rows=0, bf_oh=0, bf_ih=0,
     )
     local = dataclasses.replace(
         lspec, in_features=in_l, out_features=out_l, quant=q_local

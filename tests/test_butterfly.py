@@ -1,0 +1,109 @@
+"""Butterfly-routed SpMV: offline planner + Pallas kernel (interpret) +
+quant_linear integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from squeezellm_tpu.ops import butterfly, pallas_ops
+from squeezellm_tpu.ops.quant_linear import pack_linear, quant_linear_apply
+
+
+@pytest.mark.parametrize("o,i,frac", [(300, 500, 0.0045), (128, 128, 0.02),
+                                      (64, 64, 0.3), (1000, 260, 0.001)])
+def test_plan_numpy_oracle(o, i, frac):
+    rng = np.random.default_rng(0)
+    nnz = max(1, int(o * i * frac))
+    r = rng.integers(0, o, nnz)
+    c = rng.integers(0, i, nnz)
+    v = rng.standard_normal(nnz).astype(np.float32)
+    plan = butterfly.build_plan(r, c, v, o, i)
+    x = rng.standard_normal(i).astype(np.float32)
+    dense = np.zeros((o, i), np.float32)
+    np.add.at(dense, (r, c), v)
+    np.testing.assert_allclose(butterfly.reference_apply(plan, x), dense @ x,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_interpret_matches_dense():
+    rng = np.random.default_rng(1)
+    o, i, nnz = 4096, 1024, 18874
+    r = rng.integers(0, o, nnz)
+    c = rng.integers(0, i, nnz)
+    v = rng.standard_normal(nnz).astype(np.float32)
+    plan = butterfly.build_plan(r, c, v, o, i)
+    x = rng.standard_normal(i).astype(np.float32)
+    y = pallas_ops.butterfly_spmv(
+        jnp.asarray(x), jnp.asarray(plan.chi), jnp.asarray(plan.vals),
+        jnp.asarray(plan.route), oh=plan.oh, ih=plan.ih, out_features=o,
+        interpret=True,
+    )
+    dense = np.zeros((o, i), np.float32)
+    np.add.at(dense, (r, c), v)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_quant_linear_butterfly_path_matches_xla():
+    """pack_linear(build_butterfly) + pallas backend == xla COO path."""
+    rng = np.random.default_rng(2)
+    o, i = 256, 384
+    w = rng.standard_normal((o, i)).astype(np.float32) * 0.1
+    lut = np.sort(rng.standard_normal((o, 16)).astype(np.float32) * 0.1, axis=1)
+    outliers = np.zeros((o, i), np.float32)
+    mask = rng.random((o, i)) < 0.01
+    outliers[mask] = rng.standard_normal(mask.sum()).astype(np.float32)
+    w[mask] = 0.0
+
+    spec, params = pack_linear(w, lut, bits=4, outliers=outliers,
+                               nnz_pad_multiple=64, build_butterfly=True)
+    assert spec.bf_rows > 0
+    jp = jax.tree.map(jnp.asarray, params)
+    x = jnp.asarray(rng.standard_normal((1, 1, i)).astype(np.float32))
+    y_xla = quant_linear_apply(spec, jp, x, backend="xla")
+    y_bf = quant_linear_apply(spec, jp, x, backend="pallas")
+    np.testing.assert_allclose(np.asarray(y_bf), np.asarray(y_xla),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_prepare_model_attaches_plans():
+    from squeezellm_tpu.models import llama
+    from squeezellm_tpu.quantize import pipeline
+
+    config = llama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        n_layers=2, n_heads=4, n_kv_heads=4, max_seq=32,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(0))
+    grads = [
+        {n: np.random.default_rng(li).random(
+            np.asarray(lp[n]["w"]).shape).astype(np.float32)
+         for n in llama.MODULE_NAMES}
+        for li, lp in enumerate(dense["layers"])
+    ]
+    specs, params = pipeline.quantize_model(
+        "llama", config, dense, bits=4, gradients_per_layer=grads,
+        sensitivity=0.02, nnz_pad_multiple=16, build_butterfly=False,
+    )
+    q0 = specs["layers"][0]["q"].quant
+    assert q0.nnz_pad > 0 and q0.bf_rows == 0
+    specs2, params2 = butterfly.prepare_model(
+        specs, params, llama.MODULE_NAMES, processes=1
+    )
+    q0b = specs2["layers"][0]["q"].quant
+    assert q0b.bf_rows > 0
+    assert "bf_chi" in params2["layers"][0]["q"]
+    # decode equivalence xla vs pallas(butterfly) on the whole model
+    from squeezellm_tpu.models import common
+
+    jp = jax.tree.map(jnp.asarray, params2)
+    cache = common.init_kv_cache(1, config.max_seq, config.n_layers,
+                                 config.n_kv_heads, config.head_dim)
+    tok = jnp.asarray([[3]], jnp.int32)
+    pos = jnp.asarray(0, jnp.int32)
+    y1, _ = llama.decode_step(config, specs2, jp, tok, pos, cache, backend="xla")
+    y2, _ = llama.decode_step(config, specs2, jp, tok, pos, cache,
+                              backend="pallas")
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=2e-3,
+                               atol=2e-4)
