@@ -6,6 +6,10 @@ generate_outlier_config,nuq,pack}.py):
 
   quantize       dense HF ckpt (+optional grad^2 ckpt) -> quantized ckpt
                  (chunk -> outlier config -> k-means -> pack in one pass)
+  chunk          HF ckpt -> per-layer weight chunks      (= chunk_models.py)
+  outlier-config chunks -> IQR threshold json   (= generate_outlier_config.py)
+  nuq            chunks -> per-layer LUTs, resumable     (= nuq.py)
+  pack           HF ckpt + LUTs -> quantized ckpt        (= pack.py)
   convert        reference SqueezeLLM .pt ckpt -> our checkpoint format
   eval           perplexity (GPTQ protocol; == --eval)
   benchmark      per-token decode latency (== --benchmark/--check/--torch_profile)
@@ -94,6 +98,42 @@ def cmd_quantize(args):
     print(f"saved quantized checkpoint to {args.output}")
 
 
+def cmd_chunk(args):
+    from squeezellm_tpu.quantize import staged
+
+    n = staged.chunk_model(args.model, args.output, verbose=True)
+    print(f"chunked {n} layers into {args.output}")
+
+
+def cmd_outlier_config(args):
+    from squeezellm_tpu.quantize import staged
+
+    cfg = staged.make_outlier_config(args.chunks, args.range, args.output,
+                                     verbose=True)
+    print(f"measured outlier %: {cfg['outlier_threshold']} -> {args.output}")
+
+
+def cmd_nuq(args):
+    from squeezellm_tpu.quantize import staged
+
+    staged.nuq(
+        args.chunks, args.output, args.bits,
+        gradient_chunks_dir=args.gradient_chunks,
+        sensitivity=args.sensitivity,
+        outlier_config_json=args.outlier_config,
+        method=args.method, seed=args.seed, verbose=True,
+    )
+    print(f"nuq artifacts in {args.output}")
+
+
+def cmd_pack(args):
+    from squeezellm_tpu.quantize import staged
+
+    staged.pack(args.model, args.nuq, args.wbits, args.output,
+                build_butterfly=not args.no_butterfly, verbose=True)
+    print(f"packed checkpoint -> {args.output}")
+
+
 def cmd_convert(args):
     from squeezellm_tpu import convert
 
@@ -166,6 +206,38 @@ def main(argv=None):
                    choices=["auto", "native", "batched", "sklearn"])
     q.add_argument("--output", required=True)
     q.set_defaults(fn=cmd_quantize)
+
+    ch = sub.add_parser("chunk", help="split an HF ckpt into per-layer chunks")
+    ch.add_argument("--model", required=True)
+    ch.add_argument("--output", required=True)
+    ch.set_defaults(fn=cmd_chunk)
+
+    oc = sub.add_parser("outlier-config", help="IQR outlier thresholds")
+    oc.add_argument("--chunks", required=True)
+    oc.add_argument("--range", type=float, required=True,
+                    help="IQR multiplier (e.g. 1.8)")
+    oc.add_argument("--output", required=True)
+    oc.set_defaults(fn=cmd_outlier_config)
+
+    nq = sub.add_parser("nuq", help="per-layer weighted k-means (resumable)")
+    nq.add_argument("--chunks", required=True)
+    nq.add_argument("--gradient-chunks", default=None)
+    nq.add_argument("--bits", type=int, default=4, choices=[3, 4])
+    nq.add_argument("--sensitivity", type=float, default=0.0)
+    nq.add_argument("--outlier-config", default=None)
+    nq.add_argument("--method", default="auto",
+                    choices=["auto", "native", "batched", "sklearn"])
+    nq.add_argument("--seed", type=int, default=0)
+    nq.add_argument("--output", required=True)
+    nq.set_defaults(fn=cmd_nuq)
+
+    pk = sub.add_parser("pack", help="collate LUTs into a quantized ckpt")
+    pk.add_argument("--model", required=True)
+    pk.add_argument("--nuq", required=True)
+    pk.add_argument("--wbits", type=int, required=True, choices=[3, 4])
+    pk.add_argument("--no-butterfly", action="store_true")
+    pk.add_argument("--output", required=True)
+    pk.set_defaults(fn=cmd_pack)
 
     c = sub.add_parser("convert", help="convert a reference SqueezeLLM .pt")
     c.add_argument("--checkpoint", required=True)

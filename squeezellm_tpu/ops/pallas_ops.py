@@ -105,11 +105,15 @@ def _dequant_plane_gather16(codes, lut_t_ref, bits):
     single tpu.dynamic_gather per 8-row code chunk — ~3 VPU ops/element vs
     ~6 for the two-gather f32 path. Table values are rounded to bf16."""
     w_blk = codes.shape[0]
-    idx = (codes & jnp.uint32(2**bits - 1)).astype(jnp.int32)
-    tab = lut_t_ref[0 : 2**bits, :]
+    # bf16 gathers need 16-bit indices (tpu.dynamic_gather requires index
+    # and result bitwidths to match)
+    idx = (codes & jnp.uint32(2**bits - 1)).astype(jnp.int16)
+    tab = lut_t_ref[0:16, :]
+    # Mosaic's gather lowering requires idx.shape == table.shape, so chunk
+    # the codes at the bf16 vreg height (16 sublanes)
     chunks = []
-    for c in range(0, w_blk, 8):
-        chunks.append(jnp.take_along_axis(tab, idx[c : c + 8, :], axis=0))
+    for c in range(0, w_blk, 16):
+        chunks.append(jnp.take_along_axis(tab, idx[c : c + 16, :], axis=0))
     return jnp.concatenate(chunks, axis=0)
 
 
