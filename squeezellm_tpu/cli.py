@@ -98,6 +98,29 @@ def cmd_quantize(args):
     print(f"saved quantized checkpoint to {args.output}")
 
 
+def cmd_fisher(args):
+    import numpy as np
+
+    from squeezellm_tpu import data as data_mod
+    from squeezellm_tpu.quantize import gradients
+    from squeezellm_tpu.utils import hf
+
+    model_type, config, specs, params = hf.load_dense_model(args.model)
+    tokenizer = None
+    if args.dataset not in ("synthetic",) and not args.dataset.endswith(".npy"):
+        tokenizer = hf.load_tokenizer(args.model)
+    calib, _ = data_mod.get_loaders(
+        args.dataset, nsamples=args.nsamples, seed=args.seed,
+        seqlen=args.seqlen, tokenizer=tokenizer, vocab_size=config.vocab_size,
+    )
+    grads = gradients.compute_fisher(
+        model_type, config, params, calib, batch_size=args.batch_size,
+        verbose=True,
+    )
+    gradients.save_gradient_chunks(grads, args.output, model_type, args.model)
+    print(f"grad^2 chunks -> {args.output}")
+
+
 def cmd_chunk(args):
     from squeezellm_tpu.quantize import staged
 
@@ -207,6 +230,18 @@ def main(argv=None):
     q.add_argument("--output", required=True)
     q.set_defaults(fn=cmd_quantize)
 
+    fi = sub.add_parser("fisher", help="compute grad^2 sensitivity chunks "
+                        "(JAX-native; replaces the external "
+                        "SqueezeLLM-gradients repo)")
+    fi.add_argument("--model", required=True)
+    fi.add_argument("--dataset", default="synthetic")
+    fi.add_argument("--nsamples", type=int, default=128)
+    fi.add_argument("--seqlen", type=int, default=2048)
+    fi.add_argument("--seed", type=int, default=0)
+    fi.add_argument("--batch-size", type=int, default=1)
+    fi.add_argument("--output", required=True)
+    fi.set_defaults(fn=cmd_fisher)
+
     ch = sub.add_parser("chunk", help="split an HF ckpt into per-layer chunks")
     ch.add_argument("--model", required=True)
     ch.add_argument("--output", required=True)
@@ -252,7 +287,7 @@ def main(argv=None):
         sp.add_argument("--seqlen", type=int, default=2048)
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--nsamples", type=int, default=128)
-        sp.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+        sp.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas", "pallas-bf16"])
 
     e = sub.add_parser("eval", help="perplexity evaluation")
     _common_eval(e)
@@ -271,7 +306,7 @@ def main(argv=None):
     g.add_argument("--prompt-tokens", required=True, help="comma-separated ids")
     g.add_argument("--max-new-tokens", type=int, default=32)
     g.add_argument("--temperature", type=float, default=0.0)
-    g.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    g.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas", "pallas-bf16"])
     g.set_defaults(fn=cmd_generate)
 
     args = p.parse_args(argv)

@@ -99,22 +99,12 @@ def _dequant_plane_gather(codes, lut_t_ref, bits):
     return jnp.concatenate(chunks, axis=0)
 
 
-def _dequant_plane_gather16(codes, lut_t_ref, bits):
-    """bf16 single-gather dequant: the (2**bits, O) table is bf16, so a
-    16-entry table fits ONE 16-sublane bf16 vreg and the whole lookup is a
-    single tpu.dynamic_gather per 8-row code chunk — ~3 VPU ops/element vs
-    ~6 for the two-gather f32 path. Table values are rounded to bf16."""
-    w_blk = codes.shape[0]
-    # bf16 gathers need 16-bit indices (tpu.dynamic_gather requires index
-    # and result bitwidths to match)
-    idx = (codes & jnp.uint32(2**bits - 1)).astype(jnp.int16)
-    tab = lut_t_ref[0:16, :]
-    # Mosaic's gather lowering requires idx.shape == table.shape, so chunk
-    # the codes at the bf16 vreg height (16 sublanes)
-    chunks = []
-    for c in range(0, w_blk, 16):
-        chunks.append(jnp.take_along_axis(tab, idx[c : c + 16, :], axis=0))
-    return jnp.concatenate(chunks, axis=0)
+# NOTE: a true bf16 single-gather dequant (16-entry bf16 table = one
+# 16-sublane vreg = one tpu.dynamic_gather) is blocked by Mosaic: gather
+# indices must match the table bitwidth, and take_along_axis canonicalizes
+# indices to int32. The bf16 mode therefore reuses the f32 two-gather
+# dequant and only downcasts the weights for a one-pass bf16 MXU dot
+# (vs 3 passes for f32 HIGHEST).
 
 
 def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
@@ -142,7 +132,7 @@ def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
     for j in range(cpw):
         codes = (words >> jnp.uint32(bits * j)) & jnp.uint32(2**bits - 1)
         if mode == "bf16":
-            wj = _dequant_plane_gather16(codes, lut_ref, bits)
+            wj = _dequant_plane_gather(codes, lut_ref, bits).astype(jnp.bfloat16)
         elif mode == "gather":
             wj = _dequant_plane_gather(codes, lut_ref, bits)
         else:
@@ -324,16 +314,7 @@ def lut_matmul(
 
     if mode in ("gather", "bf16") and bits > 4:
         mode = "select"  # >16-entry tables can't hardware-gather
-    if mode == "bf16":
-        # bf16 transposed table: 16 sublanes = one bf16 vreg, single gather
-        k_rows = max(16, 2**bits)
-        lut_in = jnp.pad(
-            lutp.T.astype(jnp.bfloat16), ((0, k_rows - 2**bits), (0, 0))
-        )
-        lut_spec = pl.BlockSpec(
-            (k_rows, o_blk), lambda b, o, i: (0, o), memory_space=pltpu.VMEM
-        )
-    elif mode == "gather":
+    if mode in ("gather", "bf16"):
         # transposed table, rows padded to the 8-sublane vreg height
         k_rows = max(8, 2**bits)
         lut_in = jnp.pad(lutp.T, ((0, k_rows - 2**bits), (0, 0)))
