@@ -167,8 +167,12 @@ def _phase_quant():
     specs, params = _build_quantized_llama(
         config, bits=4, sparsity=0.0045, key=jax.random.PRNGKey(0)
     )
+    # pallas-bf16: bf16-rounded dequant + activations (the same numeric
+    # regime as the reference's fp16 decode benchmark, README.md:139-142);
+    # the butterfly plans handle the sparse sidecar
     eng = engine_mod.Engine("llama", config, specs, params,
-                            backend="pallas" if on_tpu else "xla",
+                            backend="pallas-bf16" if on_tpu else "xla",
+                            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
                             cache_dtype=jnp.bfloat16)
     tok_s, _ = _decode_tok_s(eng, n_tokens, config.vocab_size)
     print(json.dumps({"tok_s": tok_s, "roofline_baseline_tok_s": roofline,

@@ -28,12 +28,15 @@ def build(variant):
         specs = llama.dense_specs(config)
         backend, dtype = "xla", jnp.bfloat16
     else:
-        backend = "pallas" if variant.startswith("pallas") else "xla"
-        sparsity = 0.0045 if variant.endswith("s45") else 0.0
+        # variants: {pallas,pallasbf16,xla}-s{0,45}[-bf16act]
+        base = variant.split("-")[0]
+        backend = {"pallas": "pallas", "pallasbf16": "pallas-bf16",
+                   "xla": "xla"}[base]
+        sparsity = 0.0045 if "s45" in variant else 0.0
         specs, params = _build_quantized_llama(
             config, bits=4, sparsity=sparsity, key=jax.random.PRNGKey(0)
         )
-        dtype = jnp.float32
+        dtype = jnp.bfloat16 if variant.endswith("bf16act") else jnp.float32
     return config, specs, params, backend, dtype
 
 

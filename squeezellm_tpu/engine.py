@@ -159,19 +159,55 @@ class Engine:
                 done = i + 1
                 tick = now
 
+        med = float(np.median(window_times))
         stats: Dict[str, Any] = {
             "tokens": T,
-            "median_latency_s": float(np.median(window_times)),
+            "median_latency_s": med,
             "mean_latency_s": float(np.mean(window_times)),
             "max_window_latency_s": float(np.max(window_times)),
-            "tokens_per_s": 1.0 / float(np.median(window_times)),
+            "tokens_per_s": 1.0 / med,
         }
         if check:
             stats["check_ppl"] = float(np.exp(float(nll) / (T - 1)))
         mem = _device_memory_stats()
         if mem is not None:
             stats["peak_memory_mib"] = mem
+        # memory-bandwidth roofline: decode is weight-streaming bound, so
+        # bytes(params)/token / latency vs the chip's HBM BW is the
+        # utilization metric BASELINE.md targets (>=90% of roofline)
+        pbytes = self.param_bytes()
+        stats["param_bytes"] = pbytes
+        stats["achieved_gb_s"] = pbytes / med / 1e9
+        hbm = _device_hbm_gb_s()
+        if hbm:
+            stats["hbm_roofline_util"] = round(pbytes / med / 1e9 / hbm, 4)
         return stats
+
+    def param_bytes(self) -> int:
+        leaves = jax.tree.leaves(self.params)
+        return int(sum(x.size * x.dtype.itemsize for x in leaves))
+
+
+_HBM_GB_S = {
+    # peak HBM bandwidth per chip, GB/s (public TPU specs)
+    "TPU v4": 1228.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5e": 819.0,
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,
+    "TPU v6e": 1640.0,
+}
+
+
+def _device_hbm_gb_s() -> Optional[float]:
+    try:
+        kind = jax.local_devices()[0].device_kind
+    except Exception:
+        return None
+    for k, v in _HBM_GB_S.items():
+        if kind.startswith(k):
+            return v
+    return None
 
 
 def _device_memory_stats() -> Optional[float]:

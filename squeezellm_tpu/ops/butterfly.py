@@ -83,12 +83,16 @@ def build_plan(
     out_features: int,
     in_features: int,
     slack: float = 2.0,
-    max_slack: float = 16.0,
+    max_slack: float = 512.0,
+    method: str = "auto",
 ) -> ButterflyPlan:
     """Assign every entry to a collision-free butterfly slot.
 
     Grows the slot array geometrically until all entries fit (guaranteed to
-    terminate: a row with a single entry has no conflicts)."""
+    terminate: a row with a single entry has no conflicts).
+
+    method: 'auto' (native C++ solver when built, ~20x faster) | 'native' |
+    'numpy'."""
     live = vals != 0
     rows = np.asarray(rows[live], np.int64)
     cols = np.asarray(cols[live], np.int64)
@@ -97,6 +101,20 @@ def build_plan(
 
     oh = max(8, _round_up(_round_up(out_features, LANES) // LANES, 8))
     ih = max(8, _round_up(_round_up(in_features, LANES) // LANES, 8))
+
+    if method != "numpy":
+        from squeezellm_tpu import _native
+
+        if _native.available():
+            oh_true = max(1, _round_up(out_features, LANES) // LANES)
+            chi, v, route = _native.butterfly_solve(
+                rows, cols, vals, oh, oh_true, slack, max_slack
+            )
+            return ButterflyPlan(chi=chi, vals=v, route=route, oh=oh, ih=ih,
+                                 out_features=out_features,
+                                 in_features=in_features)
+        if method == "native":
+            raise RuntimeError("native library not built (make -C csrc)")
 
     if nnz == 0:  # all-dead plan: contributes exact zeros
         return ButterflyPlan(
