@@ -131,7 +131,11 @@ def _decode_tok_s(engine, n_tokens, vocab):
 
 def _roofline_baseline_tok_s(config):
     """bf16 memory-roofline decode estimate: measured bf16 GEMV stream rate
-    over the model's total weight bytes."""
+    over the model's total weight bytes.
+
+    Timing is (T(2K) - T(K)) / K over jitted fori_loops with a host fetch
+    as the fence — block_until_ready can return at enqueue on the axon
+    tunnel and would overestimate bandwidth wildly."""
     import jax
     import jax.numpy as jnp
 
@@ -139,14 +143,33 @@ def _roofline_baseline_tok_s(config):
     w = jax.random.normal(k, (config.hidden_size, config.intermediate_size),
                           jnp.bfloat16)
     x = jax.random.normal(k, (1, config.hidden_size), jnp.bfloat16)
-    f = jax.jit(lambda a, b: a @ b)
-    f(x, w).block_until_ready()
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(50):
-        r = f(x, w)
-    r.block_until_ready()
-    bw = w.size * 2 * 50 / (time.perf_counter() - t0)
+
+    def make_loop(n):
+        @jax.jit
+        def loop(x):
+            def body(i, carry):
+                xp, s = carry
+                y = xp @ w
+                s2 = jnp.sum(y).astype(jnp.float32) * 1e-30
+                return ((x * (1.0 + s2)).astype(x.dtype), s + s2)
+
+            _, s = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+            return s
+
+        return loop
+
+    K = 256
+    lk, l2k = make_loop(K), make_loop(2 * K)
+    float(lk(x)), float(l2k(x))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(lk(x))
+        t1 = time.perf_counter()
+        float(l2k(x))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / K)
+    bw = w.size * 2 / max(best, 1e-9)
     shapes = config.linear_shapes()
     layer_bytes = sum(o * i * 2 for o, i in shapes.values())
     total = layer_bytes * config.n_layers + (

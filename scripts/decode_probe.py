@@ -28,7 +28,7 @@ def build(variant):
         specs = llama.dense_specs(config)
         backend, dtype = "xla", jnp.bfloat16
     else:
-        # variants: {pallas,pallasbf16,xla}-s{0,45}[-bf16act]
+        # variants: {pallas,pallasbf16,xla}-s{0,45}[-bf16act][-fused]
         base = variant.split("-")[0]
         backend = {"pallas": "pallas", "pallasbf16": "pallas-bf16",
                    "xla": "xla"}[base]
@@ -36,7 +36,11 @@ def build(variant):
         specs, params = _build_quantized_llama(
             config, bits=4, sparsity=sparsity, key=jax.random.PRNGKey(0)
         )
-        dtype = jnp.bfloat16 if variant.endswith("bf16act") else jnp.float32
+        if "fused" in variant:
+            from squeezellm_tpu.models import fuse
+
+            specs, params = fuse.fuse_for_decode("llama", specs, params)
+        dtype = jnp.bfloat16 if "bf16act" in variant else jnp.float32
     return config, specs, params, backend, dtype
 
 

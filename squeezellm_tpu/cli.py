@@ -185,7 +185,8 @@ def cmd_benchmark(args):
     from squeezellm_tpu import engine as engine_mod
 
     model_type, config, specs, params = _load_any(args.model)
-    eng = engine_mod.Engine(model_type, config, specs, params, backend=args.backend)
+    eng = engine_mod.Engine(model_type, config, specs, params,
+                            backend=args.backend, fuse=args.fuse)
     tokens = _eval_tokens(args, config, args.model)
     ids = tokens[:, : args.tokens]
 
@@ -206,7 +207,8 @@ def cmd_generate(args):
     from squeezellm_tpu import engine as engine_mod
 
     model_type, config, specs, params = _load_any(args.model)
-    eng = engine_mod.Engine(model_type, config, specs, params, backend=args.backend)
+    eng = engine_mod.Engine(model_type, config, specs, params,
+                            backend=args.backend, fuse=args.fuse)
     prompt = np.asarray([int(t) for t in args.prompt_tokens.split(",")], np.int32)[None]
     out = eng.generate(prompt, args.max_new_tokens, temperature=args.temperature)
     print(json.dumps({"tokens": out[0].tolist()}))
@@ -298,6 +300,8 @@ def main(argv=None):
     _common_eval(b)
     b.add_argument("--tokens", type=int, default=128)
     b.add_argument("--check", action="store_true")
+    b.add_argument("--fuse", action="store_true",
+                   help="fuse q|k|v and gate|up projections for decode")
     b.add_argument("--profile", default=None, help="write a jax profiler trace dir")
     b.set_defaults(fn=cmd_benchmark)
 
@@ -306,6 +310,7 @@ def main(argv=None):
     g.add_argument("--prompt-tokens", required=True, help="comma-separated ids")
     g.add_argument("--max-new-tokens", type=int, default=32)
     g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--fuse", action="store_true")
     g.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas", "pallas-bf16"])
     g.set_defaults(fn=cmd_generate)
 

@@ -32,8 +32,15 @@ class Engine:
     backend: str = "auto"
     dtype: Any = jnp.float32
     cache_dtype: Any = jnp.float32
+    fuse: bool = False  # fuse q|k|v and gate|up projections (models/fuse.py)
 
     def __post_init__(self):
+        if self.fuse:
+            from squeezellm_tpu.models import fuse as fuse_mod
+
+            self.specs, self.params = fuse_mod.fuse_for_decode(
+                self.model_type, self.specs, self.params
+            )
         self._mod = registry.get_model_module(self.model_type)
         mod, config, specs = self._mod, self.config, self.specs
         backend, dtype = self.backend, self.dtype

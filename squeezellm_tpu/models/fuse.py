@@ -1,0 +1,128 @@
+"""Decode-time module fusion: concatenate q|k|v and gate|up along output
+channels into single quantized linears.
+
+Batch-1 decode is launch- and lane-bound: 7 kernel calls per layer each pay
+an activation relayout and run with a modest lane dim. q,k,v (and gate,up)
+share the same input activation, so their packed weights concatenate along
+the output axis for free — 7 calls/layer become 4, and the fused lane dims
+(e.g. 4096 -> 12288, 4096 -> 22016) keep the VPU/MXU busier per call.
+
+The reference has no analogue (its CUDA GEMVs launch per-module); this is a
+TPU-side optimization applied at load time. Fused params are a pure data
+transform; sparse sidecars are re-planned for the fused matrix with the
+butterfly solver.
+
+Note: apply BEFORE sharding only on a single chip. Under tensor parallelism
+fuse the per-device locals instead (a fused column split would interleave
+q/k/v channels across shards).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from squeezellm_tpu.models.common import LinearSpec
+from squeezellm_tpu.ops.quant_linear import QuantLinearSpec
+
+_FUSE_GROUPS = {
+    "llama": [("qkv", ("q", "k", "v")), ("gateup", ("gate", "up"))],
+    "opt": [("qkv", ("q", "k", "v"))],
+}
+
+
+def _fusable(specs: Dict[str, LinearSpec], names) -> bool:
+    ls = [specs.get(n) for n in names]
+    if any(l is None or not l.is_quant for l in ls):
+        return False
+    q0 = ls[0].quant
+    return all(
+        l.quant.bits == q0.bits
+        and l.in_features == ls[0].in_features
+        and l.quant.topx == 0  # hybrid channels: keep unfused (rare path)
+        for l in ls
+    )
+
+
+def _fuse_linears(names, specs, params, build_butterfly=True):
+    """Concatenate quantized linears along the output dim."""
+    ls = [specs[n] for n in names]
+    ps = [params[n] for n in names]
+    outs = [l.out_features for l in ls]
+    offsets = np.cumsum([0] + outs)
+    bits = ls[0].quant.bits
+    in_f = ls[0].in_features
+    out_f = int(offsets[-1])
+
+    new_p = {
+        "qweight": np.concatenate(
+            [np.asarray(p["qweight"]) for p in ps], axis=1
+        ),
+        "lut": np.concatenate([np.asarray(p["lut"]) for p in ps], axis=0),
+    }
+    has_bias = any(l.quant.has_bias for l in ls)
+    if has_bias:
+        new_p["bias"] = np.concatenate([
+            np.asarray(p["bias"]) if l.quant.has_bias
+            else np.zeros(l.out_features, np.float32)
+            for l, p in zip(ls, ps)
+        ])
+    nnz_pad = 0
+    if any(l.quant.nnz_pad for l in ls):
+        rows, cols, vals = [], [], []
+        for off, l, p in zip(offsets, ls, ps):
+            if not l.quant.nnz_pad:
+                continue
+            r = np.asarray(p["sp_rows"])
+            v = np.asarray(p["sp_vals"])
+            live = v != 0
+            rows.append(r[live] + off)
+            cols.append(np.asarray(p["sp_cols"])[live])
+            vals.append(v[live])
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        vals = np.concatenate(vals)
+        nnz_pad = max(8, -(-len(vals) // 8) * 8)
+        new_p["sp_rows"] = np.pad(rows.astype(np.int32), (0, nnz_pad - len(rows)))
+        new_p["sp_cols"] = np.pad(cols.astype(np.int32), (0, nnz_pad - len(cols)))
+        new_p["sp_vals"] = np.pad(vals.astype(np.float32), (0, nnz_pad - len(vals)))
+
+    qspec = QuantLinearSpec(
+        bits=bits, in_features=in_f, out_features=out_f,
+        has_bias=has_bias, nnz_pad=nnz_pad,
+    )
+    spec = LinearSpec(in_features=in_f, out_features=out_f,
+                      has_bias=has_bias, quant=qspec)
+    if nnz_pad and build_butterfly:
+        from squeezellm_tpu.ops import butterfly
+
+        qspec, new_p = butterfly.attach_plan(qspec, new_p)
+        spec = dataclasses.replace(spec, quant=qspec)
+    return spec, new_p
+
+
+def fuse_for_decode(model_type: str, specs, params, build_butterfly=True):
+    """Returns (fused_specs, fused_params). Unfusable layers pass through."""
+    groups = _FUSE_GROUPS.get(model_type if model_type in _FUSE_GROUPS
+                              else "llama", [])
+    spec_layers: List[dict] = []
+    param_layers: List[dict] = []
+    for spec_d, param_d in zip(specs["layers"], params["layers"]):
+        sd, pd = dict(spec_d), dict(param_d)
+        for fused_name, names in groups:
+            if not _fusable(sd, names):
+                continue
+            fspec, fp = _fuse_linears(names, sd, pd, build_butterfly)
+            for n in names:
+                del sd[n], pd[n]
+            sd[fused_name] = fspec
+            pd[fused_name] = fp
+        spec_layers.append(sd)
+        param_layers.append(pd)
+    new_specs = dict(specs)
+    new_specs["layers"] = tuple(spec_layers)
+    new_params = dict(params)
+    new_params["layers"] = param_layers
+    return new_specs, new_params

@@ -93,7 +93,8 @@ def random_dense_params(config: LlamaConfig, key, dtype=jnp.float32) -> dict:
     keys = jax.random.split(key, config.n_layers + 2)
 
     def lin(k, o, i):
-        return {"w": (jax.random.normal(k, (o, i), dtype) * (0.5 / np.sqrt(i)))}
+        # float(): a np scalar multiplier would promote bf16 weights to f32
+        return {"w": (jax.random.normal(k, (o, i), dtype) * float(0.5 / np.sqrt(i)))}
 
     layers = []
     for li in range(config.n_layers):
@@ -166,11 +167,20 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
     # head counts derive from the (possibly TP-sharded) linear specs, not the
     # config: under shard_map each device owns n_heads/tp local heads.
     hd = config.head_dim
-    nh = specs["q"].out_features // hd
-    nkv = specs["k"].out_features // hd
-    q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
-    k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
-    v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
+    if "qkv" in specs:  # decode-time fused projection (models/fuse.py)
+        nkv = config.n_kv_heads
+        nh = specs["qkv"].out_features // hd - 2 * nkv
+        qkv = common.apply_linear(specs["qkv"], params["qkv"], x,
+                                  backend=backend)
+        q = qkv[..., : nh * hd]
+        k = qkv[..., nh * hd : (nh + nkv) * hd]
+        v = qkv[..., (nh + nkv) * hd :]
+    else:
+        nh = specs["q"].out_features // hd
+        nkv = specs["k"].out_features // hd
+        q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
+        k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
+        v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
     q = q.reshape(b, s, nh, hd)
     k = k.reshape(b, s, nkv, hd)
     v = v.reshape(b, s, nkv, hd)
@@ -200,8 +210,15 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
 
 
 def _mlp_block(specs, params, x, backend="auto", axis_name=None):
-    gate = common.apply_linear(specs["gate"], params["gate"], x, backend=backend)
-    up = common.apply_linear(specs["up"], params["up"], x, backend=backend)
+    if "gateup" in specs:  # decode-time fused projection (models/fuse.py)
+        gu = common.apply_linear(specs["gateup"], params["gateup"], x,
+                                 backend=backend)
+        inter = specs["gateup"].out_features // 2
+        gate, up = gu[..., :inter], gu[..., inter:]
+    else:
+        gate = common.apply_linear(specs["gate"], params["gate"], x,
+                                   backend=backend)
+        up = common.apply_linear(specs["up"], params["up"], x, backend=backend)
     y = common.apply_linear(
         specs["down"], params["down"], jax.nn.silu(gate) * up, backend=backend
     )

@@ -86,8 +86,9 @@ def random_dense_params(config: OPTConfig, key, dtype=jnp.float32) -> dict:
     keys = jax.random.split(key, config.n_layers + 3)
 
     def lin(k, o, i):
+        # float(): a np scalar multiplier would promote bf16 weights to f32
         return {
-            "w": jax.random.normal(k, (o, i), dtype) * (0.5 / np.sqrt(i)),
+            "w": jax.random.normal(k, (o, i), dtype) * float(0.5 / np.sqrt(i)),
             "b": jnp.zeros((o,), dtype),
         }
 
@@ -165,10 +166,18 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
     b, s, h = x.shape
     # local head count from the (possibly TP-sharded) q spec
     hd = config.head_dim
-    nh = specs["q"].out_features // hd
-    q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
-    k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
-    v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
+    if "qkv" in specs:  # decode-time fused projection (models/fuse.py)
+        nh = specs["qkv"].out_features // (3 * hd)
+        qkv = common.apply_linear(specs["qkv"], params["qkv"], x,
+                                  backend=backend)
+        q = qkv[..., : nh * hd]
+        k = qkv[..., nh * hd : 2 * nh * hd]
+        v = qkv[..., 2 * nh * hd :]
+    else:
+        nh = specs["q"].out_features // hd
+        q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
+        k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
+        v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
     q = q.reshape(b, s, nh, hd)
     k = k.reshape(b, s, nh, hd)
     v = v.reshape(b, s, nh, hd)
