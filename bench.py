@@ -27,65 +27,69 @@ import time
 import numpy as np
 
 
-def _build_quantized_llama(config, bits, sparsity, key):
+def _build_quantized_llama(config, bits, sparsity, key=None):
+    """Random quantized LLaMA (specs, params) built HOST-SIDE in numpy.
+
+    Host-side generation matters doubly on the axon tunnel: device-side RNG
+    would mean hundreds of tiny dispatches, and any later transform (fusion,
+    resharding) would have to pull GB of packed weights back through the
+    tunnel. One upload happens lazily at the first jit call."""
     import dataclasses
 
-    import jax
-    import jax.numpy as jnp
-
-    from squeezellm_tpu.models import llama
+    from squeezellm_tpu import formats
     from squeezellm_tpu.models.common import LinearSpec
     from squeezellm_tpu.ops import butterfly
-    from squeezellm_tpu.ops.quant_linear import QuantLinearSpec, make_random_params
+    from squeezellm_tpu.ops.quant_linear import QuantLinearSpec
 
     shapes = config.linear_shapes()
+    rng = np.random.default_rng(0)
 
-    # one butterfly plan per distinct (out, in) shape, shared by all layers:
-    # the single-core host can't afford 224 greedy assignments, and for a
-    # synthetic benchmark the pattern is representative either way. Sharing
-    # the same device arrays also keeps the HBM cost at one plan per shape.
-    plan_cache = {}
+    # one random weight set + butterfly plan per distinct (out, in) shape,
+    # shared by all layers: a synthetic benchmark doesn't need 224 distinct
+    # greedy assignments on this single-core host, and sharing numpy arrays
+    # keeps build time and upload volume at one-layer cost per shape.
+    cache = {}
 
-    def sparse_arrays(o, i, nnz_pad):
-        if (o, i) not in plan_cache:
-            rng = np.random.default_rng(o * 131 + i)
-            rows = np.sort(rng.integers(0, o, nnz_pad)).astype(np.int32)
-            cols = rng.integers(0, i, nnz_pad).astype(np.int32)
-            vals = (rng.standard_normal(nnz_pad) * 0.08).astype(np.float32)
-            plan = butterfly.build_plan(rows, cols, vals, o, i)
-            plan_cache[(o, i)] = {
-                "sp_rows": jnp.asarray(rows),
-                "sp_cols": jnp.asarray(cols),
-                "sp_vals": jnp.asarray(vals),
-                "bf_chi": jnp.asarray(plan.chi),
-                "bf_vals": jnp.asarray(plan.vals),
-                "bf_route": jnp.asarray(plan.route),
-                "_plan": plan,
+    def module_arrays(o, i, nnz_pad):
+        if (o, i) not in cache:
+            nw = formats.n_words(i, bits)
+            d = {
+                "qweight": rng.integers(
+                    -(2**31), 2**31, (nw, o), dtype=np.int64
+                ).astype(np.int32),
+                "lut": np.sort(
+                    rng.standard_normal((o, 2**bits)).astype(np.float32) * 0.02,
+                    axis=1,
+                ),
             }
-        return plan_cache[(o, i)]
+            plan = None
+            if nnz_pad:
+                rows = np.sort(rng.integers(0, o, nnz_pad)).astype(np.int32)
+                cols = rng.integers(0, i, nnz_pad).astype(np.int32)
+                vals = (rng.standard_normal(nnz_pad) * 0.08).astype(np.float32)
+                plan = butterfly.build_plan(rows, cols, vals, o, i)
+                d.update(sp_rows=rows, sp_cols=cols, sp_vals=vals,
+                         bf_chi=plan.chi, bf_vals=plan.vals,
+                         bf_route=plan.route)
+            cache[(o, i)] = (d, plan)
+        return cache[(o, i)]
 
     spec_layers = []
     param_layers = []
     for li in range(config.n_layers):
-        key, sub = jax.random.split(key)
         spec_d = {}
         param_d = {
-            "input_norm": jnp.ones((config.hidden_size,), jnp.float32),
-            "post_norm": jnp.ones((config.hidden_size,), jnp.float32),
+            "input_norm": np.ones((config.hidden_size,), np.float32),
+            "post_norm": np.ones((config.hidden_size,), np.float32),
         }
         for name, (o, i) in shapes.items():
             nnz = int(o * i * sparsity)
             nnz_pad = 0 if nnz == 0 else max(512, -(-nnz // 512) * 512)
             qspec = QuantLinearSpec(bits=bits, in_features=i, out_features=o,
                                     nnz_pad=nnz_pad)
-            key, sub = jax.random.split(key)
-            param_d[name] = make_random_params(sub, qspec)
-            if nnz_pad:
-                sa = sparse_arrays(o, i, nnz_pad)
-                plan = sa["_plan"]
-                param_d[name].update(
-                    {k: v for k, v in sa.items() if k != "_plan"}
-                )
+            arrays, plan = module_arrays(o, i, nnz_pad)
+            param_d[name] = dict(arrays)
+            if plan is not None:
                 qspec = dataclasses.replace(
                     qspec, bf_rows=plan.n_rows, bf_oh=plan.oh, bf_ih=plan.ih
                 )
@@ -93,15 +97,15 @@ def _build_quantized_llama(config, bits, sparsity, key):
         spec_layers.append(spec_d)
         param_layers.append(param_d)
 
-    key, k1, k2 = jax.random.split(key, 3)
     params = {
-        "embed": (jax.random.normal(k1, (config.vocab_size, config.hidden_size),
-                                    jnp.bfloat16) * 0.02).astype(jnp.float32),
+        "embed": rng.standard_normal(
+            (config.vocab_size, config.hidden_size)
+        ).astype(np.float32) * 0.02,
         "layers": param_layers,
-        "final_norm": jnp.ones((config.hidden_size,), jnp.float32),
-        "lm_head": {"w": (jax.random.normal(
-            k2, (config.vocab_size, config.hidden_size), jnp.bfloat16
-        ) * 0.02).astype(jnp.float32)},
+        "final_norm": np.ones((config.hidden_size,), np.float32),
+        "lm_head": {"w": rng.standard_normal(
+            (config.vocab_size, config.hidden_size)
+        ).astype(np.float32) * 0.02},
     }
     specs = {
         "layers": tuple(spec_layers),
@@ -109,6 +113,24 @@ def _build_quantized_llama(config, bits, sparsity, key):
                               out_features=config.vocab_size),
     }
     return specs, params
+
+
+def put_dedup(params):
+    """Upload a (possibly array-sharing) host param tree to device, sending
+    each distinct numpy array exactly once — layers built from a shared
+    template then alias one HBM buffer instead of re-crossing the tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    seen = {}
+
+    def put(x):
+        key = id(x)
+        if key not in seen:
+            seen[key] = jnp.asarray(x)
+        return seen[key]
+
+    return jax.tree.map(put, params)
 
 
 def _flagship_config(on_tpu):
@@ -190,6 +212,11 @@ def _phase_quant():
     specs, params = _build_quantized_llama(
         config, bits=4, sparsity=0.0045, key=jax.random.PRNGKey(0)
     )
+    if on_tpu:
+        from squeezellm_tpu.models import fuse
+
+        specs, params = fuse.fuse_for_decode("llama", specs, params)
+    params = put_dedup(params)
     # pallas-bf16: bf16-rounded dequant + activations (the same numeric
     # regime as the reference's fp16 decode benchmark, README.md:139-142);
     # the butterfly plans handle the sparse sidecar

