@@ -97,15 +97,19 @@ def _build_quantized_llama(config, bits, sparsity, key=None):
         spec_layers.append(spec_d)
         param_layers.append(param_d)
 
+    # embed/lm_head in bf16: the bf16 baseline holds them in bf16 too, and
+    # the f32 lm_head read alone costs ~0.6 ms/token at 7B vocab
+    import ml_dtypes
+
     params = {
-        "embed": rng.standard_normal(
+        "embed": (rng.standard_normal(
             (config.vocab_size, config.hidden_size)
-        ).astype(np.float32) * 0.02,
+        ).astype(np.float32) * 0.02).astype(ml_dtypes.bfloat16),
         "layers": param_layers,
         "final_norm": np.ones((config.hidden_size,), np.float32),
-        "lm_head": {"w": rng.standard_normal(
+        "lm_head": {"w": (rng.standard_normal(
             (config.vocab_size, config.hidden_size)
-        ).astype(np.float32) * 0.02},
+        ).astype(np.float32) * 0.02).astype(ml_dtypes.bfloat16)},
     }
     specs = {
         "layers": tuple(spec_layers),
@@ -147,7 +151,11 @@ def _flagship_config(on_tpu):
 
 def _decode_tok_s(engine, n_tokens, vocab):
     ids = (np.arange(n_tokens, dtype=np.int32)[None] * 7919) % vocab
-    stats = engine.benchmark(ids, check=False, warmup=3)
+    # KV-cache window sized to the decoded length: the reference protocol
+    # (llama.py:223-249) grows its HF cache from 0 to n_tokens, so a fixed
+    # full-context window would over-read the cache ~max_seq/n_tokens x
+    stats = engine.benchmark(ids, check=False, warmup=3,
+                             max_seq=max(128, -(-n_tokens // 128) * 128))
     return stats["tokens_per_s"], stats
 
 

@@ -22,7 +22,7 @@ def build(variant, n_layers=32):
     from squeezellm_tpu.models import llama
 
     config = llama.LlamaConfig(max_seq=2048, n_layers=n_layers)
-    if variant == "bf16":
+    if variant.replace("-win", "") == "bf16":
         params = llama.random_dense_params(config, jax.random.PRNGKey(0),
                                            dtype=jnp.bfloat16)
         specs = llama.dense_specs(config)
@@ -49,6 +49,10 @@ def probe(variant, steps, n_layers=32):
     from squeezellm_tpu.models import common, llama
 
     config, specs, params, backend, dtype = build(variant, n_layers)
+    if "win" in variant:  # window cache to the decoded length (bench protocol)
+        import dataclasses
+
+        config = dataclasses.replace(config, max_seq=max(128, steps))
     params = put_dedup(params)
     cache = common.init_kv_cache(1, config.max_seq, config.n_layers,
                                  config.n_kv_heads, config.head_dim,

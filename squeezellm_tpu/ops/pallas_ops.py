@@ -295,10 +295,20 @@ def lut_matmul(
     xf = x.reshape(-1, in_features).astype(jnp.float32)
     batch = xf.shape[0]
 
+    def _auto_blk(limit, padded):
+        # largest power-of-two block <= limit that divides the padded dim:
+        # a non-dividing block forces an in-graph pad COPY of the packed
+        # weights on every call (visible as 'pad' ops in traces)
+        for cand in (limit, limit // 2, limit // 4, limit // 8):
+            if cand >= 128 and padded % cand == 0:
+                return cand
+        return 128
+
     if not w_blk:
-        w_blk = 128 if batch <= 8 else 256
+        w_blk = _auto_blk(128 if batch <= 8 else 256, _round_up(nw, 128))
     if not o_blk:
-        o_blk = 1024 if batch <= 8 else 512
+        o_blk = _auto_blk(1024 if batch <= 8 else 512,
+                          _round_up(out_features, 128))
 
     b_blk = min(b_blk, _round_up(batch, 8))
     o_blk = min(o_blk, _round_up(out_features, 128))
