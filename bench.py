@@ -258,6 +258,10 @@ def _phase_baseline():
 
 def _run_phase(name, timeout_s):
     env = dict(os.environ, BENCH_PHASE=name)
+    # persistent XLA compilation cache: the fused 7B decode step costs
+    # ~3 min to compile over the axon tunnel, once per content hash
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,

@@ -79,12 +79,12 @@ def rope_cos_sin(positions, head_dim: int, theta: float, dtype=jnp.float32):
 
 
 def apply_rope(x, cos, sin):
-    """x: (B, S, H, D); cos/sin: (B, S, D) or (S, D)."""
+    """x: (B, H, S, D) head-major; cos/sin: (B, S, D) or (S, D)."""
     if cos.ndim == x.ndim - 2:
         cos = cos[None]
         sin = sin[None]
-    cos = cos[:, :, None, :]
-    sin = sin[:, :, None, :]
+    cos = cos[:, None, :, :]
+    sin = sin[:, None, :, :]
     d2 = x.shape[-1] // 2
     x1, x2 = x[..., :d2], x[..., d2:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
@@ -98,36 +98,41 @@ def apply_rope(x, cos, sin):
 
 def init_kv_cache(batch: int, max_seq: int, n_layers: int, n_kv_heads: int,
                   head_dim: int, dtype=jnp.float32):
-    """Per-layer list of {'k','v'} of shape (B, max_seq, H_kv, D)."""
+    """Per-layer list of {'k','v'} of shape (B, H_kv, max_seq, D).
+
+    Head-major layout: the decode-step attention contracts (B,H,1,D) x
+    (B,H,S,D) without any relayout of the cached keys/values."""
     return [
         {
-            "k": jnp.zeros((batch, max_seq, n_kv_heads, head_dim), dtype),
-            "v": jnp.zeros((batch, max_seq, n_kv_heads, head_dim), dtype),
+            "k": jnp.zeros((batch, n_kv_heads, max_seq, head_dim), dtype),
+            "v": jnp.zeros((batch, n_kv_heads, max_seq, head_dim), dtype),
         }
         for _ in range(n_layers)
     ]
 
 
 def repeat_kv(x, n_rep: int):
+    """x: (B, H, S, D) -> (B, H*n_rep, S, D)."""
     if n_rep == 1:
         return x
-    b, s, h, d = x.shape
-    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(
-        b, s, h * n_rep, d
+    b, h, s, d = x.shape
+    return jnp.broadcast_to(x[:, :, None, :, :], (b, h, n_rep, s, d)).reshape(
+        b, h * n_rep, s, d
     )
 
 
 def attention(q, k, v, mask):
-    """q: (B, Sq, H, D); k/v: (B, Sk, H, D); mask: broadcastable to
+    """q: (B, H, Sq, D); k/v: (B, H, Sk, D); mask: broadcastable to
     (B, H, Sq, Sk) boolean (True = attend). Softmax in f32."""
     dt = q.dtype
     scale = 1.0 / jnp.sqrt(jnp.array(q.shape[-1], jnp.float32))
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
     logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32).astype(dt)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                      preferred_element_type=jnp.float32).astype(dt)
 
 
 def causal_mask(sq: int, sk: int, offset: int = 0, sliding_window: Optional[int] = None):

@@ -181,9 +181,10 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
         k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
         v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
-    q = q.reshape(b, s, nh, hd)
-    k = k.reshape(b, s, nkv, hd)
-    v = v.reshape(b, s, nkv, hd)
+    # head-major (B, H, S, D) throughout: matches the KV-cache layout
+    q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     q = common.apply_rope(q, cos, sin)
     k = common.apply_rope(k, cos, sin)
 
@@ -191,9 +192,9 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         # write new k/v at pos (decode: s==1) or [0, s) (prefill: pos==0)
         start = 0 if pos is None else pos
         ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
-                                          (0, start, 0, 0))
+                                          (0, 0, start, 0))
         cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
-                                          (0, start, 0, 0))
+                                          (0, 0, start, 0))
         cache = {"k": ck, "v": cv}
         k, v = ck.astype(x.dtype), cv.astype(x.dtype)
 
@@ -201,7 +202,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
     k = common.repeat_kv(k, n_rep)
     v = common.repeat_kv(v, n_rep)
     out = common.attention(q, k, v, mask)
-    out = out.reshape(b, s, nh * hd)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
     # o-proj is row-parallel under TP: partial products reduce over the axis
     out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
     if axis_name is not None:
@@ -274,7 +275,7 @@ def prefill(config: LlamaConfig, specs, params, tokens, cache, *,
     x = params["embed"][tokens].astype(dtype)
     positions = jnp.arange(s)
     cos, sin = common.rope_cos_sin(positions, config.head_dim, config.rope_theta, dtype)
-    max_seq = cache[0]["k"].shape[1]
+    max_seq = cache[0]["k"].shape[2]
     mask = common.causal_mask(s, max_seq, sliding_window=config.sliding_window)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
@@ -293,7 +294,7 @@ def decode_step(config: LlamaConfig, specs, params, token, pos, cache, *,
     x = params["embed"][token].astype(dtype)
     positions = jnp.full((token.shape[0], 1), pos, jnp.int32)
     cos, sin = common.rope_cos_sin(positions, config.head_dim, config.rope_theta, dtype)
-    max_seq = cache[0]["k"].shape[1]
+    max_seq = cache[0]["k"].shape[2]
     mask = common.decode_mask(max_seq, pos, sliding_window=config.sliding_window)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):

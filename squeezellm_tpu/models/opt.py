@@ -178,21 +178,22 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
         q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
         k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
         v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
-    q = q.reshape(b, s, nh, hd)
-    k = k.reshape(b, s, nh, hd)
-    v = v.reshape(b, s, nh, hd)
+    # head-major (B, H, S, D), matching the KV-cache layout
+    q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
 
     if cache is not None:
         start = 0 if pos is None else pos
         ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
-                                          (0, start, 0, 0))
+                                          (0, 0, start, 0))
         cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
-                                          (0, start, 0, 0))
+                                          (0, 0, start, 0))
         cache = {"k": ck, "v": cv}
         k, v = ck.astype(x.dtype), cv.astype(x.dtype)
 
     out = common.attention(q, k, v, mask)
-    out = out.reshape(b, s, nh * hd)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
     out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
     if axis_name is not None:
         out = jax.lax.psum(out, axis_name)  # row-parallel o-proj
@@ -248,7 +249,7 @@ def prefill(config: OPTConfig, specs, params, tokens, cache, *, backend="auto",
             dtype=jnp.float32, axis_name=None):
     b, s = tokens.shape
     x = _embed(config, params, tokens, 0, dtype)
-    max_seq = cache[0]["k"].shape[1]
+    max_seq = cache[0]["k"].shape[2]
     mask = common.causal_mask(s, max_seq)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
@@ -264,7 +265,7 @@ def decode_step(config: OPTConfig, specs, params, token, pos, cache, *,
                 backend="auto", dtype=jnp.float32, axis_name=None):
     x = params["embed"][token].astype(dtype)
     x = x + params["embed_pos"][pos + _POS_OFFSET][None, None].astype(dtype)
-    max_seq = cache[0]["k"].shape[1]
+    max_seq = cache[0]["k"].shape[2]
     mask = common.decode_mask(max_seq, pos)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):

@@ -109,7 +109,8 @@ def param_partition_specs(model_type: str, config, specs, params) -> dict:
 
 
 def cache_partition_specs(cache) -> list:
-    return [{"k": P("dp", None, "tp", None), "v": P("dp", None, "tp", None)}
+    # cache layout (B, H_kv, S, D): batch over dp, heads over tp
+    return [{"k": P("dp", "tp", None, None), "v": P("dp", "tp", None, None)}
             for _ in cache]
 
 

@@ -305,8 +305,8 @@ def _unstack(params, pspecs):
 
 
 def cache_pspecs(n_layers: int):
-    """KV cache (B, S, H_kv, D) sharded over heads."""
-    return [{"k": P(None, None, AXIS, None), "v": P(None, None, AXIS, None)}
+    """KV cache (B, H_kv, S, D) sharded over heads."""
+    return [{"k": P(None, AXIS, None, None), "v": P(None, AXIS, None, None)}
             for _ in range(n_layers)]
 
 
