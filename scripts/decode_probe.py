@@ -28,13 +28,14 @@ def build(variant, n_layers=32):
         specs = llama.dense_specs(config)
         backend, dtype = "xla", jnp.bfloat16
     else:
-        # variants: {pallas,pallasbf16,xla}-s{0,45}[-bf16act][-fused]
+        # variants: {pallas,pallasbf16,xla}-s{0,45}[-w3][-bf16act][-fused][-win]
         base = variant.split("-")[0]
         backend = {"pallas": "pallas", "pallasbf16": "pallas-bf16",
                    "xla": "xla"}[base]
         sparsity = 0.0045 if "s45" in variant else 0.0
         specs, params = _build_quantized_llama(
-            config, bits=4, sparsity=sparsity, key=jax.random.PRNGKey(0)
+            config, bits=3 if "w3" in variant else 4, sparsity=sparsity,
+            key=jax.random.PRNGKey(0)
         )
         if "fused" in variant:
             from squeezellm_tpu.models import fuse
