@@ -146,9 +146,36 @@ def causal_mask(sq: int, sk: int, offset: int = 0, sliding_window: Optional[int]
 
 
 def decode_mask(max_seq: int, pos, sliding_window: Optional[int] = None):
-    """(1, 1, 1, max_seq) mask for a single query at dynamic position pos."""
+    """Mask for single-token queries at dynamic position(s) pos.
+
+    pos scalar -> (1, 1, 1, max_seq); pos (B,) (continuous batching: each
+    slot at its own position) -> (B, 1, 1, max_seq)."""
+    pos = jnp.asarray(pos)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (1, max_seq), 1)
-    m = kpos <= pos
+    p = pos.reshape(-1, 1) if pos.ndim else pos
+    m = kpos <= p
     if sliding_window is not None:
-        m = jnp.logical_and(m, kpos > pos - sliding_window)
-    return m[None, None]
+        m = jnp.logical_and(m, kpos > p - sliding_window)
+    return m[:, None, None, :] if pos.ndim else m[None, None]
+
+
+def update_kv_cache(cache, k_new, v_new, pos):
+    """Write one new token's k/v (B, H, 1, D) at position(s) pos.
+
+    pos scalar: one dynamic_update_slice (decode batch shares a position).
+    pos (B,): per-slot positions via a deterministic scatter (continuous
+    batching)."""
+    pos = jnp.asarray(pos)
+    if pos.ndim == 0:
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], k_new.astype(cache["k"].dtype), (0, 0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], v_new.astype(cache["v"].dtype), (0, 0, pos, 0))
+    else:
+        b = k_new.shape[0]
+        idx = jnp.arange(b)
+        ck = cache["k"].at[idx, :, pos, :].set(
+            k_new[:, :, 0, :].astype(cache["k"].dtype))
+        cv = cache["v"].at[idx, :, pos, :].set(
+            v_new[:, :, 0, :].astype(cache["v"].dtype))
+    return {"k": ck, "v": cv}

@@ -189,14 +189,19 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
     k = common.apply_rope(k, cos, sin)
 
     if cache is not None:
-        # write new k/v at pos (decode: s==1) or [0, s) (prefill: pos==0)
-        start = 0 if pos is None else pos
-        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
-                                          (0, 0, start, 0))
-        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
-                                          (0, 0, start, 0))
-        cache = {"k": ck, "v": cv}
-        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+        if s == 1:
+            # decode: pos scalar or per-slot (B,) vector
+            cache = common.update_kv_cache(cache, k, v, pos)
+        else:
+            # prefill: write [start, start+s)
+            start = 0 if pos is None else pos
+            cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype), (0, 0, start, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype), (0, 0, start, 0)),
+            }
+        k, v = cache["k"].astype(x.dtype), cache["v"].astype(x.dtype)
 
     n_rep = nh // nkv
     k = common.repeat_kv(k, n_rep)
@@ -290,9 +295,12 @@ def prefill(config: LlamaConfig, specs, params, tokens, cache, *,
 def decode_step(config: LlamaConfig, specs, params, token, pos, cache, *,
                 backend="auto", dtype=jnp.float32, axis_name=None):
     """One decode step. token: (B, 1) int32; pos: scalar int32 (0-based
-    position of this token). Returns (logits (B, 1, V), cache)."""
+    position of this token) or (B,) per-slot positions (continuous
+    batching). Returns (logits (B, 1, V), cache)."""
     x = params["embed"][token].astype(dtype)
-    positions = jnp.full((token.shape[0], 1), pos, jnp.int32)
+    pos = jnp.asarray(pos)
+    positions = (pos.reshape(-1, 1) if pos.ndim
+                 else jnp.full((token.shape[0], 1), pos, jnp.int32))
     cos, sin = common.rope_cos_sin(positions, config.head_dim, config.rope_theta, dtype)
     max_seq = cache[0]["k"].shape[2]
     mask = common.decode_mask(max_seq, pos, sliding_window=config.sliding_window)

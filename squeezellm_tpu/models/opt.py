@@ -184,13 +184,17 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
     v = v.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
 
     if cache is not None:
-        start = 0 if pos is None else pos
-        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
-                                          (0, 0, start, 0))
-        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
-                                          (0, 0, start, 0))
-        cache = {"k": ck, "v": cv}
-        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+        if s == 1:
+            cache = common.update_kv_cache(cache, k, v, pos)
+        else:
+            start = 0 if pos is None else pos
+            cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype), (0, 0, start, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype), (0, 0, start, 0)),
+            }
+        k, v = cache["k"].astype(x.dtype), cache["v"].astype(x.dtype)
 
     out = common.attention(q, k, v, mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
@@ -264,7 +268,11 @@ def prefill(config: OPTConfig, specs, params, tokens, cache, *, backend="auto",
 def decode_step(config: OPTConfig, specs, params, token, pos, cache, *,
                 backend="auto", dtype=jnp.float32, axis_name=None):
     x = params["embed"][token].astype(dtype)
-    x = x + params["embed_pos"][pos + _POS_OFFSET][None, None].astype(dtype)
+    pos = jnp.asarray(pos)
+    if pos.ndim:  # per-slot positions (continuous batching)
+        x = x + params["embed_pos"][pos + _POS_OFFSET][:, None].astype(dtype)
+    else:
+        x = x + params["embed_pos"][pos + _POS_OFFSET][None, None].astype(dtype)
     max_seq = cache[0]["k"].shape[2]
     mask = common.decode_mask(max_seq, pos)
     new_cache = []

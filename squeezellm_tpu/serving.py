@@ -1,0 +1,153 @@
+"""Continuous-batching serving loop.
+
+The reference is strictly batch-1, generate-and-exit (SURVEY §2.4); this is
+new, TPU-first capability: a fixed pool of B decode slots stepped by ONE
+jitted batched decode per token, with requests joining (single-slot prefill
+scattered into the pooled KV cache) and leaving independently. All shapes
+are static, so the step never retraces:
+
+  * pooled KV cache (B, H, S, D); per-slot positions as a (B,) vector
+    (models.common.update_kv_cache scatters each slot at its own position)
+  * joining: prefill the prompt at batch 1, insert its cache rows + first
+    token into the slot; stale cache beyond a slot's position is masked by
+    the per-slot causal mask, so slots can be reused without clearing
+  * inactive slots decode garbage that is never emitted (standard
+    fixed-slot continuous batching)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from squeezellm_tpu.models import common, registry
+
+
+@dataclasses.dataclass
+class _Slot:
+    active: bool = False
+    request_id: int = -1
+    pos: int = 0  # position of the NEXT token to be written
+    max_new: int = 0
+    generated: int = 0
+    tokens: Optional[List[int]] = None
+
+
+class ContinuousBatchEngine:
+    """Fixed-slot continuous batching over a quantized model."""
+
+    def __init__(self, model_type: str, config, specs, params, *,
+                 slots: int = 8, backend: str = "auto", dtype=jnp.float32,
+                 cache_dtype=jnp.float32, max_seq: Optional[int] = None):
+        self.model_type = model_type
+        self.config = config
+        self.specs = specs
+        self.params = params
+        self.n_slots = slots
+        self.max_seq = max_seq or config.max_seq
+        mod = registry.get_model_module(model_type)
+
+        def _prefill(params, tokens, cache):
+            return mod.prefill(config, specs, params, tokens, cache,
+                               backend=backend, dtype=dtype)
+
+        def _decode(params, token, pos, cache):
+            return mod.decode_step(config, specs, params, token, pos, cache,
+                                   backend=backend, dtype=dtype)
+
+        self._prefill = jax.jit(_prefill)
+        self._decode = jax.jit(_decode, donate_argnums=(3,))
+
+        @jax.jit
+        def _insert(cache, one_cache, slot):
+            return jax.tree.map(
+                lambda c, o: jax.lax.dynamic_update_slice(
+                    c, o.astype(c.dtype), (slot, 0, 0, 0)),
+                cache, one_cache,
+            )
+
+        self._insert = _insert
+        self.cache = common.init_kv_cache(
+            slots, self.max_seq, config.n_layers, config.n_kv_heads,
+            config.head_dim, cache_dtype,
+        )
+        self._slots = [_Slot() for _ in range(slots)]
+        self._next_id = 0
+        self._cur = jnp.zeros((slots, 1), jnp.int32)
+        self._pos = np.zeros(slots, np.int64)
+
+    # -- request management --------------------------------------------------
+
+    def free_slots(self) -> int:
+        return sum(not s.active for s in self._slots)
+
+    def add_request(self, prompt_tokens, max_new_tokens: int) -> int:
+        """Prefill + occupy a slot. Returns the request id."""
+        idx = next((i for i, s in enumerate(self._slots) if not s.active), None)
+        if idx is None:
+            raise RuntimeError("no free slot")
+        prompt = jnp.asarray(prompt_tokens, jnp.int32).reshape(1, -1)
+        plen = prompt.shape[1]
+        if plen + max_new_tokens > self.max_seq:
+            raise ValueError("prompt + max_new_tokens exceeds max_seq")
+        one = common.init_kv_cache(1, self.max_seq, self.config.n_layers,
+                                   self.config.n_kv_heads,
+                                   self.config.head_dim,
+                                   self.cache[0]["k"].dtype)
+        logits, one = self._prefill(self.params, prompt, one)
+        first = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+        self.cache = self._insert(self.cache, one, jnp.asarray(idx, jnp.int32))
+        self._cur = self._cur.at[idx, 0].set(first)
+        self._pos[idx] = plen
+        rid = self._next_id
+        self._next_id += 1
+        self._slots[idx] = _Slot(active=True, request_id=rid, pos=plen,
+                                 max_new=max_new_tokens, generated=1,
+                                 tokens=[int(first)])
+        return rid
+
+    def step(self) -> Dict[int, Any]:
+        """One batched greedy decode step for every active slot.
+
+        Returns {request_id: {'token', 'done', 'tokens'?}} and releases
+        finished slots."""
+        if not any(s.active for s in self._slots):
+            return {}
+        pos = jnp.asarray(self._pos, jnp.int32)
+        logits, self.cache = self._decode(self.params, self._cur, pos,
+                                          self.cache)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        nxt_host = np.asarray(nxt)
+        self._cur = nxt[:, None]
+        out: Dict[int, Any] = {}
+        for i, s in enumerate(self._slots):
+            if not s.active:
+                continue
+            tok = int(nxt_host[i])
+            s.tokens.append(tok)
+            s.generated += 1
+            s.pos += 1
+            self._pos[i] = s.pos
+            done = s.generated >= s.max_new
+            out[s.request_id] = {"token": tok, "done": done}
+            if done:
+                out[s.request_id]["tokens"] = s.tokens
+                self._slots[i] = _Slot()
+        return out
+
+    def run(self, requests, max_new_tokens: int = 16) -> Dict[int, List[int]]:
+        """Drain a list of prompts through the slot pool; returns
+        {request_id: generated tokens}."""
+        pending = list(requests)
+        results: Dict[int, List[int]] = {}
+        while pending or any(s.active for s in self._slots):
+            while pending and self.free_slots():
+                self.add_request(pending.pop(0), max_new_tokens)
+            for rid, r in self.step().items():
+                if r["done"]:
+                    results[rid] = r["tokens"]
+        return results
