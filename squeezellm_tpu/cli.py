@@ -201,6 +201,38 @@ def cmd_benchmark(args):
     print(json.dumps(stats, indent=2))
 
 
+def cmd_serve_bench(args):
+    """Continuous-batching throughput: total generated tokens/s across a
+    pool of concurrent requests (vs the latency-oriented 'benchmark')."""
+    import time
+
+    import numpy as np
+
+    from squeezellm_tpu import serving
+
+    model_type, config, specs, params = _load_any(args.model)
+    eng = serving.ContinuousBatchEngine(
+        model_type, config, specs, params, slots=args.slots,
+        backend=args.backend, max_seq=args.seqlen,
+    )
+    rng = np.random.default_rng(args.seed)
+    prompts = [
+        rng.integers(0, config.vocab_size, rng.integers(4, 32)).tolist()
+        for _ in range(args.requests)
+    ]
+    # warm (compile prefill + batched decode)
+    eng.run(prompts[:1], max_new_tokens=2)
+    t0 = time.perf_counter()
+    results = eng.run(prompts, max_new_tokens=args.max_new_tokens)
+    dt = time.perf_counter() - t0
+    total = sum(len(t) for t in results.values())
+    print(json.dumps({
+        "requests": args.requests, "slots": args.slots,
+        "total_tokens": total, "elapsed_s": round(dt, 3),
+        "throughput_tok_s": round(total / dt, 2),
+    }))
+
+
 def cmd_generate(args):
     import numpy as np
 
@@ -304,6 +336,18 @@ def main(argv=None):
                    help="fuse q|k|v and gate|up projections for decode")
     b.add_argument("--profile", default=None, help="write a jax profiler trace dir")
     b.set_defaults(fn=cmd_benchmark)
+
+    sb = sub.add_parser("serve-bench",
+                        help="continuous-batching throughput benchmark")
+    sb.add_argument("model")
+    sb.add_argument("--slots", type=int, default=8)
+    sb.add_argument("--requests", type=int, default=32)
+    sb.add_argument("--max-new-tokens", type=int, default=32)
+    sb.add_argument("--seqlen", type=int, default=256)
+    sb.add_argument("--seed", type=int, default=0)
+    sb.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas", "pallas-bf16"])
+    sb.set_defaults(fn=cmd_serve_bench)
 
     g = sub.add_parser("generate", help="generate tokens")
     g.add_argument("model")

@@ -107,6 +107,13 @@ def _dequant_plane_gather(codes, lut_t_ref, bits):
 # (vs 3 passes for f32 HIGHEST).
 
 
+# (An int8-codebook single-gather variant — 16-entry int8 table in one
+# 32-sublane vreg, per-channel scale applied once on the output block — hits
+# the same wall: jnp.take_along_axis canonicalizes indices to int32 and
+# Mosaic requires gather index/result bitwidths to match, for 8-bit too.
+# Revisit if Mosaic grows sub-32-bit gather indices.)
+
+
 def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
                        mode: str, b_blk: int, precision):
     """One (batch-block, out-block, in-block) grid step.

@@ -1,0 +1,57 @@
+"""End-to-end CLI coverage on a tiny model (CPU, synthetic data)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from squeezellm_tpu import checkpoint, cli
+from squeezellm_tpu.models import llama
+from squeezellm_tpu.quantize import pipeline
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    config = llama.LlamaConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        n_layers=2, n_heads=4, n_kv_heads=4, max_seq=64,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(0))
+    specs, params = pipeline.quantize_model("llama", config, dense, bits=4)
+    d = str(tmp_path_factory.mktemp("ckpt"))
+    checkpoint.save_quantized(d, "llama", config, specs, params)
+    return d
+
+
+def test_cli_eval(ckpt_dir, capsys):
+    cli.main(["eval", ckpt_dir, "--dataset", "synthetic", "--seqlen", "32",
+              "--nsamples-eval", "2", "--backend", "xla"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ppl"] > 0 and np.isfinite(out["ppl"])
+
+
+def test_cli_benchmark_check(ckpt_dir, capsys):
+    cli.main(["benchmark", ckpt_dir, "--dataset", "synthetic",
+              "--seqlen", "32", "--tokens", "6", "--check",
+              "--backend", "xla", "--fuse"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["tokens_per_s"] > 0
+    assert np.isfinite(out["check_ppl"])
+    assert out["achieved_gb_s"] > 0
+
+
+def test_cli_generate(ckpt_dir, capsys):
+    cli.main(["generate", ckpt_dir, "--prompt-tokens", "1,2,3",
+              "--max-new-tokens", "4", "--backend", "xla"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert len(out["tokens"]) == 3 + 4
+
+
+def test_cli_serve_bench(ckpt_dir, capsys):
+    cli.main(["serve-bench", ckpt_dir, "--slots", "2", "--requests", "3",
+              "--max-new-tokens", "3", "--seqlen", "64", "--backend", "xla"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["total_tokens"] == 9
+    assert out["throughput_tok_s"] > 0
