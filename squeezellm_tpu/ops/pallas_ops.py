@@ -167,21 +167,21 @@ def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
 
 def _butterfly_kernel(x_ref, chi_ref, vals_ref, route_ref, out_ref, *,
                       ih: int, oh: int, r_blk: int):
-    """One slab-group grid step.
+    """One (batch, slab-group) grid step.
 
-    x_ref:     (ih, 128) f32 — x2d, same block every step
+    x_ref:     (1, ih, 128) f32 — batch row b's x2d
     chi_ref:   (r_blk, 128) int32 — source sublane rows
     vals_ref:  (r_blk, 128) f32
     route_ref: (r_blk, 128) int32 — packed take/keep bits per round
-    out_ref:   (oh, 128) f32 — accumulated across steps
+    out_ref:   (1, oh, 128) f32 — accumulated across slab steps
     """
-    s = pl.program_id(0)
+    s = pl.program_id(1)
 
     @pl.when(s == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    x2 = x_ref[:]
+    x2 = x_ref[0]
     chi = chi_ref[:]
     # gather xv[k, l] = x2[chi[k, l], l]: chain of 8-sublane dynamic_gathers
     chunks = []
@@ -204,10 +204,10 @@ def _butterfly_kernel(x_ref, chi_ref, vals_ref, route_ref, out_ref, *,
         cur = jnp.where(take == 1, rolled,
                         jnp.where(keep == 1, cur, 0.0))
 
-    acc = out_ref[:]
+    acc = out_ref[0]
     for m in range(r_blk // oh):
         acc = acc + cur[m * oh : (m + 1) * oh, :]
-    out_ref[:] = acc
+    out_ref[0] = acc
 
 
 @functools.partial(
@@ -226,12 +226,18 @@ def butterfly_spmv(
     interpret: bool = False,
     slab_rows: int = 2048,
 ):
-    """Sparse contribution for one vector x (in_features,) -> (out_features,).
+    """Sparse contribution: x (in_features,) or (B, in_features) ->
+    (out_features,) / (B, out_features).
 
     chi/vals/route: the (R, 128) arrays of a ButterflyPlan (R % oh == 0).
+    The batch is a leading grid dimension — one kernel serves decode (B=1)
+    and pooled continuous-batching steps alike.
     """
     R = chi.shape[0]
     assert R % oh == 0, (R, oh)
+    single = x.ndim == 1
+    xb = x.reshape(1, -1) if single else x
+    B = xb.shape[0]
     # rows per grid step: a multiple of oh, close to slab_rows
     u = max(1, min(R // oh, slab_rows // oh))
     r_blk = u * oh
@@ -242,29 +248,34 @@ def butterfly_spmv(
         vals = jnp.pad(vals, ((0, rp - R), (0, 0)))
         route = jnp.pad(route, ((0, rp - R), (0, 0)))
 
-    xf = x.reshape(-1).astype(jnp.float32)
-    x2 = jnp.zeros((ih * 128,), jnp.float32).at[: xf.shape[0]].set(xf)
-    x2 = x2.reshape(ih, 128)
+    xf = xb.astype(jnp.float32)
+    x2 = jnp.zeros((B, ih * 128), jnp.float32).at[:, : xf.shape[1]].set(xf)
+    x2 = x2.reshape(B, ih, 128)
 
     out = pl.pallas_call(
         functools.partial(_butterfly_kernel, ih=ih, oh=oh, r_blk=r_blk),
-        grid=(n_steps,),
+        grid=(B, n_steps),
         in_specs=[
-            pl.BlockSpec((ih, 128), lambda s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_blk, 128), lambda s: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_blk, 128), lambda s: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_blk, 128), lambda s: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ih, 128), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 128), lambda b, s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 128), lambda b, s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 128), lambda b, s: (s, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((oh, 128), lambda s: (0, 0),
+        out_specs=pl.BlockSpec((1, oh, 128), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((oh, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, oh, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(x2, chi, vals, route)
 
-    return out.reshape(-1)[:out_features]
+    out = out.reshape(B, -1)[:, :out_features]
+    return out[0] if single else out
 
 
 @functools.partial(

@@ -84,22 +84,19 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
 
     if spec.include_sparse:
         flat_b = int(np.prod(x.shape[:-1]))
-        if spec.bf_rows > 0 and backend.startswith("pallas") and flat_b <= 4:
-            # butterfly-routed SpMV: ~100-1000x faster than the XLA
-            # scatter on TPU at decode batch sizes
+        if spec.bf_rows > 0 and backend.startswith("pallas") and flat_b <= 64:
+            # butterfly-routed SpMV: ~100-1000x faster than the XLA scatter
+            # on TPU at decode/serving batch sizes (batch = leading grid dim)
             from squeezellm_tpu.ops import pallas_ops
 
             interpret = jax.default_backend() != "tpu"
-            xf = x.reshape(flat_b, spec.in_features)
-            rows = [
-                pallas_ops.butterfly_spmv(
-                    xf[b], params["bf_chi"], params["bf_vals"],
-                    params["bf_route"], oh=spec.bf_oh, ih=spec.bf_ih,
-                    out_features=spec.out_features, interpret=interpret,
-                )
-                for b in range(flat_b)
-            ]
-            y = y + jnp.stack(rows).reshape(*x.shape[:-1], spec.out_features)
+            sp = pallas_ops.butterfly_spmv(
+                x.reshape(flat_b, spec.in_features), params["bf_chi"],
+                params["bf_vals"], params["bf_route"], oh=spec.bf_oh,
+                ih=spec.bf_ih, out_features=spec.out_features,
+                interpret=interpret,
+            )
+            y = y + sp.reshape(*x.shape[:-1], spec.out_features)
         else:
             y = y + xla_ops.sparse_matmul(
                 x, params["sp_rows"], params["sp_cols"], params["sp_vals"],

@@ -85,29 +85,42 @@ class ContinuousBatchEngine:
     def free_slots(self) -> int:
         return sum(not s.active for s in self._slots)
 
+    # prompts are right-padded to a bucket so prefill compiles once per
+    # bucket, not once per distinct prompt length (each fresh compile costs
+    # minutes over a remote TPU transport)
+    PROMPT_BUCKET = 16
+
     def add_request(self, prompt_tokens, max_new_tokens: int) -> int:
-        """Prefill + occupy a slot. Returns the request id."""
+        """Prefill + occupy a slot. Returns the request id.
+
+        The first generated token comes from the next step(): the slot is
+        seeded at pos = plen-1 with the LAST prompt token, whose re-decode
+        rewrites identical k/v and yields the first-token logits — so
+        prefill logits (which sit at the PAD position) are never used and
+        padding is harmless (pad cache rows beyond pos stay masked)."""
         idx = next((i for i, s in enumerate(self._slots) if not s.active), None)
         if idx is None:
             raise RuntimeError("no free slot")
-        prompt = jnp.asarray(prompt_tokens, jnp.int32).reshape(1, -1)
-        plen = prompt.shape[1]
+        prompt = np.asarray(prompt_tokens, np.int32).reshape(-1)
+        plen = len(prompt)
         if plen + max_new_tokens > self.max_seq:
             raise ValueError("prompt + max_new_tokens exceeds max_seq")
+        b = self.PROMPT_BUCKET
+        padded = np.zeros((1, min(-(-plen // b) * b, self.max_seq)), np.int32)
+        padded[0, :plen] = prompt
         one = common.init_kv_cache(1, self.max_seq, self.config.n_layers,
                                    self.config.n_kv_heads,
                                    self.config.head_dim,
                                    self.cache[0]["k"].dtype)
-        logits, one = self._prefill(self.params, prompt, one)
-        first = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+        _, one = self._prefill(self.params, jnp.asarray(padded), one)
         self.cache = self._insert(self.cache, one, jnp.asarray(idx, jnp.int32))
-        self._cur = self._cur.at[idx, 0].set(first)
-        self._pos[idx] = plen
+        self._cur = self._cur.at[idx, 0].set(int(prompt[-1]))
+        self._pos[idx] = plen - 1
         rid = self._next_id
         self._next_id += 1
-        self._slots[idx] = _Slot(active=True, request_id=rid, pos=plen,
-                                 max_new=max_new_tokens, generated=1,
-                                 tokens=[int(first)])
+        self._slots[idx] = _Slot(active=True, request_id=rid, pos=plen - 1,
+                                 max_new=max_new_tokens, generated=0,
+                                 tokens=[])
         return rid
 
     def step(self) -> Dict[int, Any]:
