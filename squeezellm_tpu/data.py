@@ -13,7 +13,7 @@ a warm cache; two offline sources are added:
 from __future__ import annotations
 
 import random
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -20,7 +20,7 @@ q/k/v channels across shards).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

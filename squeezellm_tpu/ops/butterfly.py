@@ -30,7 +30,7 @@ every sparse pattern of the same padded shape.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

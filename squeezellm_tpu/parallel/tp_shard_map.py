@@ -48,8 +48,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from squeezellm_tpu import formats
 from squeezellm_tpu.models import common, registry
 from squeezellm_tpu.models.common import LinearSpec
-from squeezellm_tpu.ops.quant_linear import QuantLinearSpec
-from squeezellm_tpu.parallel.gspmd import _COLUMN, _ROW
+
+from squeezellm_tpu.parallel.gspmd import _COLUMN
 
 AXIS = "tp"
 

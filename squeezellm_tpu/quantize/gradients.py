@@ -14,7 +14,7 @@ remat=True (jax.checkpoint over layers) and/or smaller sample batches.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

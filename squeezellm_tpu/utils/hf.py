@@ -6,7 +6,6 @@ Only used offline: the engine itself has no transformers dependency.
 from __future__ import annotations
 
 import glob
-import json
 import os
 from typing import Tuple
 
