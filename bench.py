@@ -141,7 +141,7 @@ def _flagship_config(on_tpu):
     from squeezellm_tpu.models import llama
 
     if on_tpu:
-        return llama.LlamaConfig(max_seq=2048), int(os.environ.get("BENCH_TOKENS", "64"))
+        return llama.LlamaConfig(max_seq=2048), int(os.environ.get("BENCH_TOKENS", "128"))
     # CPU smoke fallback: scaled-down model, same code path
     return llama.LlamaConfig(
         vocab_size=1024, hidden_size=512, intermediate_size=1376,

@@ -110,7 +110,7 @@ class Engine:
         check: bool = False,
         warmup: int = 3,
         max_seq: Optional[int] = None,
-        window: int = 16,
+        window: int = 32,
     ) -> Dict[str, Any]:
         """Reference-protocol decode benchmark (llama.py:223-249): feed
         tokens one at a time with the KV cache; optional next-token ppl check.
