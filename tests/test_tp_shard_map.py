@@ -45,8 +45,9 @@ def _llama_cfg(tp):
     )
 
 
-@pytest.mark.parametrize("sparsity", [0.0, 0.02])
-def test_llama_tp_matches_single_device(sparsity):
+@pytest.mark.parametrize("sparsity,bf", [(0.0, False), (0.02, False),
+                                         (0.02, True)])
+def test_llama_tp_matches_single_device(sparsity, bf):
     tp = 4
     config = _llama_cfg(tp)
     (specs, params), _ = _quantize_small(llama, config, sparsity=sparsity)
@@ -65,15 +66,21 @@ def test_llama_tp_matches_single_device(sparsity):
                                                backend="xla")
     )(jp, jnp.asarray([[5]], jnp.int32), jnp.asarray(4, jnp.int32), ref_cache)
 
-    # shard_map TP
+    # shard_map TP (bf=True: per-shard butterfly plans + pallas-interpret
+    # sparse path on each shard)
     mesh = tpm.make_tp_mesh(tp)
     lspecs, sparams, pspecs = tpm.shard_model_params(
-        "llama", config, specs, params, tp
+        "llama", config, specs, params, tp, build_butterfly=bf
     )
+    if bf:
+        q = lspecs["layers"][0]["q"].quant
+        assert q.bf_rows > 0
     dparams = tpm.put_params(sparams, pspecs, mesh)
     cache = tpm.init_tp_cache(config, mesh)
-    prefill, decode = tpm.make_tp_step_fns("llama", config, lspecs, pspecs,
-                                           mesh, backend="xla")
+    prefill, decode = tpm.make_tp_step_fns(
+        "llama", config, lspecs, pspecs, mesh,
+        backend="pallas" if bf else "xla",
+    )
     tp_logits, tp_cache = prefill(dparams, tokens, cache)
     np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
                                rtol=1e-4, atol=1e-4)
