@@ -45,7 +45,7 @@ def build(variant, n_layers=32):
     return config, specs, params, backend, dtype
 
 
-def probe(variant, steps, n_layers=32):
+def probe(variant, steps, n_layers=32, batch=1):
     from bench import put_dedup
     from squeezellm_tpu.models import common, llama
 
@@ -55,7 +55,7 @@ def probe(variant, steps, n_layers=32):
 
         config = dataclasses.replace(config, max_seq=max(128, steps))
     params = put_dedup(params)
-    cache = common.init_kv_cache(1, config.max_seq, config.n_layers,
+    cache = common.init_kv_cache(batch, config.max_seq, config.n_layers,
                                  config.n_kv_heads, config.head_dim,
                                  jnp.bfloat16)
 
@@ -70,12 +70,13 @@ def probe(variant, steps, n_layers=32):
             nxt = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
             return (cache, pos + 1), nxt[0, 0]
 
+
         (cache, _), toks = jax.lax.scan(
             step, (cache, jnp.asarray(0, jnp.int32)), tokens
         )
         return toks[-1]
 
-    tokens = jnp.ones((steps, 1, 1), jnp.int32)
+    tokens = jnp.ones((steps, batch, 1), jnp.int32)
     t0 = time.perf_counter()
     int(run(params, tokens, cache))
     compile_s = time.perf_counter() - t0
@@ -85,8 +86,9 @@ def probe(variant, steps, n_layers=32):
         int(run(params, tokens, cache))
         best = min(best, (time.perf_counter() - t0))
     ms_tok = best / steps * 1e3
-    print(f"{variant:12s} compile {compile_s:6.1f}s | {ms_tok:8.2f} ms/token "
-          f"({1e3/ms_tok:6.1f} tok/s)", flush=True)
+    agg = batch * 1e3 / ms_tok
+    print(f"{variant:12s} b={batch:<3d} compile {compile_s:6.1f}s | "
+          f"{ms_tok:8.2f} ms/step ({agg:7.1f} tok/s aggregate)", flush=True)
 
 
 def main():
@@ -95,10 +97,11 @@ def main():
                     default=["pallas-s0", "pallas-s45", "xla-s0"])
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
     print("backend:", jax.default_backend(), flush=True)
     for v in args.variants:
-        probe(v, args.steps, args.layers)
+        probe(v, args.steps, args.layers, args.batch)
 
 
 if __name__ == "__main__":
