@@ -26,8 +26,13 @@ def probe(variant, seqlen=2048):
     else:
         specs, params = _build_quantized_llama(config, bits=4, sparsity=0.0045)
         params = put_dedup(params)
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-        dtype = jnp.float32
+        on_tpu = jax.default_backend() == "tpu"
+        if variant == "quant-bf16":
+            backend = "pallas-bf16" if on_tpu else "xla"
+            dtype = jnp.bfloat16
+        else:
+            backend = "pallas" if on_tpu else "xla"
+            dtype = jnp.float32
 
     @jax.jit
     def fwd(params, tokens):
