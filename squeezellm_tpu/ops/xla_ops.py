@@ -39,10 +39,24 @@ def lut_matmul(x, qweight, lut, bits: int):
 def sparse_matmul(x, sp_rows, sp_cols, sp_vals, out_features: int):
     """Sparse-outlier contribution: ``y[..., r] += v * x[..., c]``.
 
-    COO entries are zero-padded (vals == 0) so padding is a no-op. Uses a
-    scatter-add over the last axis — deterministic on TPU (no atomics),
-    replacing the reference's atomicAdd CSR SpMV (quant_cuda_kernel.cu:1040-1089).
+    COO entries are zero-padded (vals == 0) so padding is a no-op.
+    Deterministic on TPU (no atomics), replacing the reference's atomicAdd
+    CSR SpMV (quant_cuda_kernel.cu:1040-1089).
+
+    Two regimes: small batch scatters per-row contributions; large batch
+    (eval/prefill strides) materializes the sparse matrix ONCE with a single
+    scatter and rides the MXU — the per-row scatter would otherwise gather+
+    scatter batch * nnz elements through TPU XLA's near-serial engine
+    (~100 ms per linear at 2048 x 200k).
     """
+    import numpy as np
+
+    flat_b = int(np.prod(x.shape[:-1]))
+    if flat_b > 16:
+        w = jnp.zeros((x.shape[-1], out_features), jnp.float32)
+        w = w.at[sp_cols, sp_rows].add(sp_vals.astype(jnp.float32))
+        return jnp.matmul(x.astype(jnp.float32), w,
+                          preferred_element_type=jnp.float32)
     contrib = x[..., sp_cols].astype(jnp.float32) * sp_vals  # (..., nnz)
     y = jnp.zeros(x.shape[:-1] + (out_features,), dtype=jnp.float32)
     return y.at[..., sp_rows].add(contrib, indices_are_sorted=False)
