@@ -278,49 +278,6 @@ def butterfly_spmv(
     return out[0] if single else out
 
 
-def _lut_matmul_ws_kernel(x_ref, qw_ref, lut_ref, out_ref, wdq_ref, *,
-                          bits: int, cpw: int, mode: str, b_blk: int,
-                          precision, n_in: int):
-    """Weight-stationary batched variant: grid (o, i, b) with batch
-    INNERMOST — each (o, i) weight tile is dequantized ONCE into VMEM
-    scratch and reused for every batch tile. This is what makes large-batch
-    (eval/prefill) strides run at dense-matmul speed instead of paying the
-    dequant per batch block.
-
-    wdq_ref: (cpw * w_blk, o_blk) scratch, bf16 ('bf16' mode) or f32.
-    out_ref: (b_blk, o_blk) f32, accumulated across the i grid dim.
-    """
-    i = pl.program_id(1)
-    b = pl.program_id(2)
-
-    @pl.when(b == 0)
-    def _dequant():
-        words = qw_ref[:].astype(jnp.uint32)
-        w_blk = words.shape[0]
-        for j in range(cpw):
-            codes = (words >> jnp.uint32(bits * j)) & jnp.uint32(2**bits - 1)
-            if mode in ("gather", "bf16"):
-                wj = _dequant_plane_gather(codes, lut_ref, bits)
-            else:
-                wj = _dequant_plane_select(codes, lut_ref, bits)
-            wdq_ref[j * w_blk : (j + 1) * w_blk, :] = wj.astype(wdq_ref.dtype)
-
-    @pl.when(i == 0)
-    def _init():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    acc = out_ref[:]
-    w_blk = qw_ref.shape[0]
-    for j in range(cpw):
-        acc = acc + jnp.dot(
-            x_ref[j * b_blk : (j + 1) * b_blk, :],
-            wdq_ref[j * w_blk : (j + 1) * w_blk, :],
-            preferred_element_type=jnp.float32,
-            precision=None if mode == "bf16" else precision,
-        )
-    out_ref[:] = acc
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "b_blk", "w_blk", "o_blk", "interpret", "mode",
@@ -365,11 +322,11 @@ def lut_matmul(
                 return cand
         return 128
 
-    if not w_blk:
-        w_blk = _auto_blk(128 if batch <= 8 else 256, _round_up(nw, 128))
     if not o_blk:
         o_blk = _auto_blk(1024 if batch <= 8 else 512,
                           _round_up(out_features, 128))
+    if not w_blk:
+        w_blk = _auto_blk(128 if batch <= 8 else 256, _round_up(nw, 128))
 
     b_blk = min(b_blk, _round_up(batch, 8))
     o_blk = min(o_blk, _round_up(out_features, 128))
@@ -409,51 +366,6 @@ def lut_matmul(
 
     if mode == "bf16":
         x2 = x2.astype(jnp.bfloat16)
-
-    if batch > 8:
-        # weight-stationary: batch innermost, dequant each tile once
-        if mode in ("gather", "bf16"):
-            ws_lut_spec = pl.BlockSpec(
-                (lut_in.shape[0], o_blk), lambda o, i, b: (0, o),
-                memory_space=pltpu.VMEM,
-            )
-        else:
-            ws_lut_spec = pl.BlockSpec(
-                (o_blk, 2**bits), lambda o, i, b: (o, 0),
-                memory_space=pltpu.VMEM,
-            )
-        grid = (op // o_blk, wp // w_blk, bp // b_blk)
-        out = pl.pallas_call(
-            functools.partial(
-                _lut_matmul_ws_kernel, bits=bits, cpw=cpw, mode=mode,
-                b_blk=b_blk,
-                precision=jax.lax.Precision.HIGHEST if precision == "highest"
-                else jax.lax.Precision.DEFAULT,
-                n_in=wp // w_blk,
-            ),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((cpw * b_blk, w_blk), lambda o, i, b: (b, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((w_blk, o_blk), lambda o, i, b: (i, o),
-                             memory_space=pltpu.VMEM),
-                ws_lut_spec,
-            ],
-            out_specs=pl.BlockSpec((b_blk, o_blk), lambda o, i, b: (b, o),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((bp, op), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM(
-                    (cpw * w_blk, o_blk),
-                    jnp.bfloat16 if mode == "bf16" else jnp.float32,
-                )
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            ),
-            interpret=interpret,
-        )(x2, qw, lut_in)
-        return out[:batch, :out_features].reshape(*lead, out_features)
 
     grid = (bp // b_blk, op // o_blk, wp // w_blk)
 
