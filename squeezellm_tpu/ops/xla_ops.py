@@ -55,11 +55,14 @@ def sparse_matmul(x, sp_rows, sp_cols, sp_vals, out_features: int):
     if flat_b > 16:
         w = jnp.zeros((x.shape[-1], out_features), jnp.float32)
         w = w.at[sp_cols, sp_rows].add(sp_vals.astype(jnp.float32))
-        # HIGHEST: outlier values must not be truncated to bf16 — the whole
-        # point of the sidecar is exact correction
+        # f32 activations (exact eval): HIGHEST, or the MXU truncates the
+        # outlier values to bf16 (2.4e-3 relerr) — the sidecar exists to be
+        # an exact correction. bf16 activations: one pass is already the
+        # operating precision.
+        prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         return jnp.matmul(x.astype(jnp.float32), w,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          preferred_element_type=jnp.float32, precision=prec)
     contrib = x[..., sp_cols].astype(jnp.float32) * sp_vals  # (..., nnz)
     y = jnp.zeros(x.shape[:-1] + (out_features,), dtype=jnp.float32)
     return y.at[..., sp_rows].add(contrib, indices_are_sorted=False)
