@@ -17,9 +17,16 @@ Design notes:
 * 3-bit uses the lane-friendly 10-codes-per-word layout (formats.pack_codes),
   not the reference's cross-word bit-spill, so the unpack is one shift+mask
   per code plane.
-* The select-tree costs ``2**bits - 1`` vector selects per code plane; at
-  4 bits that is ~21 VPU ops per weight element, which keeps batch-1 decode
-  at fp16-latency parity while streaming 4x fewer HBM bytes.
+* Dequant exploits a measured v5e Mosaic property: ``tpu.dynamic_gather``
+  over an 8-sublane f32 table WRAPS the index mod 8 (uses only the low
+  3 bits of the lane's index value, incl. for negative values). The kernel
+  therefore gathers with the *shifted packed word itself* as the index —
+  no mask, no cast: 3-bit dequant is shift+gather = ~2 VPU ops/weight;
+  4-bit adds a second table plus a top-bit select = ~6 ops/weight.
+* mode='bf16' pre-rounds the LUT and activations to bf16-representable f32
+  and runs the MXU at default precision (operand truncation is then exact):
+  one MXU pass, no per-weight cast op. mode='gather' keeps full-f32 tables
+  with HIGHEST precision (exact f32 numerics, ~3 MXU passes).
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -69,53 +77,87 @@ def _dequant_plane_select(codes, lut_ref, bits):
     return _select_tree(bit_planes, leaves)
 
 
-def _dequant_plane_gather(codes, lut_t_ref, bits):
-    """Hardware-shuffle dequant via tpu.dynamic_gather: (W, O) codes ->
-    (W, O) f32 in ~3 (3-bit) / ~6 (4-bit) VPU ops per element.
+_GATHER_DNUMS = lax.GatherDimensionNumbers(
+    offset_dims=(),
+    collapsed_slice_dims=(0,),
+    start_index_map=(0,),
+    operand_batching_dims=(1,),
+    start_indices_batching_dims=(1,),
+)
 
-    Mosaic lowers take_along_axis to tpu.dynamic_gather when the gather
-    dimension fits ONE vreg (8 f32 sublanes), so the lookup runs as an
-    in-register sublane shuffle, chunked in 8-row tiles. lut_t_ref holds the
-    transposed table (2**bits, O) — 8-entry tables gather directly; 16-entry
-    tables use two 8-row gathers selected by the code's top bit.
+
+def _gather8(tab, idx, mask_idx: bool):
+    """out[r, c] = tab[idx[r, c] mod 8, c] for an (8, O) f32 table.
+
+    Lowers to ONE tpu.dynamic_gather (an in-register sublane shuffle). On
+    v5e hardware the shuffle uses only the low 3 bits of each index value
+    (measured: wraps mod 8, incl. negative values), so callers may pass the
+    shifted packed word directly — no `& 7`, no dtype cast. Raw lax.gather
+    is used instead of take_along_axis because the latter canonicalizes
+    indices to a fresh int32 array.
+
+    mask_idx=True (interpret mode) masks explicitly — the mod-8 wrap is a
+    hardware property, not a lax.gather guarantee.
     """
-    w_blk = codes.shape[0]
-    idx = (codes & jnp.uint32(7)).astype(jnp.int32)
+    if mask_idx:
+        idx = idx & 7
+    return lax.gather(
+        tab,
+        idx[..., None],
+        _GATHER_DNUMS,
+        (1, 1),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _dequant_plane_gather(s, lut_t_ref, bits, mask_idx):
+    """Wrap-gather dequant: (W, O) shifted words -> (W, O) f32.
+
+    ~1 VPU op/element for 3-bit (the gather; the shift is done once by the
+    caller), ~5 for 4-bit (two table gathers + top-bit select). lut_t_ref
+    holds the transposed table (2**bits rows padded to 8, O); for 4-bit,
+    rows 0-7 are centroids 0-7 ('lo') and rows 8-15 centroids 8-15 ('hi').
+    The gather consumes the shifted word's low 3 bits via the mod-8 wrap;
+    for 4-bit, bit 3 of the shifted word selects the hi table.
+    """
+    w_blk = s.shape[0]
     chunks = []
     if bits <= 3:
         tab = lut_t_ref[0:8, :]
         for c in range(0, w_blk, 8):
-            chunks.append(jnp.take_along_axis(tab, idx[c : c + 8, :], axis=0))
+            chunks.append(_gather8(tab, s[c : c + 8, :], mask_idx))
         return jnp.concatenate(chunks, axis=0)
     assert bits == 4
     lo = lut_t_ref[0:8, :]
     hi = lut_t_ref[8:16, :]
-    is_hi = (codes & jnp.uint32(8)) != 0
     for c in range(0, w_blk, 8):
-        i8 = idx[c : c + 8, :]
-        vlo = jnp.take_along_axis(lo, i8, axis=0)
-        vhi = jnp.take_along_axis(hi, i8, axis=0)
-        chunks.append(jnp.where(is_hi[c : c + 8, :], vhi, vlo))
+        s8 = s[c : c + 8, :]
+        chunks.append(
+            jnp.where(
+                (s8 & 8) != 0,
+                _gather8(hi, s8, mask_idx),
+                _gather8(lo, s8, mask_idx),
+            )
+        )
     return jnp.concatenate(chunks, axis=0)
 
 
-# NOTE: a true bf16 single-gather dequant (16-entry bf16 table = one
-# 16-sublane vreg = one tpu.dynamic_gather) is blocked by Mosaic: gather
-# indices must match the table bitwidth, and take_along_axis canonicalizes
-# indices to int32. The bf16 mode therefore reuses the f32 two-gather
-# dequant and only downcasts the weights for a one-pass bf16 MXU dot
-# (vs 3 passes for f32 HIGHEST).
-
-
-# (An int8-codebook single-gather variant — 16-entry int8 table in one
-# 32-sublane vreg, per-channel scale applied once on the output block — hits
-# the same wall: jnp.take_along_axis canonicalizes indices to int32 and
-# Mosaic requires gather index/result bitwidths to match, for 8-bit too.
-# Revisit if Mosaic grows sub-32-bit gather indices.)
+# NOTE on roads not taken (all measured on v5e, 2026-08-16):
+# * bf16/int8 single-gather tables (16/32 sublanes in one vreg): Mosaic
+#   reports "Byte gather not supported by this TPU generation" — a v5e
+#   hardware limit, not a take_along_axis artifact. Revisit on v6.
+# * f32 tables taller than one vreg (16+ rows, int32 idx): "Multiple source
+#   vregs along gather dimension" is not implemented.
+# * int16 packed arithmetic (2x VPU density for unpack): arith.shrsi fails
+#   to legalize for int16 (andi is fine) — no sub-32-bit shift on this gen.
+# * Packing a bf16 (lo, hi) centroid pair into one int32 table entry and
+#   bit-selecting after a single gather: same op count as two gathers, and
+#   relying on MXU default-precision truncation to drop the garbage low
+#   mantissa bits is NOT exact (measured 5e-3 rel err) — rejected.
 
 
 def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
-                       mode: str, b_blk: int, precision):
+                       mode: str, b_blk: int, precision, interpret: bool):
     """One (batch-block, out-block, in-block) grid step.
 
     x_ref:   (cpw * B_BLK, W_BLK) f32 — plane-major activation slice:
@@ -133,20 +175,27 @@ def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    words = qw_ref[:].astype(jnp.uint32)  # (W_BLK, O_BLK)
-
     acc = out_ref[:]
-    for j in range(cpw):
-        codes = (words >> jnp.uint32(bits * j)) & jnp.uint32(2**bits - 1)
-        if mode == "bf16":
-            wj = _dequant_plane_gather(codes, lut_ref, bits).astype(jnp.bfloat16)
-        elif mode == "gather":
-            wj = _dequant_plane_gather(codes, lut_ref, bits)
-        else:
+    if mode == "select":
+        words = qw_ref[:].astype(jnp.uint32)  # (W_BLK, O_BLK)
+        for j in range(cpw):
+            codes = (words >> jnp.uint32(bits * j)) & jnp.uint32(2**bits - 1)
             wj = _dequant_plane_select(codes, lut_ref, bits)
-        # precision=HIGHEST: the MXU truncates f32 operands to bf16 at
-        # default precision — silently wrong vs the f32 reference numerics.
-        # (bf16 mode feeds the MXU native bf16: one pass, exact for bf16.)
+            acc = acc + jnp.dot(
+                x_ref[j * b_blk : (j + 1) * b_blk, :], wj,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        out_ref[:] = acc
+        return
+
+    words = qw_ref[:]  # int32; arithmetic shifts keep the low code bits
+    for j in range(cpw):
+        s = (words >> (bits * j)) if j else words
+        wj = _dequant_plane_gather(s, lut_ref, bits, mask_idx=interpret)
+        # mode='bf16': LUT and x are pre-rounded to bf16-representable f32,
+        # so the MXU's default-precision operand truncation is exact and the
+        # dot is ONE pass. mode='gather': full-f32 values, HIGHEST (~3
+        # passes) — default precision would silently truncate to bf16.
         acc = acc + jnp.dot(
             x_ref[j * b_blk : (j + 1) * b_blk, :], wj,
             preferred_element_type=jnp.float32,
@@ -298,8 +347,13 @@ def lut_matmul(
 ):
     """Fused LUT-dequant matmul: ``x (..., in) -> (..., out)`` f32.
 
-    Handles any leading batch shape (flattened); pads every dim to block
-    multiples (zero codes x zero activations contribute 0).
+    Handles any leading batch shape (flattened). Non-dividing weight/out
+    dims are handled by Pallas's native out-of-bounds block masking — no
+    in-graph pad copy of the packed weights. OOB packed words read as
+    garbage bits, but they dequant (via the mod-8 gather wrap) to finite
+    LUT values that multiply explicitly ZERO-padded activation slots, so
+    the padded region contributes exactly 0; OOB output columns are sliced
+    off before returning.
 
     w_blk/o_blk 0 = auto: GEMV-shaped calls (decode) take narrow weight
     blocks with wide lanes (w128/o1024, the measured v5e optimum); batched
@@ -313,20 +367,10 @@ def lut_matmul(
     xf = x.reshape(-1, in_features).astype(jnp.float32)
     batch = xf.shape[0]
 
-    def _auto_blk(limit, padded):
-        # largest power-of-two block <= limit that divides the padded dim:
-        # a non-dividing block forces an in-graph pad COPY of the packed
-        # weights on every call (visible as 'pad' ops in traces)
-        for cand in (limit, limit // 2, limit // 4, limit // 8):
-            if cand >= 128 and padded % cand == 0:
-                return cand
-        return 128
-
     if not o_blk:
-        o_blk = _auto_blk(1024 if batch <= 8 else 512,
-                          _round_up(out_features, 128))
+        o_blk = 1024 if batch <= 8 else 512
     if not w_blk:
-        w_blk = _auto_blk(128 if batch <= 8 else 256, _round_up(nw, 128))
+        w_blk = 128 if batch <= 8 else 256
 
     b_blk = min(b_blk, _round_up(batch, 8))
     o_blk = min(o_blk, _round_up(out_features, 128))
@@ -339,6 +383,7 @@ def lut_matmul(
 
     # Pre-reshape activation to plane-major 2D layout: for batch-block b,
     # rows [b*cpw*b_blk + j*b_blk + t] hold x[b*b_blk + t, w*cpw + j].
+    # (x is small — this pad/transpose is cheap, unlike a weights pad.)
     xpad = jnp.pad(xf, ((0, bp - batch), (0, wp * cpw - in_features)))
     x2 = (
         xpad.reshape(bp // b_blk, b_blk, wp, cpw)
@@ -346,11 +391,17 @@ def lut_matmul(
         .reshape(bp // b_blk * cpw * b_blk, wp)
     )
 
-    qw = jnp.pad(qweight, ((0, wp - nw), (0, op - out_features)))
-    lutp = jnp.pad(lut.astype(jnp.float32), ((0, op - out_features), (0, 0)))
+    qw = qweight  # OOB blocks masked by Pallas — see docstring
+    lutp = lut.astype(jnp.float32)
 
     if mode in ("gather", "bf16") and bits > 4:
         mode = "select"  # >16-entry tables can't hardware-gather
+    if mode == "bf16":
+        # round LUT + activations to bf16-representable f32: the MXU's
+        # default-precision truncation is then exact, one pass, and the
+        # kernel needs no per-weight cast op
+        lutp = lutp.astype(jnp.bfloat16).astype(jnp.float32)
+        x2 = x2.astype(jnp.bfloat16).astype(jnp.float32)
     if mode in ("gather", "bf16"):
         # transposed table, rows padded to the 8-sublane vreg height
         k_rows = max(8, 2**bits)
@@ -364,9 +415,6 @@ def lut_matmul(
             (o_blk, 2**bits), lambda b, o, i: (o, 0), memory_space=pltpu.VMEM
         )
 
-    if mode == "bf16":
-        x2 = x2.astype(jnp.bfloat16)
-
     grid = (bp // b_blk, op // o_blk, wp // w_blk)
 
     out = pl.pallas_call(
@@ -374,6 +422,7 @@ def lut_matmul(
             _lut_matmul_kernel, bits=bits, cpw=cpw, mode=mode, b_blk=b_blk,
             precision=jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT,
+            interpret=interpret,
         ),
         grid=grid,
         in_specs=[
