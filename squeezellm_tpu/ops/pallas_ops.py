@@ -370,9 +370,17 @@ def lut_matmul(
     if not o_blk:
         o_blk = 1024 if batch <= 8 else 512
     if not w_blk:
-        w_blk = 128 if batch <= 8 else 256
+        # decode sweep (v5e): w512/o1024 streams packed words at ~530-730
+        # GB/s vs ~380-480 at w128/w256 — big w-blocks amortize DMA issue
+        w_blk = 512 if batch <= 8 else 256
 
-    b_blk = min(b_blk, _round_up(batch, 8))
+    if batch <= 8:
+        # GEMV: block the batch dim at its true size — rounding 1 -> 8 makes
+        # the plane-major relayout copy 8x the activation bytes per call
+        # (measured 0.5 ms/decode-step at 7B) for all-zero padding rows
+        b_blk = min(b_blk, batch)
+    else:
+        b_blk = min(b_blk, _round_up(batch, 8))
     o_blk = min(o_blk, _round_up(out_features, 128))
     # last-two block dims must be (8,128)-aligned on hardware
     w_blk = min(w_blk, _round_up(nw, 128))
