@@ -38,13 +38,13 @@ def _build_quantized_llama(config, bits, sparsity, key=None):
 
     from squeezellm_tpu import formats
     from squeezellm_tpu.models.common import LinearSpec
-    from squeezellm_tpu.ops import butterfly
+    from squeezellm_tpu.ops import spmv
     from squeezellm_tpu.ops.quant_linear import QuantLinearSpec
 
     shapes = config.linear_shapes()
     rng = np.random.default_rng(0)
 
-    # one random weight set + butterfly plan per distinct (out, in) shape,
+    # one random weight set + spmv plan per distinct (out, in) shape,
     # shared by all layers: a synthetic benchmark doesn't need 224 distinct
     # greedy assignments on this single-core host, and sharing numpy arrays
     # keeps build time and upload volume at one-layer cost per shape.
@@ -67,10 +67,9 @@ def _build_quantized_llama(config, bits, sparsity, key=None):
                 rows = np.sort(rng.integers(0, o, nnz_pad)).astype(np.int32)
                 cols = rng.integers(0, i, nnz_pad).astype(np.int32)
                 vals = (rng.standard_normal(nnz_pad) * 0.08).astype(np.float32)
-                plan = butterfly.build_plan(rows, cols, vals, o, i)
+                plan = spmv.build_plan(rows, cols, vals, o, i)
                 d.update(sp_rows=rows, sp_cols=cols, sp_vals=vals,
-                         bf_chi=plan.chi, bf_vals=plan.vals,
-                         bf_route=plan.route)
+                         sg_meta=plan.meta, sg_vals=plan.vals)
             cache[(o, i)] = (d, plan)
         return cache[(o, i)]
 
@@ -91,7 +90,7 @@ def _build_quantized_llama(config, bits, sparsity, key=None):
             param_d[name] = dict(arrays)
             if plan is not None:
                 qspec = dataclasses.replace(
-                    qspec, bf_rows=plan.n_rows, bf_oh=plan.oh, bf_ih=plan.ih
+                    qspec, sg_rows=plan.n_rows, sg_oh=plan.oh, sg_ih=plan.ih
                 )
             spec_d[name] = LinearSpec(in_features=i, out_features=o, quant=qspec)
         spec_layers.append(spec_d)
@@ -227,7 +226,7 @@ def _phase_quant():
     params = put_dedup(params)
     # pallas-bf16: bf16-rounded dequant + activations (the same numeric
     # regime as the reference's fp16 decode benchmark, README.md:139-142);
-    # the butterfly plans handle the sparse sidecar
+    # the spmv plans handle the sparse sidecar
     eng = engine_mod.Engine("llama", config, specs, params,
                             backend="pallas-bf16" if on_tpu else "xla",
                             dtype=jnp.bfloat16 if on_tpu else jnp.float32,

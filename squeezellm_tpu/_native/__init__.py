@@ -37,18 +37,6 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.nuq_weighted_kmeans_batched.restype = None
-        lib.butterfly_solve.argtypes = [
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int, ctypes.c_int,
-            ctypes.c_double, ctypes.c_double, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.butterfly_solve.restype = ctypes.c_int
         _lib = lib
     except OSError:
         _lib = None
@@ -84,44 +72,3 @@ def weighted_kmeans_batched(
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return cents, labels
-
-
-def butterfly_solve(
-    rows: np.ndarray,
-    cols: np.ndarray,
-    vals: np.ndarray,
-    oh: int,
-    oh_true: int,
-    slack: float,
-    max_slack: float,
-) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Native greedy butterfly slot assignment. Returns (chi, vals, route)
-    arrays of shape (R, 128), or raises on infeasibility."""
-    lib = load()
-    if lib is None:
-        raise RuntimeError("native library not built (make -C csrc)")
-    rows = np.ascontiguousarray(rows, dtype=np.int32)
-    cols = np.ascontiguousarray(cols, dtype=np.int32)
-    vals = np.ascontiguousarray(vals, dtype=np.float32)
-    nnz = len(vals)
-    max_rows = max(
-        oh, int(np.ceil(max_slack * max(nnz, 1) / (128 * oh_true)) + 1) * oh
-    )
-    chi = np.zeros((max_rows, 128), dtype=np.int32)
-    v = np.zeros((max_rows, 128), dtype=np.float32)
-    route = np.zeros((max_rows, 128), dtype=np.int32)
-    r = lib.butterfly_solve(
-        ctypes.c_int64(nnz),
-        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        oh, oh_true, slack, max_slack, max_rows,
-        chi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        route.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-    )
-    if r == -1:
-        raise RuntimeError(f"butterfly assignment failed at slack {max_slack}")
-    if r == -2:
-        raise RuntimeError("butterfly solver buffer too small")
-    return chi[:r], v[:r], route[:r]

@@ -33,7 +33,7 @@ FORMAT_NAME = "squeezellm-tpu"
 FORMAT_VERSION = 1
 
 _QUANT_KEYS = ("qweight", "lut", "bias", "sp_rows", "sp_cols", "sp_vals",
-               "topx_weights", "topx_indices")
+               "topx_weights", "topx_indices", "sg_meta", "sg_vals")
 
 
 def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
@@ -71,7 +71,7 @@ def save_quantized(path: str, model_type: str, config, specs, params) -> None:
                 q = spec.quant
                 meta.update(
                     quant=True, bits=q.bits, nnz_pad=q.nnz_pad, topx=q.topx,
-                    bf_rows=q.bf_rows, bf_oh=q.bf_oh, bf_ih=q.bf_ih,
+                    sg_rows=q.sg_rows, sg_oh=q.sg_oh, sg_ih=q.sg_ih,
                 )
             else:
                 meta["quant"] = False
@@ -131,8 +131,8 @@ def load_quantized(path: str, to_device: bool = True) -> Tuple[str, Any, Any, An
                 qspec = QuantLinearSpec(
                     bits=meta["bits"], in_features=i, out_features=o,
                     has_bias=meta["has_bias"], nnz_pad=meta["nnz_pad"],
-                    topx=meta["topx"], bf_rows=meta.get("bf_rows", 0),
-                    bf_oh=meta.get("bf_oh", 0), bf_ih=meta.get("bf_ih", 0),
+                    topx=meta["topx"], sg_rows=meta.get("sg_rows", 0),
+                    sg_oh=meta.get("sg_oh", 0), sg_ih=meta.get("sg_ih", 0),
                 )
                 spec_d[name] = LinearSpec(
                     in_features=i, out_features=o, has_bias=meta["has_bias"],

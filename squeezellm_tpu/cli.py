@@ -153,7 +153,7 @@ def cmd_pack(args):
     from squeezellm_tpu.quantize import staged
 
     staged.pack(args.model, args.nuq, args.wbits, args.output,
-                build_butterfly=not args.no_butterfly, verbose=True)
+                build_spmv=not args.no_spmv, verbose=True)
     print(f"packed checkpoint -> {args.output}")
 
 
@@ -304,7 +304,7 @@ def main(argv=None):
     pk.add_argument("--model", required=True)
     pk.add_argument("--nuq", required=True)
     pk.add_argument("--wbits", type=int, required=True, choices=[3, 4])
-    pk.add_argument("--no-butterfly", action="store_true")
+    pk.add_argument("--no-spmv", action="store_true")
     pk.add_argument("--output", required=True)
     pk.set_defaults(fn=cmd_pack)
 

@@ -160,7 +160,7 @@ def convert_reference_checkpoint(
     out_path: str,
     model_type: Optional[str] = None,
     nnz_pad_multiple: int = 512,
-    build_butterfly: bool = True,
+    build_spmv: bool = True,
 ) -> None:
     """Load a reference .pt checkpoint + HF model dir (config.json) and write
     a squeezellm-tpu checkpoint. Replaces load_quant's filename-substring
@@ -175,10 +175,10 @@ def convert_reference_checkpoint(
     specs, params = convert_state_dict(
         sd, model_type, config, wbits, nnz_pad_multiple=nnz_pad_multiple
     )
-    if build_butterfly:
-        from squeezellm_tpu.ops import butterfly
+    if build_spmv:
+        from squeezellm_tpu.ops import spmv
 
-        specs, params = butterfly.prepare_model(
+        specs, params = spmv.prepare_model(
             specs, params, registry.get_module_names(model_type), processes=1
         )
     checkpoint.save_quantized(out_path, model_type, config, specs, params)

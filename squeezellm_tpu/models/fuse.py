@@ -10,7 +10,7 @@ the output axis for free — 7 calls/layer become 4, and the fused lane dims
 The reference has no analogue (its CUDA GEMVs launch per-module); this is a
 TPU-side optimization applied at load time. Fused params are a pure data
 transform; sparse sidecars are re-planned for the fused matrix with the
-butterfly solver.
+spmv planner.
 
 Note: apply BEFORE sharding only on a single chip. Under tensor parallelism
 fuse the per-device locals instead (a fused column split would interleave
@@ -46,7 +46,7 @@ def _fusable(specs: Dict[str, LinearSpec], names) -> bool:
     )
 
 
-def _fuse_linears(names, specs, params, build_butterfly=True):
+def _fuse_linears(names, specs, params, build_spmv=True):
     """Concatenate quantized linears along the output dim."""
     ls = [specs[n] for n in names]
     ps = [params[n] for n in names]
@@ -95,15 +95,15 @@ def _fuse_linears(names, specs, params, build_butterfly=True):
     )
     spec = LinearSpec(in_features=in_f, out_features=out_f,
                       has_bias=has_bias, quant=qspec)
-    if nnz_pad and build_butterfly:
-        from squeezellm_tpu.ops import butterfly
+    if nnz_pad and build_spmv:
+        from squeezellm_tpu.ops import spmv
 
-        qspec, new_p = butterfly.attach_plan(qspec, new_p)
+        qspec, new_p = spmv.attach_plan(qspec, new_p)
         spec = dataclasses.replace(spec, quant=qspec)
     return spec, new_p
 
 
-def fuse_for_decode(model_type: str, specs, params, build_butterfly=True):
+def fuse_for_decode(model_type: str, specs, params, build_spmv=True):
     """Returns (fused_specs, fused_params). Unfusable layers pass through."""
     groups = _FUSE_GROUPS.get(model_type if model_type in _FUSE_GROUPS
                               else "llama", [])
@@ -120,7 +120,7 @@ def fuse_for_decode(model_type: str, specs, params, build_butterfly=True):
             if key in memo:
                 fspec, fp = memo[key]
             else:
-                fspec, fp = _fuse_linears(names, sd, pd, build_butterfly)
+                fspec, fp = _fuse_linears(names, sd, pd, build_spmv)
                 memo[key] = (fspec, fp)
             for n in names:
                 del sd[n], pd[n]

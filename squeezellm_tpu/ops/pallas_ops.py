@@ -205,24 +205,46 @@ def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
 
 
 # ---------------------------------------------------------------------------
-# Butterfly-routed sparse matvec (see ops/butterfly.py for the offline
-# planner). Replaces the XLA scatter-add path for decode: gathers x within
-# lanes (8-sublane dynamic_gather chain), routes values across lanes with 7
-# static roll-by-2^j rounds under precomputed take/keep masks, and slab-sums
-# into y. Replaces the reference's atomicAdd CSR SpMV
+# Two-hop-gather sparse matvec (see ops/spmv.py for the offline planner).
+# Replaces both the XLA scatter-add path and round 1's 7-round butterfly:
+# v5e's tpu.dynamic_gather shuffles along EITHER vreg axis (8 sublanes or
+# 128 lanes, both wrapping), and gathers tolerate read collisions that
+# send-routing cannot — so arbitrary (row, lane) -> (row, lane) movement is
+# two chained gathers instead of 7 masked roll rounds (~8-40 VPU ops/slot
+# vs ~60-80). Replaces the reference's atomicAdd CSR SpMV
 # (quant_cuda_kernel.cu:1040-1089) with deterministic vector ops.
 # ---------------------------------------------------------------------------
 
 
-def _butterfly_kernel(x_ref, chi_ref, vals_ref, route_ref, out_ref, *,
-                      ih: int, oh: int, r_blk: int):
+def _gather_lane(tab, idx, mask_idx: bool):
+    """out[r, c] = tab[r, idx[r, c] mod 128] — the 128-lane shuffle twin of
+    :func:`_gather8` (measured on v5e: wraps mod 128, negatives included)."""
+    if mask_idx:
+        idx = idx & 127
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1,),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return lax.gather(
+        tab,
+        idx[..., None],
+        dnums,
+        (1, 1),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _spmv_kernel(x_ref, meta_ref, vals_ref, out_ref, *,
+                 ih: int, oh: int, r_blk: int, interpret: bool):
     """One (batch, slab-group) grid step.
 
-    x_ref:     (1, ih, 128) f32 — batch row b's x2d
-    chi_ref:   (r_blk, 128) int32 — source sublane rows
-    vals_ref:  (r_blk, 128) f32
-    route_ref: (r_blk, 128) int32 — packed take/keep bits per round
-    out_ref:   (1, oh, 128) f32 — accumulated across slab steps
+    x_ref:    (1, ih, 128) f32 — batch row b's x2d
+    meta_ref: (r_blk, 128) int32 — chirow | src_lane << 8 (ops/spmv.py)
+    vals_ref: (r_blk, 128) f32
+    out_ref:  (1, oh, 128) f32 — accumulated across slab steps
     """
     s = pl.program_id(1)
 
@@ -231,27 +253,20 @@ def _butterfly_kernel(x_ref, chi_ref, vals_ref, route_ref, out_ref, *,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     x2 = x_ref[0]
-    chi = chi_ref[:]
-    # gather xv[k, l] = x2[chi[k, l], l]: chain of 8-sublane dynamic_gathers
+    meta = meta_ref[:]
     chunks = []
     for c0 in range(0, r_blk, 8):
-        idx8 = chi[c0 : c0 + 8, :]
-        lo = idx8 & 7
-        hi = idx8 >> 3
-        res = jnp.zeros((8, 128), jnp.float32)
-        for t in range(ih // 8):
-            cand = jnp.take_along_axis(x2[8 * t : 8 * (t + 1), :], lo, axis=0)
-            res = jnp.where(hi == t, cand, res)
-        chunks.append(res)
+        m8 = meta[c0 : c0 + 8, :]
+        # hop 1: t[k, m] = x2[(m8 & 255)[k, m], m]; the mod-8 gather wrap
+        # consumes the row-in-group bits directly, bits 3-7 pick the group
+        grp = (m8 >> 3) & 31
+        t = jnp.zeros((8, 128), jnp.float32)
+        for g in range(ih // 8):
+            cand = _gather8(x2[8 * g : 8 * (g + 1), :], m8, interpret)
+            t = jnp.where(grp == g, cand, t)
+        # hop 2: xv[k, l] = t[k, (m8 >> 8)[k, l] mod 128]
+        chunks.append(_gather_lane(t, m8 >> 8, interpret))
     cur = jnp.concatenate(chunks, axis=0) * vals_ref[:]
-
-    route = route_ref[:]
-    for j in range(7):
-        rolled = pltpu.roll(cur, 1 << j, axis=1)
-        take = (route >> (2 * j + 1)) & 1
-        keep = (route >> (2 * j)) & 1
-        cur = jnp.where(take == 1, rolled,
-                        jnp.where(keep == 1, cur, 0.0))
 
     acc = out_ref[0]
     for m in range(r_blk // oh):
@@ -263,11 +278,10 @@ def _butterfly_kernel(x_ref, chi_ref, vals_ref, route_ref, out_ref, *,
     jax.jit,
     static_argnames=("oh", "ih", "out_features", "interpret", "slab_rows"),
 )
-def butterfly_spmv(
+def gather_spmv(
     x,
-    chi,
+    meta,
     vals,
-    route,
     *,
     oh: int,
     ih: int,
@@ -278,11 +292,11 @@ def butterfly_spmv(
     """Sparse contribution: x (in_features,) or (B, in_features) ->
     (out_features,) / (B, out_features).
 
-    chi/vals/route: the (R, 128) arrays of a ButterflyPlan (R % oh == 0).
+    meta/vals: the (R, 128) arrays of an ops.spmv.SpmvPlan (R % oh == 0).
     The batch is a leading grid dimension — one kernel serves decode (B=1)
     and pooled continuous-batching steps alike.
     """
-    R = chi.shape[0]
+    R = meta.shape[0]
     assert R % oh == 0, (R, oh)
     single = x.ndim == 1
     xb = x.reshape(1, -1) if single else x
@@ -293,21 +307,19 @@ def butterfly_spmv(
     n_steps = -(-R // r_blk)
     rp = n_steps * r_blk
     if rp != R:
-        chi = jnp.pad(chi, ((0, rp - R), (0, 0)))
+        meta = jnp.pad(meta, ((0, rp - R), (0, 0)))
         vals = jnp.pad(vals, ((0, rp - R), (0, 0)))
-        route = jnp.pad(route, ((0, rp - R), (0, 0)))
 
     xf = xb.astype(jnp.float32)
     x2 = jnp.zeros((B, ih * 128), jnp.float32).at[:, : xf.shape[1]].set(xf)
     x2 = x2.reshape(B, ih, 128)
 
     out = pl.pallas_call(
-        functools.partial(_butterfly_kernel, ih=ih, oh=oh, r_blk=r_blk),
+        functools.partial(_spmv_kernel, ih=ih, oh=oh, r_blk=r_blk,
+                          interpret=interpret),
         grid=(B, n_steps),
         in_specs=[
             pl.BlockSpec((1, ih, 128), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_blk, 128), lambda b, s: (s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r_blk, 128), lambda b, s: (s, 0),
                          memory_space=pltpu.VMEM),
@@ -321,7 +333,7 @@ def butterfly_spmv(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x2, chi, vals, route)
+    )(x2, meta, vals)
 
     out = out.reshape(B, -1)[:, :out_features]
     return out[0] if single else out

@@ -35,12 +35,12 @@ class QuantLinearSpec:
     has_bias: bool = False
     nnz_pad: int = 0  # 0 => no sparse sidecar
     topx: int = 0  # 0 => no hybrid dense channels
-    # butterfly-routed SpMV plan shape (ops/butterfly.py); 0 => no plan.
-    # When present, params also carry bf_chi/bf_vals/bf_route (bf_rows, 128)
-    # and the TPU decode path uses them instead of the COO scatter.
-    bf_rows: int = 0
-    bf_oh: int = 0
-    bf_ih: int = 0
+    # two-hop-gather SpMV plan shape (ops/spmv.py); 0 => no plan. When
+    # present, params also carry sg_meta/sg_vals (sg_rows, 128) and the TPU
+    # decode path uses them instead of the COO scatter.
+    sg_rows: int = 0
+    sg_oh: int = 0
+    sg_ih: int = 0
 
     @property
     def include_sparse(self) -> bool:
@@ -84,16 +84,16 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
 
     if spec.include_sparse:
         flat_b = int(np.prod(x.shape[:-1]))
-        if spec.bf_rows > 0 and backend.startswith("pallas") and flat_b <= 64:
-            # butterfly-routed SpMV: ~100-1000x faster than the XLA scatter
+        if spec.sg_rows > 0 and backend.startswith("pallas") and flat_b <= 64:
+            # two-hop-gather SpMV: ~100-1000x faster than the XLA scatter
             # on TPU at decode/serving batch sizes (batch = leading grid dim)
             from squeezellm_tpu.ops import pallas_ops
 
             interpret = jax.default_backend() != "tpu"
-            sp = pallas_ops.butterfly_spmv(
-                x.reshape(flat_b, spec.in_features), params["bf_chi"],
-                params["bf_vals"], params["bf_route"], oh=spec.bf_oh,
-                ih=spec.bf_ih, out_features=spec.out_features,
+            sp = pallas_ops.gather_spmv(
+                x.reshape(flat_b, spec.in_features), params["sg_meta"],
+                params["sg_vals"], oh=spec.sg_oh,
+                ih=spec.sg_ih, out_features=spec.out_features,
                 interpret=interpret,
             )
             y = y + sp.reshape(*x.shape[:-1], spec.out_features)
@@ -127,7 +127,7 @@ def pack_linear(
     nnz_pad_multiple: int = 512,
     topx_weights: Optional[np.ndarray] = None,
     topx_indices: Optional[np.ndarray] = None,
-    build_butterfly: bool = False,
+    build_spmv: bool = False,
 ):
     """Pack one linear layer into (spec, params-as-numpy).
 
@@ -181,10 +181,10 @@ def pack_linear(
         nnz_pad=nnz_pad,
         topx=topx,
     )
-    if build_butterfly and nnz_pad:
-        from squeezellm_tpu.ops import butterfly
+    if build_spmv and nnz_pad:
+        from squeezellm_tpu.ops import spmv
 
-        spec, params = butterfly.attach_plan(spec, params)
+        spec, params = spmv.attach_plan(spec, params)
     return spec, params
 
 

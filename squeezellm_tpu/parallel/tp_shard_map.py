@@ -127,13 +127,13 @@ def _split_topx(weights, indices, tp, *, col: bool, out_features: int,
     return W, I, topx_max, True
 
 
-def _shard_butterfly(R, C, V, tp, out_l, in_l):
-    """Per-shard butterfly plans from the already-split COO (stacked rows/
+def _shard_spmv(R, C, V, tp, out_l, in_l):
+    """Per-shard spmv plans from the already-split COO (stacked rows/
     cols/vals). Plans are padded to the max row count so the stacked arrays
     are rectangular; dead rows route nothing."""
-    from squeezellm_tpu.ops import butterfly
+    from squeezellm_tpu.ops import spmv
 
-    plans = [butterfly.build_plan(R[s], C[s], V[s], out_l, in_l)
+    plans = [spmv.build_plan(R[s], C[s], V[s], out_l, in_l)
              for s in range(tp)]
     rmax = max(p.n_rows for p in plans)
     # all shards share (oh, ih) — same local (out, in)
@@ -142,21 +142,20 @@ def _shard_butterfly(R, C, V, tp, out_l, in_l):
     def pad(a):
         return np.pad(a, ((0, rmax - a.shape[0]), (0, 0)))
 
-    chi = np.stack([pad(p.chi) for p in plans])
+    meta = np.stack([pad(p.meta) for p in plans])
     vals = np.stack([pad(p.vals) for p in plans])
-    route = np.stack([pad(p.route) for p in plans])
-    return chi, vals, route, rmax, plans[0].oh, plans[0].ih
+    return meta, vals, rmax, plans[0].oh, plans[0].ih
 
 
 def shard_linear(
     name: str, lspec: LinearSpec, params: dict, tp: int,
-    build_butterfly: bool = False,
+    build_spmv: bool = False,
 ) -> Tuple[LinearSpec, dict, dict]:
     """Reshard one linear into per-device locals.
 
     Returns (local LinearSpec, stacked/replicated numpy params, pspec tree).
-    build_butterfly: re-plan the sparse sidecar per shard so the TP decode
-    keeps the butterfly SpMV path (costs ~0.2 s/shard/linear offline).
+    build_spmv: re-plan the sparse sidecar per shard so the TP decode
+    keeps the gather-SpMV path (the vectorized planner is cheap offline).
     """
     col = name in _COLUMN or name == "lm_head"
     o, i = lspec.out_features, lspec.in_features
@@ -215,7 +214,7 @@ def shard_linear(
         out_l = o
 
     nnz_max = 0
-    bf_rows = bf_oh = bf_ih = 0
+    sg_rows = sg_oh = sg_ih = 0
     if q.nnz_pad:
         R, C, V, nnz_max = _split_sparse(
             np.asarray(params["sp_rows"]), np.asarray(params["sp_cols"]),
@@ -225,13 +224,13 @@ def shard_linear(
         new_p.update(sp_rows=R, sp_cols=C, sp_vals=V)
         pspecs.update(sp_rows=_stack_spec(R), sp_cols=_stack_spec(C),
                       sp_vals=_stack_spec(V))
-        if build_butterfly:
-            chi, bvals, route, bf_rows, bf_oh, bf_ih = _shard_butterfly(
+        if build_spmv:
+            meta, svals, sg_rows, sg_oh, sg_ih = _shard_spmv(
                 R, C, V, tp, out_l, in_l
             )
-            new_p.update(bf_chi=chi, bf_vals=bvals, bf_route=route)
-            pspecs.update(bf_chi=_stack_spec(chi), bf_vals=_stack_spec(bvals),
-                          bf_route=_stack_spec(route))
+            new_p.update(sg_meta=meta, sg_vals=svals)
+            pspecs.update(sg_meta=_stack_spec(meta),
+                          sg_vals=_stack_spec(svals))
 
     topx_l = 0
     if q.topx:
@@ -254,15 +253,15 @@ def shard_linear(
             new_p["bias"] = (b / tp).astype(b.dtype)
             pspecs["bias"] = _repl_spec(b)
 
-    # the full-matrix butterfly plan never survives a split; per-shard plans
-    # are rebuilt above when build_butterfly is set
+    # the full-matrix spmv plan never survives a split; per-shard plans
+    # are rebuilt above when build_spmv is set
     q_local = dataclasses.replace(
         q,
         in_features=in_l,
         out_features=out_l,
         nnz_pad=nnz_max,
         topx=topx_l,
-        bf_rows=bf_rows, bf_oh=bf_oh, bf_ih=bf_ih,
+        sg_rows=sg_rows, sg_oh=sg_oh, sg_ih=sg_ih,
     )
     local = dataclasses.replace(
         lspec, in_features=in_l, out_features=out_l, quant=q_local
@@ -271,12 +270,12 @@ def shard_linear(
 
 
 def shard_model_params(model_type: str, config, specs, params, tp: int,
-                       build_butterfly: bool = False):
+                       build_spmv: bool = False):
     """Reshard a full (specs, params) tree for tp-way shard_map TP.
 
     Returns (local_specs, stacked_params, pspecs) — stacked_params/pspecs are
     parallel pytrees; device_put with `put_params` before use.
-    build_butterfly: rebuild per-shard butterfly plans for the sparse
+    build_spmv: rebuild per-shard spmv plans for the sparse
     sidecars so TP decode keeps the fast SpMV path.
     """
     module_names = set(registry.get_module_names(model_type))
@@ -304,7 +303,7 @@ def shard_model_params(model_type: str, config, specs, params, tp: int,
             if name in module_names:
                 spec_new[name], new_d[name], ps_d[name] = shard_linear(
                     name, spec_d[name], v, tp,
-                    build_butterfly=build_butterfly,
+                    build_spmv=build_spmv,
                 )
             else:
                 new_d[name], ps_d[name] = repl(v)

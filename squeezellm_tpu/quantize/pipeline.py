@@ -35,7 +35,7 @@ def quantize_layer(
     method: str = "auto",
     nnz_pad_multiple: int = 512,
     seed: int = 0,
-    build_butterfly: bool = True,
+    build_spmv: bool = True,
 ) -> Dict[str, Tuple[Any, Dict[str, np.ndarray]]]:
     """Quantize one decoder layer's modules.
 
@@ -60,7 +60,7 @@ def quantize_layer(
             bias=None if biases is None else biases.get(name),
             outliers=None if outlier_mats is None else outlier_mats[name],
             bits=bits, nnz_pad_multiple=nnz_pad_multiple,
-            build_butterfly=build_butterfly,
+            build_spmv=build_spmv,
         )
         out[name] = (spec, params)
     return out
@@ -77,7 +77,7 @@ def quantize_model(
     method: str = "auto",
     nnz_pad_multiple: int = 512,
     verbose: bool = False,
-    build_butterfly: bool = True,
+    build_spmv: bool = True,
 ):
     """Quantize a dense params pytree into (specs, params).
 
@@ -109,7 +109,7 @@ def quantize_model(
             biases=biases or None,
             method=method,
             nnz_pad_multiple=nnz_pad_multiple,
-            build_butterfly=build_butterfly,
+            build_spmv=build_spmv,
         )
         spec_d = dict(dense_specs["layers"][li])
         param_d = {k: v for k, v in layer_p.items() if k not in module_names}

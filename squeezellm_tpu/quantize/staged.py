@@ -143,7 +143,7 @@ def pack(
     bits: int,
     output: str,
     nnz_pad_multiple: int = 512,
-    build_butterfly: bool = True,
+    build_spmv: bool = True,
     verbose: bool = False,
 ) -> None:
     """Collate per-layer LUT/outlier artifacts into a quantized checkpoint."""
@@ -179,7 +179,7 @@ def pack(
                 bias=None if bias is None else np.asarray(bias),
                 outliers=outliers, bits=bits,
                 nnz_pad_multiple=nnz_pad_multiple,
-                build_butterfly=build_butterfly,
+                build_spmv=build_spmv,
             )
             spec_d[name] = LinearSpec(
                 in_features=qspec.in_features, out_features=qspec.out_features,

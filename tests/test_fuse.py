@@ -31,7 +31,7 @@ def test_llama_fused_matches_unfused():
     specs, params = _sparse_quantized(llama, config, "llama")
     fspecs, fparams = fuse.fuse_for_decode("llama", specs, params)
     assert "qkv" in fspecs["layers"][0] and "gateup" in fspecs["layers"][0]
-    assert fspecs["layers"][0]["qkv"].quant.bf_rows > 0
+    assert fspecs["layers"][0]["qkv"].quant.sg_rows > 0
 
     jp = jax.tree.map(jnp.asarray, params)
     fp = jax.tree.map(jnp.asarray, fparams)
@@ -40,7 +40,7 @@ def test_llama_fused_matches_unfused():
     y2 = llama.forward(config, fspecs, fp, tokens, backend="xla")
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=1e-4,
                                atol=1e-5)
-    # decode path with cache + pallas(interpret) butterfly sparse
+    # decode path with cache + pallas(interpret) gather-spmv sparse
     cache = common.init_kv_cache(1, config.max_seq, config.n_layers,
                                  config.n_kv_heads, config.head_dim)
     l1, _ = llama.decode_step(config, specs, jp, jnp.asarray([[3]], jnp.int32),

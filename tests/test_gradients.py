@@ -26,7 +26,7 @@ def test_fisher_shapes_and_use_in_pipeline():
     # feeds straight into sensitivity-weighted quantization
     specs, params = pipeline.quantize_model(
         "llama", config, dense, bits=4, gradients_per_layer=g,
-        sensitivity=0.01, nnz_pad_multiple=16, build_butterfly=False,
+        sensitivity=0.01, nnz_pad_multiple=16, build_spmv=False,
     )
     assert specs["layers"][0]["q"].quant.nnz_pad > 0
 

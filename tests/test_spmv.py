@@ -1,5 +1,5 @@
-"""Butterfly-routed SpMV: offline planner + Pallas kernel (interpret) +
-quant_linear integration."""
+"""Two-hop-gather SpMV: offline planner + Pallas kernel (interpret) +
+quant_linear integration (replaces the round-1 butterfly tests)."""
 
 import numpy as np
 import pytest
@@ -7,46 +7,64 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from squeezellm_tpu.ops import butterfly, pallas_ops
+from squeezellm_tpu.ops import pallas_ops, spmv
 from squeezellm_tpu.ops.quant_linear import pack_linear, quant_linear_apply
 
 
 @pytest.mark.parametrize("o,i,frac", [(300, 500, 0.0045), (128, 128, 0.02),
-                                      (64, 64, 0.3), (1000, 260, 0.001)])
+                                      (64, 64, 0.3), (1000, 260, 0.001),
+                                      (4096, 11008, 0.0045)])
 def test_plan_numpy_oracle(o, i, frac):
     rng = np.random.default_rng(0)
     nnz = max(1, int(o * i * frac))
     r = rng.integers(0, o, nnz)
     c = rng.integers(0, i, nnz)
     v = rng.standard_normal(nnz).astype(np.float32)
-    plan = butterfly.build_plan(r, c, v, o, i)
+    plan = spmv.build_plan(r, c, v, o, i)
     x = rng.standard_normal(i).astype(np.float32)
     dense = np.zeros((o, i), np.float32)
     np.add.at(dense, (r, c), v)
-    np.testing.assert_allclose(butterfly.reference_apply(plan, x), dense @ x,
+    np.testing.assert_allclose(spmv.reference_apply(plan, x), dense @ x,
                                rtol=1e-4, atol=1e-5)
 
 
-def test_kernel_interpret_matches_dense():
+def test_plan_duplicate_and_shared_source_entries():
+    """Duplicate (r, c) pairs and many entries sharing one source column
+    exercise the read-sharing path (impossible for the old butterfly)."""
+    rng = np.random.default_rng(3)
+    o, i = 256, 512
+    r = np.concatenate([rng.integers(0, o, 200), np.arange(100)])
+    c = np.concatenate([rng.integers(0, i, 200), np.full(100, 7)])
+    v = rng.standard_normal(len(r)).astype(np.float32)
+    plan = spmv.build_plan(r, c, v, o, i)
+    x = rng.standard_normal(i).astype(np.float32)
+    dense = np.zeros((o, i), np.float32)
+    np.add.at(dense, (r, c), v)
+    np.testing.assert_allclose(spmv.reference_apply(plan, x), dense @ x,
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("batch", [None, 3])
+def test_kernel_interpret_matches_dense(batch):
     rng = np.random.default_rng(1)
     o, i, nnz = 4096, 1024, 18874
     r = rng.integers(0, o, nnz)
     c = rng.integers(0, i, nnz)
     v = rng.standard_normal(nnz).astype(np.float32)
-    plan = butterfly.build_plan(r, c, v, o, i)
-    x = rng.standard_normal(i).astype(np.float32)
-    y = pallas_ops.butterfly_spmv(
-        jnp.asarray(x), jnp.asarray(plan.chi), jnp.asarray(plan.vals),
-        jnp.asarray(plan.route), oh=plan.oh, ih=plan.ih, out_features=o,
-        interpret=True,
+    plan = spmv.build_plan(r, c, v, o, i)
+    x = rng.standard_normal(i if batch is None else (batch, i)).astype(np.float32)
+    y = pallas_ops.gather_spmv(
+        jnp.asarray(x), jnp.asarray(plan.meta), jnp.asarray(plan.vals),
+        oh=plan.oh, ih=plan.ih, out_features=o, interpret=True,
     )
     dense = np.zeros((o, i), np.float32)
     np.add.at(dense, (r, c), v)
-    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y), x @ dense.T, rtol=1e-4,
+                               atol=1e-5)
 
 
-def test_quant_linear_butterfly_path_matches_xla():
-    """pack_linear(build_butterfly) + pallas backend == xla COO path."""
+def test_quant_linear_spmv_path_matches_xla():
+    """pack_linear(build_spmv) + pallas backend == xla COO path."""
     rng = np.random.default_rng(2)
     o, i = 256, 384
     w = rng.standard_normal((o, i)).astype(np.float32) * 0.1
@@ -57,13 +75,13 @@ def test_quant_linear_butterfly_path_matches_xla():
     w[mask] = 0.0
 
     spec, params = pack_linear(w, lut, bits=4, outliers=outliers,
-                               nnz_pad_multiple=64, build_butterfly=True)
-    assert spec.bf_rows > 0
+                               nnz_pad_multiple=64, build_spmv=True)
+    assert spec.sg_rows > 0
     jp = jax.tree.map(jnp.asarray, params)
     x = jnp.asarray(rng.standard_normal((1, 1, i)).astype(np.float32))
     y_xla = quant_linear_apply(spec, jp, x, backend="xla")
-    y_bf = quant_linear_apply(spec, jp, x, backend="pallas")
-    np.testing.assert_allclose(np.asarray(y_bf), np.asarray(y_xla),
+    y_sg = quant_linear_apply(spec, jp, x, backend="pallas")
+    np.testing.assert_allclose(np.asarray(y_sg), np.asarray(y_xla),
                                rtol=1e-4, atol=1e-5)
 
 
@@ -84,17 +102,17 @@ def test_prepare_model_attaches_plans():
     ]
     specs, params = pipeline.quantize_model(
         "llama", config, dense, bits=4, gradients_per_layer=grads,
-        sensitivity=0.02, nnz_pad_multiple=16, build_butterfly=False,
+        sensitivity=0.02, nnz_pad_multiple=16, build_spmv=False,
     )
     q0 = specs["layers"][0]["q"].quant
-    assert q0.nnz_pad > 0 and q0.bf_rows == 0
-    specs2, params2 = butterfly.prepare_model(
+    assert q0.nnz_pad > 0 and q0.sg_rows == 0
+    specs2, params2 = spmv.prepare_model(
         specs, params, llama.MODULE_NAMES, processes=1
     )
     q0b = specs2["layers"][0]["q"].quant
-    assert q0b.bf_rows > 0
-    assert "bf_chi" in params2["layers"][0]["q"]
-    # decode equivalence xla vs pallas(butterfly) on the whole model
+    assert q0b.sg_rows > 0
+    assert "sg_meta" in params2["layers"][0]["q"]
+    # decode equivalence xla vs pallas(spmv) on the whole model
     from squeezellm_tpu.models import common
 
     jp = jax.tree.map(jnp.asarray, params2)

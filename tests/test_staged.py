@@ -74,7 +74,7 @@ def test_staged_equals_oneshot(tmp_path):
     staged.nuq(chunks, nuq_dir, bits=4, outlier_config_json=oc_json)
     # resume: second call skips all layers without error
     staged.nuq(chunks, nuq_dir, bits=4, outlier_config_json=oc_json)
-    staged.pack(hf_dir, nuq_dir, 4, ckpt_dir, build_butterfly=False)
+    staged.pack(hf_dir, nuq_dir, 4, ckpt_dir, build_spmv=False)
 
     model_type, config2, specs2, params2 = checkpoint.load_quantized(ckpt_dir)
     assert model_type == "llama"
@@ -83,7 +83,7 @@ def test_staged_equals_oneshot(tmp_path):
         thresholds = json.load(f)["outlier_config"]
     specs1, params1 = pipeline.quantize_model(
         "llama", config, dense, bits=4, outlier_config=thresholds,
-        build_butterfly=False,
+        build_spmv=False,
     )
     # identical packed tensors module-by-module
     for li in range(config.n_layers):

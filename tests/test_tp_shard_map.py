@@ -66,15 +66,15 @@ def test_llama_tp_matches_single_device(sparsity, bf):
                                                backend="xla")
     )(jp, jnp.asarray([[5]], jnp.int32), jnp.asarray(4, jnp.int32), ref_cache)
 
-    # shard_map TP (bf=True: per-shard butterfly plans + pallas-interpret
+    # shard_map TP (bf=True: per-shard spmv plans + pallas-interpret
     # sparse path on each shard)
     mesh = tpm.make_tp_mesh(tp)
     lspecs, sparams, pspecs = tpm.shard_model_params(
-        "llama", config, specs, params, tp, build_butterfly=bf
+        "llama", config, specs, params, tp, build_spmv=bf
     )
     if bf:
         q = lspecs["layers"][0]["q"].quant
-        assert q.bf_rows > 0
+        assert q.sg_rows > 0
     dparams = tpm.put_params(sparams, pspecs, mesh)
     cache = tpm.init_tp_cache(config, mesh)
     prefill, decode = tpm.make_tp_step_fns(
