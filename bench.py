@@ -251,7 +251,10 @@ def _phase_baseline():
     eng = engine_mod.Engine("llama", config, dspecs, dense_params,
                             backend="xla", dtype=jnp.bfloat16,
                             cache_dtype=jnp.bfloat16)
-    tok_s, _ = _decode_tok_s(eng, max(16, n_tokens // 4), config.vocab_size)
+    # identical protocol to the quant phase (same token count, same KV
+    # window) — a shorter baseline run would under-amortize fixed costs and
+    # inflate vs_baseline
+    tok_s, _ = _decode_tok_s(eng, n_tokens, config.vocab_size)
     print(json.dumps({"tok_s": tok_s}))
 
 

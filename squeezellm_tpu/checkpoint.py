@@ -110,7 +110,6 @@ def load_quantized(path: str, to_device: bool = True) -> Tuple[str, Any, Any, An
 
     model_type = manifest["model_type"]
     mod = registry.get_model_module(model_type)
-    cfg_cls = type(mod).__name__  # unused; config classes found via module
     config_cls = mod.LlamaConfig if hasattr(mod, "LlamaConfig") else mod.OPTConfig
     config = config_cls(**manifest["config"])
 

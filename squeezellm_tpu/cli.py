@@ -69,12 +69,22 @@ def cmd_quantize(args):
 
     grads = None
     if args.gradient:
-        import torch
+        import os
 
         grads = []
         for li in range(config.n_layers):
-            g = torch.load(f"{args.gradient}/layer_{li}.pt", map_location="cpu")
-            grads.append({n: np.asarray(g[n].float().numpy()) for n in module_names})
+            pt = os.path.join(args.gradient, f"layer_{li}.pt")
+            if os.path.exists(pt):
+                # reference SqueezeLLM-gradients chunk format (torch)
+                import torch
+
+                g = torch.load(pt, map_location="cpu")
+                grads.append({n: np.asarray(g[n].float().numpy())
+                              for n in module_names})
+            else:
+                # our `fisher` subcommand's output (npz)
+                g = np.load(os.path.join(args.gradient, f"layer_{li}.npz"))
+                grads.append({n: np.asarray(g[n]) for n in module_names})
 
     outlier_cfg = None
     if args.outlier_range:
@@ -196,6 +206,11 @@ def cmd_benchmark(args):
         with jax.profiler.trace(args.profile):
             stats = eng.benchmark(ids, check=args.check)
         print(f"profile trace written to {args.profile}")
+        # per-op self-time table, the reference's --torch_profile workflow
+        # (llama.py:341-353)
+        from squeezellm_tpu.utils import profiling
+
+        profiling.print_trace_summary(args.profile)
     else:
         stats = eng.benchmark(ids, check=args.check)
     print(json.dumps(stats, indent=2))

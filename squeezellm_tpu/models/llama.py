@@ -168,8 +168,15 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
     # config: under shard_map each device owns n_heads/tp local heads.
     hd = config.head_dim
     if "qkv" in specs:  # decode-time fused projection (models/fuse.py)
-        nkv = config.n_kv_heads
-        nh = specs["qkv"].out_features // hd - 2 * nkv
+        # derive BOTH head counts from the (possibly TP-sharded) spec: the
+        # fused width is (nh_l + 2*nkv_l)*hd and TP splits q and kv heads
+        # by the same factor, so scale the global ratio to the local width
+        # (round-1 advisor finding: global nkv + local nh mis-sliced k/v)
+        units = specs["qkv"].out_features // hd
+        g_units = config.n_heads + 2 * config.n_kv_heads
+        assert (config.n_kv_heads * units) % g_units == 0, (units, g_units)
+        nkv = config.n_kv_heads * units // g_units
+        nh = units - 2 * nkv
         qkv = common.apply_linear(specs["qkv"], params["qkv"], x,
                                   backend=backend)
         q = qkv[..., : nh * hd]

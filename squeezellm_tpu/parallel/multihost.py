@@ -25,13 +25,27 @@ def initialize(
 ) -> None:
     """Initialize the multi-host runtime. No-ops on a single process.
 
-    With no arguments, jax.distributed auto-detects TPU pod environments
-    (GCE metadata / megascale env vars). Explicit args cover manual
-    bring-up (e.g. COORDINATOR_ADDRESS=host:port)."""
+    With no arguments, the bring-up only runs when a multi-process
+    environment is detectable (NUM_PROCESSES / SLURM_NTASKS > 1, or a TPU
+    pod's megascale coordinator env) — jax.distributed auto-detects the
+    rest there. A plain single process is a strict no-op: calling
+    jax.distributed.initialize after any backend use raises, so eagerly
+    attempting auto-detect on one process would poison normal runs.
+    Explicit args always initialize (manual bring-up, host:port)."""
     if num_processes is None:
         env_n = os.environ.get("NUM_PROCESSES") or os.environ.get("SLURM_NTASKS")
         num_processes = int(env_n) if env_n else None
     if num_processes is not None and num_processes <= 1:
+        return
+    pod_env = any(
+        os.environ.get(k)
+        for k in ("MEGASCALE_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+    # multi-worker only when the hostname list has >1 entry (single-host
+    # runtimes, e.g. the axon tunnel, export TPU_WORKER_HOSTNAMES=localhost)
+    pod_env = pod_env or ("," in os.environ.get("TPU_WORKER_HOSTNAMES", ""))
+    if (num_processes is None and coordinator_address is None
+            and not pod_env):
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -98,6 +98,10 @@ class ContinuousBatchEngine:
         rewrites identical k/v and yields the first-token logits — so
         prefill logits (which sit at the PAD position) are never used and
         padding is harmless (pad cache rows beyond pos stay masked)."""
+        if max_new_tokens < 1:
+            # a 0-token request would still occupy a slot and emit one
+            # token before the done check (round-1 advisor finding)
+            raise ValueError("max_new_tokens must be >= 1")
         idx = next((i for i, s in enumerate(self._slots) if not s.active), None)
         if idx is None:
             raise RuntimeError("no free slot")
