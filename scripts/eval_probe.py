@@ -17,6 +17,11 @@ from squeezellm_tpu.models import llama
 
 
 def probe(variant, seqlen=2048):
+    # variant suffix -gN: N strides per forward (eval.perplexity group=N)
+    g = 1
+    if "-g" in variant:
+        variant, gs = variant.rsplit("-g", 1)
+        g = int(gs)
     config = llama.LlamaConfig(max_seq=seqlen)
     if variant == "bf16":
         params = llama.random_dense_params(config, jax.random.PRNGKey(0),
@@ -40,7 +45,7 @@ def probe(variant, seqlen=2048):
                                dtype=dtype)
         return jnp.sum(logits[0, -1]).astype(jnp.float32)
 
-    tokens = jnp.ones((1, seqlen), jnp.int32)
+    tokens = jnp.ones((g, seqlen), jnp.int32)
     t0 = time.perf_counter()
     float(fwd(params, tokens))
     compile_s = time.perf_counter() - t0
@@ -49,8 +54,10 @@ def probe(variant, seqlen=2048):
         t0 = time.perf_counter()
         float(fwd(params, tokens))
         best = min(best, time.perf_counter() - t0)
-    print(f"{variant:10s} compile {compile_s:6.1f}s | stride {best*1e3:8.1f} ms "
-          f"({seqlen/best:7.0f} tok/s prefill)", flush=True)
+    best /= g
+    print(f"{variant:10s} g={g} compile {compile_s:6.1f}s | "
+          f"stride {best*1e3:8.1f} ms ({seqlen/best:7.0f} tok/s prefill)",
+          flush=True)
 
 
 if __name__ == "__main__":

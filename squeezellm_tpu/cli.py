@@ -236,9 +236,10 @@ def cmd_serve_bench(args):
         for _ in range(args.requests)
     ]
     # warm (compile prefill + batched decode)
-    eng.run(prompts[:1], max_new_tokens=2)
+    eng.run(prompts[:1], max_new_tokens=2, window=args.window)
     t0 = time.perf_counter()
-    results = eng.run(prompts, max_new_tokens=args.max_new_tokens)
+    results = eng.run(prompts, max_new_tokens=args.max_new_tokens,
+                      window=args.window)
     dt = time.perf_counter() - t0
     total = sum(len(t) for t in results.values())
     print(json.dumps({
@@ -360,6 +361,8 @@ def main(argv=None):
     sb.add_argument("--max-new-tokens", type=int, default=32)
     sb.add_argument("--seqlen", type=int, default=256)
     sb.add_argument("--seed", type=int, default=0)
+    sb.add_argument("--window", type=int, default=8,
+                    help="decode tokens per host sync (lax.scan window)")
     sb.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas", "pallas-bf16"])
     sb.set_defaults(fn=cmd_serve_bench)

@@ -311,7 +311,8 @@ def gather_spmv(
         vals = jnp.pad(vals, ((0, rp - R), (0, 0)))
 
     xf = xb.astype(jnp.float32)
-    x2 = jnp.zeros((B, ih * 128), jnp.float32).at[:, : xf.shape[1]].set(xf)
+    # pad, not .at[].set — the latter lowers to a (near-serial) scatter
+    x2 = jnp.pad(xf, ((0, 0), (0, ih * 128 - xf.shape[1])))
     x2 = x2.reshape(B, ih, 128)
 
     out = pl.pallas_call(

@@ -70,10 +70,22 @@ def sparse_matmul(x, sp_rows, sp_cols, sp_vals, out_features: int):
 
 def hybrid_matmul(x, topx_weights, topx_indices, out_features: int):
     """Top-X dense-channel contribution (additive, matching atomicAdd
-    semantics of DenseMatVecKernel, quant_cuda_kernel.cu:1091-1123)."""
+    semantics of DenseMatVecKernel, quant_cuda_kernel.cu:1091-1123).
+
+    Scatter-free: the (..., topX) partials are placed into the output with
+    a one-hot ``(topX, out)`` matmul instead of ``y.at[idx].add`` — XLA
+    scatter is near-serial on TPU and every published sq-* sparse
+    checkpoint carries topX=10, so a scatter here would tax each linear of
+    every decode step. One-hot placement is exact: each output column of
+    the selector has at most one nonzero, so the dot sums a single product
+    (HIGHEST keeps the f32 value unrounded on the MXU)."""
     # topx_weights: (in, topX)
     part = jnp.matmul(
         x.astype(jnp.float32), topx_weights, preferred_element_type=jnp.float32
     )  # (..., topX)
-    y = jnp.zeros(x.shape[:-1] + (out_features,), dtype=jnp.float32)
-    return y.at[..., topx_indices].add(part)
+    sel = (
+        topx_indices[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, out_features), 1)
+    ).astype(jnp.float32)  # (topX, out)
+    return jnp.matmul(part, sel, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -59,8 +59,25 @@ class ContinuousBatchEngine:
             return mod.decode_step(config, specs, params, token, pos, cache,
                                    backend=backend, dtype=dtype)
 
+        def _decode_k(params, token, pos, cache, k):
+            # k greedy steps in ONE dispatch (lax.scan): the host syncs once
+            # per k tokens instead of per token — on a remote transport the
+            # per-step round-trip (~29 ms) otherwise dominates throughput
+            def body(carry, _):
+                cur, p, c = carry
+                logits, c = mod.decode_step(config, specs, params, cur, p, c,
+                                            backend=backend, dtype=dtype)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return (nxt[:, None], p + 1, c), nxt
+
+            (cur, p, cache), toks = jax.lax.scan(
+                body, (token, pos, cache), None, length=k)
+            return toks, cur, cache
+
         self._prefill = jax.jit(_prefill)
         self._decode = jax.jit(_decode, donate_argnums=(3,))
+        self._decode_k = jax.jit(_decode_k, static_argnums=(4,),
+                                 donate_argnums=(3,))
 
         @jax.jit
         def _insert(cache, one_cache, slot):
@@ -156,15 +173,58 @@ class ContinuousBatchEngine:
                 self._slots[i] = _Slot()
         return out
 
-    def run(self, requests, max_new_tokens: int = 16) -> Dict[int, List[int]]:
+    def step_window(self, max_window: int = 8) -> Dict[int, Any]:
+        """Up to max_window batched decode steps in ONE device dispatch.
+
+        The window is the largest power of two <= max_window that does not
+        overshoot any active slot's remaining budget (power-of-two bucketing
+        bounds the number of compiled scan lengths). Emits the same
+        per-request dicts as :meth:`step`, with every token of the window
+        applied in order."""
+        active = [s for s in self._slots if s.active]
+        if not active:
+            return {}
+        remaining = min(s.max_new - s.generated for s in active)
+        k = 1
+        while k * 2 <= min(max_window, remaining):
+            k *= 2
+        if k == 1:
+            return self.step()
+        pos = jnp.asarray(self._pos, jnp.int32)
+        toks, self._cur, self.cache = self._decode_k(
+            self.params, self._cur, pos, self.cache, k)
+        toks_host = np.asarray(toks)  # (k, n_slots)
+        out: Dict[int, Any] = {}
+        for i, s in enumerate(self._slots):
+            if not s.active:
+                continue
+            for t in range(k):
+                tok = int(toks_host[t, i])
+                s.tokens.append(tok)
+                s.generated += 1
+                s.pos += 1
+                if s.generated >= s.max_new:
+                    break
+            self._pos[i] = s.pos
+            done = s.generated >= s.max_new
+            out[s.request_id] = {"token": s.tokens[-1], "done": done}
+            if done:
+                out[s.request_id]["tokens"] = s.tokens
+                self._slots[i] = _Slot()
+        return out
+
+    def run(self, requests, max_new_tokens: int = 16,
+            window: int = 8) -> Dict[int, List[int]]:
         """Drain a list of prompts through the slot pool; returns
-        {request_id: generated tokens}."""
+        {request_id: generated tokens}. window > 1 decodes multi-token
+        windows per host sync (step_window)."""
         pending = list(requests)
         results: Dict[int, List[int]] = {}
         while pending or any(s.active for s in self._slots):
             while pending and self.free_slots():
                 self.add_request(pending.pop(0), max_new_tokens)
-            for rid, r in self.step().items():
+            res = (self.step_window(window) if window > 1 else self.step())
+            for rid, r in res.items():
                 if r["done"]:
                     results[rid] = r["tokens"]
         return results

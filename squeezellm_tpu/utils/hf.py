@@ -49,6 +49,14 @@ def load_dense_model(model_dir: str, dtype=None) -> Tuple[str, object, dict, dic
 
 
 def load_tokenizer(model_dir: str):
+    # XGen: prefer the in-tree tiktoken-compatible implementation over
+    # AutoTokenizer's trust_remote_code path (utils/xgen_tokenizer.py —
+    # replaces the reference's vendored tokenization_xgen.py)
+    if any(os.path.exists(os.path.join(model_dir, f))
+           for f in ("gpt2.tiktoken", "encoder.json")):
+        from squeezellm_tpu.utils.xgen_tokenizer import XgenTokenizer
+
+        return XgenTokenizer.from_assets(model_dir)
     from transformers import AutoTokenizer
 
     return AutoTokenizer.from_pretrained(model_dir, use_fast=False,
@@ -58,5 +66,6 @@ def load_tokenizer(model_dir: str):
 def has_tokenizer(model_dir: str) -> bool:
     return any(
         os.path.exists(os.path.join(model_dir, f))
-        for f in ("tokenizer.model", "tokenizer.json", "vocab.json")
+        for f in ("tokenizer.model", "tokenizer.json", "vocab.json",
+                  "gpt2.tiktoken", "encoder.json")
     )

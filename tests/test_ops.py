@@ -152,3 +152,29 @@ def test_make_random_params_shapes():
     )
     assert y.shape == (2, 32)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_hybrid_matmul_no_scatter_in_hlo():
+    """Decode path with topX channels + sparse plan must lower without any
+    scatter op (XLA scatter is near-serial on TPU; reference fuses the
+    dense channels into the kernel launch, quant_cuda_kernel.cu:1091-1163)."""
+    import jax
+
+    from squeezellm_tpu.ops.quant_linear import (
+        QuantLinearSpec, make_random_params, quant_linear_apply,
+    )
+    from squeezellm_tpu.ops import spmv
+
+    rng = np.random.default_rng(0)
+    o, i = 256, 384
+    spec = QuantLinearSpec(bits=4, in_features=i, out_features=o, topx=10,
+                           nnz_pad=64)
+    params = make_random_params(jax.random.PRNGKey(0), spec)
+    spec, params = spmv.attach_plan(
+        spec, {k: np.asarray(v) for k, v in params.items()})
+    params = jax.tree.map(jnp.asarray, params)
+    x = jnp.asarray(rng.standard_normal((1, i)).astype(np.float32))
+    hlo = jax.jit(
+        lambda p, a: quant_linear_apply(spec, p, a, backend="pallas")
+    ).lower(params, x).as_text()
+    assert "scatter" not in hlo

@@ -79,3 +79,21 @@ def test_per_slot_positions_decode_step():
         )
         np.testing.assert_allclose(np.asarray(logits[b]), np.asarray(lg1[0]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_run_matches_per_token_run():
+    """window>1 (multi-token lax.scan per host sync) must emit exactly the
+    same tokens as per-token stepping, incl. odd max_new budgets."""
+    config, specs, params = _small_model()
+    prompts = [[1, 2, 3], [7, 9], [11, 13, 17, 19]]
+    cb1 = serving.ContinuousBatchEngine("llama", config, specs, params,
+                                        slots=2, backend="xla")
+    r1 = cb1.run(list(prompts), max_new_tokens=5, window=1)
+    cb8 = serving.ContinuousBatchEngine("llama", config, specs, params,
+                                        slots=2, backend="xla")
+    r8 = cb8.run(list(prompts), max_new_tokens=5, window=8)
+    assert sorted(r1) == sorted(r8)
+    for rid in r1:
+        np.testing.assert_array_equal(np.asarray(r1[rid]),
+                                      np.asarray(r8[rid]))
+        assert len(r8[rid]) == 5
