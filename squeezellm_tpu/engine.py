@@ -35,11 +35,15 @@ class Engine:
     fuse: bool = False  # fuse q|k|v and gate|up projections (models/fuse.py)
 
     def __post_init__(self):
-        if self.fuse:
-            from squeezellm_tpu.models import fuse as fuse_mod
+        from squeezellm_tpu.models import fuse as fuse_mod
 
+        if self.fuse:
             self.specs, self.params = fuse_mod.fuse_for_decode(
                 self.model_type, self.specs, self.params
+            )
+        else:
+            self.specs, self.params = fuse_mod.attach_decode_luts(
+                self.specs, self.params
             )
         self._mod = registry.get_model_module(self.model_type)
         mod, config, specs = self._mod, self.config, self.specs

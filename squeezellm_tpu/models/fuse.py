@@ -132,4 +132,31 @@ def fuse_for_decode(model_type: str, specs, params, build_spmv=True):
     new_specs["layers"] = tuple(spec_layers)
     new_params = dict(params)
     new_params["layers"] = param_layers
-    return new_specs, new_params
+    return attach_decode_luts(new_specs, new_params)
+
+
+def attach_decode_luts(specs, params):
+    """Add a gather-layout 'lut_t' to every quantized linear (idempotent;
+    numpy-side, deduplicated for array-sharing synthetic models). Removes
+    the per-call LUT transpose+pad from the decode hot path."""
+    from squeezellm_tpu.ops.quant_linear import transposed_lut
+
+    memo: dict = {}
+    param_layers = []
+    for spec_d, param_d in zip(specs["layers"], params["layers"]):
+        pd = dict(param_d)
+        for name, ls in spec_d.items():
+            q = getattr(ls, "quant", None)
+            if q is None or q.bits > 4 or "lut_t" in pd.get(name, {}):
+                continue
+            lut = pd[name]["lut"]
+            if getattr(lut, "ndim", 2) != 2:  # tp-stacked locals: skip
+                continue
+            key = id(lut)
+            if key not in memo:
+                memo[key] = transposed_lut(np.asarray(lut), q.bits)
+            pd[name] = dict(pd[name], lut_t=memo[key])
+        param_layers.append(pd)
+    new_params = dict(params)
+    new_params["layers"] = param_layers
+    return specs, new_params

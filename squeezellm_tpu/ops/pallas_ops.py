@@ -340,10 +340,84 @@ def gather_spmv(
     return out[0] if single else out
 
 
+def _dequant_dense_kernel(qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
+                          out_dtype, interpret: bool):
+    """Dequantize one (w_blk, o_blk) packed block to a dense
+    (cpw*w_blk, o_blk) block in BLOCK-PLANE-MAJOR row order: rows
+    [j*w_blk, (j+1)*w_blk) hold code plane j of this block's words."""
+    words = qw_ref[:]
+    planes = []
+    for j in range(cpw):
+        s = (words >> (bits * j)) if j else words
+        planes.append(_dequant_plane_gather(s, lut_ref, bits, interpret))
+    out_ref[:] = jnp.concatenate(planes, axis=0).astype(out_dtype)
+
+
+def _lut_matmul_bigbatch(xf, qweight, lut_in, bits, cpw, mode, precision,
+                         interpret, out_features):
+    """Large-batch (eval/prefill) path: dequantize each layer's weights
+    ONCE per call into an HBM scratch, then one dense MXU matmul.
+
+    The fused kernel re-runs dequant for every batch block (VMEM bounds
+    b_blk at ~512), so a 16k-row eval stride pays ~32x the dequant VPU
+    work — at 4-bit that is ~340 ms per call, dominating the stride. Here
+    dequant is O(weights) once (+ a scratch write/read at the matmul's
+    operand precision), and the matmul runs at full MXU batch efficiency.
+
+    The scratch is BLOCK-plane-major (see _dequant_dense_kernel); x is
+    relayouted host-graph-side to the matching row order, so no in-kernel
+    interleave is ever needed and the contraction order stays associative.
+    """
+    batch, in_features = xf.shape
+    nw = qweight.shape[0]
+    w_blk = 128
+    o_blk = 512
+    wp = _round_up(nw, w_blk)
+    op = _round_up(out_features, o_blk)
+    n_i = wp // w_blk
+
+    out_dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
+    w_dense = pl.pallas_call(
+        functools.partial(_dequant_dense_kernel, bits=bits, cpw=cpw,
+                          out_dtype=out_dtype, interpret=interpret),
+        grid=(n_i, op // o_blk),
+        in_specs=[
+            pl.BlockSpec((w_blk, o_blk), lambda i, o: (i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lut_in.shape[0], o_blk), lambda i, o: (0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cpw * w_blk, o_blk), lambda i, o: (i, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_i * cpw * w_blk, op), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qweight, lut_in)
+
+    # x rows -> block-plane-major: x2[b, i*cpw*w_blk + j*w_blk + w] =
+    # x[b, (i*w_blk + w)*cpw + j]
+    xpad = jnp.pad(xf, ((0, 0), (0, wp * cpw - in_features)))
+    x2 = (
+        xpad.reshape(batch, n_i, w_blk, cpw)
+        .transpose(0, 1, 3, 2)
+        .reshape(batch, n_i * cpw * w_blk)
+    )
+    if mode == "bf16":
+        x2 = x2.astype(jnp.bfloat16)
+    y = jnp.dot(
+        x2, w_dense,
+        preferred_element_type=jnp.float32,
+        precision=None if mode == "bf16" else precision,
+    )
+    return y[:, :out_features]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "b_blk", "w_blk", "o_blk", "interpret", "mode",
-                     "precision"),
+                     "precision", "big_batch"),
 )
 def lut_matmul(
     x,
@@ -351,12 +425,14 @@ def lut_matmul(
     lut,
     bits: int,
     *,
-    b_blk: int = 256,
+    b_blk: int = 512,
     w_blk: int = 0,
     o_blk: int = 0,
     interpret: bool = False,
     mode: str = "gather",
     precision: str = "highest",
+    lut_t=None,
+    big_batch: int = 1024,
 ):
     """Fused LUT-dequant matmul: ``x (..., in) -> (..., out)`` f32.
 
@@ -380,12 +456,39 @@ def lut_matmul(
     xf = x.reshape(-1, in_features).astype(jnp.float32)
     batch = xf.shape[0]
 
+    if mode in ("gather", "bf16") and bits <= 4 and batch >= big_batch:
+        # eval/prefill: dequant-to-scratch once + one dense MXU matmul
+        # (the fused kernel would re-run dequant per ~512-row batch block)
+        cpw_ = formats.CODES_PER_WORD[bits]
+        k_rows = max(8, 2**bits)
+        if lut_t is not None:
+            lut_in = lut_t.astype(jnp.float32)
+        else:
+            lut_in = jnp.pad(lut.astype(jnp.float32).T,
+                             ((0, k_rows - 2**bits), (0, 0)))
+        if mode == "bf16":
+            lut_in = lut_in.astype(jnp.bfloat16).astype(jnp.float32)
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        y = _lut_matmul_bigbatch(xf, qweight, lut_in, bits, cpw_, mode, prec,
+                                 interpret, out_features)
+        return y.reshape(*lead, out_features)
+
     if not o_blk:
         o_blk = 1024 if batch <= 8 else 512
     if not w_blk:
         # decode sweep (v5e): w512/o1024 streams packed words at ~530-730
-        # GB/s vs ~380-480 at w128/w256 — big w-blocks amortize DMA issue
-        w_blk = 512 if batch <= 8 else 256
+        # GB/s vs ~380-480 at w128/w256 — big w-blocks amortize DMA issue.
+        # Distribute rows evenly over ceil(nw/512) steps: a fixed 512 would
+        # spend a mostly-OOB tail block (e.g. nw=1101 -> 512/512/77 rows
+        # burns ~28% of the kernel's compute on masked garbage).
+        if batch <= 8:
+            # x2's lane dim is blocked by w_blk: multiple blocks need a
+            # 128-multiple; a single block may equal the array dim (8-mult)
+            n_i = max(1, _cdiv(nw, 512))
+            w_blk = _round_up(_cdiv(nw, n_i), 8 if n_i == 1 else 128)
+        else:
+            w_blk = 128  # batched: b_blk 512 dominates VMEM; narrow w fits
 
     if batch <= 8:
         # GEMV: block the batch dim at its true size — rounding 1 -> 8 makes
@@ -421,12 +524,18 @@ def lut_matmul(
         # round LUT + activations to bf16-representable f32: the MXU's
         # default-precision truncation is then exact, one pass, and the
         # kernel needs no per-weight cast op
-        lutp = lutp.astype(jnp.bfloat16).astype(jnp.float32)
         x2 = x2.astype(jnp.bfloat16).astype(jnp.float32)
     if mode in ("gather", "bf16"):
-        # transposed table, rows padded to the 8-sublane vreg height
+        # transposed table, rows padded to the 8-sublane vreg height; a
+        # pre-transposed table (quant_linear.transposed_lut, prepared once
+        # at engine init) skips the per-call transpose+pad fusion chain
         k_rows = max(8, 2**bits)
-        lut_in = jnp.pad(lutp.T, ((0, k_rows - 2**bits), (0, 0)))
+        if lut_t is not None:
+            lut_in = lut_t.astype(jnp.float32)
+        else:
+            lut_in = jnp.pad(lutp.T, ((0, k_rows - 2**bits), (0, 0)))
+        if mode == "bf16":
+            lut_in = lut_in.astype(jnp.bfloat16).astype(jnp.float32)
         lut_spec = pl.BlockSpec(
             (k_rows, o_blk), lambda b, o, i: (0, o), memory_space=pltpu.VMEM
         )

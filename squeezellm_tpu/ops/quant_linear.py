@@ -78,6 +78,7 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
             x, params["qweight"], params["lut"], spec.bits,
             interpret=interpret,
             mode="bf16" if backend == "pallas-bf16" else "gather",
+            lut_t=params.get("lut_t"),
         )
     else:
         y = xla_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
@@ -186,6 +187,16 @@ def pack_linear(
 
         spec, params = spmv.attach_plan(spec, params)
     return spec, params
+
+
+def transposed_lut(lut: np.ndarray, bits: int) -> np.ndarray:
+    """(out, 2**bits) -> (k_rows, out) gather-layout table, rows padded to
+    the 8-sublane vreg height. Preparing this ONCE at engine init (params
+    key 'lut_t') removes a transpose+pad fusion chain from every decode
+    kernel call."""
+    k_rows = max(8, 2**bits)
+    t = np.asarray(lut, np.float32).T
+    return np.pad(t, ((0, k_rows - t.shape[0]), (0, 0)))
 
 
 def make_random_params(

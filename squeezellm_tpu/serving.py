@@ -43,6 +43,9 @@ class ContinuousBatchEngine:
     def __init__(self, model_type: str, config, specs, params, *,
                  slots: int = 8, backend: str = "auto", dtype=jnp.float32,
                  cache_dtype=jnp.float32, max_seq: Optional[int] = None):
+        from squeezellm_tpu.models import fuse as fuse_mod
+
+        specs, params = fuse_mod.attach_decode_luts(specs, params)
         self.model_type = model_type
         self.config = config
         self.specs = specs

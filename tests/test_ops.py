@@ -178,3 +178,37 @@ def test_hybrid_matmul_no_scatter_in_hlo():
         lambda p, a: quant_linear_apply(spec, p, a, backend="pallas")
     ).lower(params, x).as_text()
     assert "scatter" not in hlo
+
+
+@pytest.mark.parametrize("bits", [3, 4])
+@pytest.mark.parametrize("mode", ["gather", "bf16"])
+def test_pallas_bigbatch_dequant_dense_path(bits, mode):
+    """The large-batch dequant-to-scratch path must match the fused path
+    (force it with big_batch=8 on a small problem, interpret mode)."""
+    from squeezellm_tpu.ops import pallas_ops
+
+    rng = np.random.default_rng(7)
+    out_f, in_f = 384, 320
+    lut, codes, qweight, w_dense = _random_quantized(rng, out_f, in_f, bits)
+    x = rng.normal(size=(16, in_f)).astype(np.float32)
+    y_big = pallas_ops.lut_matmul(
+        jnp.asarray(x), jnp.asarray(qweight), jnp.asarray(lut), bits,
+        interpret=True, mode=mode, big_batch=8,
+    )
+    y_fused = pallas_ops.lut_matmul(
+        jnp.asarray(x), jnp.asarray(qweight), jnp.asarray(lut), bits,
+        interpret=True, mode=mode, big_batch=10**9,
+    )
+    np.testing.assert_allclose(np.asarray(y_big), np.asarray(y_fused),
+                               rtol=2e-5, atol=2e-5)
+    if mode == "bf16":
+        # bf16 semantics: compare against bf16-rounded operands
+        xr = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+        wr = np.asarray(jnp.asarray(w_dense).astype(jnp.bfloat16)
+                        .astype(jnp.float32))
+        want = xr @ wr
+        np.testing.assert_allclose(np.asarray(y_big), want,
+                                   atol=3e-2 * np.abs(want).max())
+    else:
+        np.testing.assert_allclose(np.asarray(y_big), x @ w_dense,
+                                   rtol=2e-4, atol=2e-4)
