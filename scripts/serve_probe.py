@@ -40,13 +40,15 @@ def main():
         prompts = [rng.integers(0, config.vocab_size,
                                 int(rng.integers(4, 17))).tolist()
                    for _ in range(n_req)]
-        eng.run(prompts[:1], max_new_tokens=2)  # warm/compile
-        t0 = time.perf_counter()
-        results = eng.run(prompts, max_new_tokens=48)
-        dt = time.perf_counter() - t0
-        total = sum(len(t) for t in results.values())
-        print(f"slots={slots:3d} requests={n_req:3d}: {total} tokens in "
-              f"{dt:.2f}s -> {total/dt:7.1f} tok/s", flush=True)
+        for window in (1, 8, 16):
+            eng.run(prompts[:1], max_new_tokens=window, window=window)  # warm
+            t0 = time.perf_counter()
+            results = eng.run(prompts, max_new_tokens=48, window=window)
+            dt = time.perf_counter() - t0
+            total = sum(len(t) for t in results.values())
+            print(f"slots={slots:3d} requests={n_req:3d} window={window:2d}: "
+                  f"{total} tokens in {dt:.2f}s -> {total/dt:7.1f} tok/s",
+                  flush=True)
 
 
 if __name__ == "__main__":
