@@ -340,6 +340,9 @@ def gather_spmv(
     return out[0] if single else out
 
 
+BIG_BATCH = 1024  # rows at which lut_matmul switches to the scratch path
+
+
 def _dequant_dense_kernel(qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
                           out_dtype, interpret: bool):
     """Dequantize one (w_blk, o_blk) packed block to a dense
@@ -354,7 +357,7 @@ def _dequant_dense_kernel(qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
 
 
 def _lut_matmul_bigbatch(xf, qweight, lut_in, bits, cpw, mode, precision,
-                         interpret, out_features):
+                         interpret, out_features, coo=None):
     """Large-batch (eval/prefill) path: dequantize each layer's weights
     ONCE per call into an HBM scratch, then one dense MXU matmul.
 
@@ -367,6 +370,14 @@ def _lut_matmul_bigbatch(xf, qweight, lut_in, bits, cpw, mode, precision,
     The scratch is BLOCK-plane-major (see _dequant_dense_kernel); x is
     relayouted host-graph-side to the matching row order, so no in-kernel
     interleave is ever needed and the contraction order stays associative.
+
+    coo: optional (sp_rows, sp_cols, sp_vals) sparse sidecar. The values
+    are scattered INTO the scratch (one small scatter per call, amortized
+    over the stride group) so ONE matmul serves dense + sparse — the
+    separate materialize-then-matmul previously DOUBLED the stride's MXU
+    work (at f32 HIGHEST, ~1.3 s of a 2.0 s stride). Exact by the
+    zero-correction identity: scratch holds centroid-nearest-zero at an
+    outlier slot and the stored value is w - that centroid.
     """
     batch, in_features = xf.shape
     nw = qweight.shape[0]
@@ -395,6 +406,14 @@ def _lut_matmul_bigbatch(xf, qweight, lut_in, bits, cpw, mode, precision,
         ),
         interpret=interpret,
     )(qweight, lut_in)
+
+    if coo is not None:
+        sp_rows, sp_cols, sp_vals = coo
+        w = sp_cols // cpw
+        j = sp_cols % cpw
+        rows2 = (w // w_blk) * (cpw * w_blk) + j * w_blk + (w % w_blk)
+        w_dense = w_dense.at[rows2, sp_rows].add(
+            sp_vals.astype(w_dense.dtype))
 
     # x rows -> block-plane-major: x2[b, i*cpw*w_blk + j*w_blk + w] =
     # x[b, (i*w_blk + w)*cpw + j]
@@ -432,7 +451,10 @@ def lut_matmul(
     mode: str = "gather",
     precision: str = "highest",
     lut_t=None,
-    big_batch: int = 1024,
+    big_batch: int = BIG_BATCH,
+    sp_rows=None,
+    sp_cols=None,
+    sp_vals=None,
 ):
     """Fused LUT-dequant matmul: ``x (..., in) -> (..., out)`` f32.
 
@@ -470,8 +492,10 @@ def lut_matmul(
             lut_in = lut_in.astype(jnp.bfloat16).astype(jnp.float32)
         prec = (jax.lax.Precision.HIGHEST if precision == "highest"
                 else jax.lax.Precision.DEFAULT)
+        coo = (None if sp_rows is None
+               else (sp_rows, sp_cols, sp_vals))
         y = _lut_matmul_bigbatch(xf, qweight, lut_in, bits, cpw_, mode, prec,
-                                 interpret, out_features)
+                                 interpret, out_features, coo=coo)
         return y.reshape(*lead, out_features)
 
     if not o_blk:

@@ -69,22 +69,33 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     in_dtype = x.dtype
+    flat_b = int(np.prod(x.shape[:-1]))
+    sparse_folded = False
     if backend.startswith("pallas"):
         from squeezellm_tpu.ops import pallas_ops
 
         # off-TPU the Pallas kernel only runs interpreted
         interpret = jax.default_backend() != "tpu"
+        # large-batch path: fold the sparse sidecar INTO the dequant
+        # scratch (one small scatter) so one matmul serves dense + sparse;
+        # a separate materialize-then-matmul would double the MXU work
+        sparse_folded = (
+            spec.include_sparse and spec.bits <= 4
+            and flat_b >= pallas_ops.BIG_BATCH
+        )
         y = pallas_ops.lut_matmul(
             x, params["qweight"], params["lut"], spec.bits,
             interpret=interpret,
             mode="bf16" if backend == "pallas-bf16" else "gather",
             lut_t=params.get("lut_t"),
+            sp_rows=params["sp_rows"] if sparse_folded else None,
+            sp_cols=params["sp_cols"] if sparse_folded else None,
+            sp_vals=params["sp_vals"] if sparse_folded else None,
         )
     else:
         y = xla_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
 
-    if spec.include_sparse:
-        flat_b = int(np.prod(x.shape[:-1]))
+    if spec.include_sparse and not sparse_folded:
         if spec.sg_rows > 0 and backend.startswith("pallas") and flat_b <= 64:
             # two-hop-gather SpMV: ~100-1000x faster than the XLA scatter
             # on TPU at decode/serving batch sizes (batch = leading grid dim)

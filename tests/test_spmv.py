@@ -125,3 +125,32 @@ def test_prepare_model_attaches_plans():
                               backend="pallas")
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=2e-3,
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["pallas", "pallas-bf16"])
+def test_bigbatch_sparse_folded_into_scratch(mode):
+    """Large-batch pallas path folds the COO sidecar into the dequant
+    scratch — must equal the xla path (dense + separate sparse matmul)."""
+    from squeezellm_tpu.ops import pallas_ops
+
+    rng = np.random.default_rng(9)
+    o, i = 256, 320
+    w = rng.standard_normal((o, i)).astype(np.float32) * 0.1
+    lut = np.sort(rng.standard_normal((o, 16)).astype(np.float32) * 0.1, axis=1)
+    outliers = np.zeros((o, i), np.float32)
+    mask = rng.random((o, i)) < 0.02
+    outliers[mask] = rng.standard_normal(mask.sum()).astype(np.float32)
+    w[mask] = 0.0
+    spec, params = pack_linear(w, lut, bits=4, outliers=outliers,
+                               nnz_pad_multiple=64, build_spmv=True)
+    jp = jax.tree.map(jnp.asarray, params)
+    big = pallas_ops.BIG_BATCH
+    x = jnp.asarray(rng.standard_normal((big, i)).astype(np.float32))
+    y_xla = quant_linear_apply(spec, jp, x, backend="xla")
+    y_pl = quant_linear_apply(spec, jp, x, backend=mode)
+    if mode == "pallas":
+        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla),
+                                   rtol=2e-4, atol=2e-4)
+    else:
+        err = np.abs(np.asarray(y_pl) - np.asarray(y_xla)).max()
+        assert err < 3e-2 * np.abs(np.asarray(y_xla)).max()
