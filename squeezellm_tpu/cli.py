@@ -226,20 +226,28 @@ def cmd_serve_bench(args):
     from squeezellm_tpu import serving
 
     model_type, config, specs, params = _load_any(args.model)
-    eng = serving.ContinuousBatchEngine(
-        model_type, config, specs, params, slots=args.slots,
-        backend=args.backend, max_seq=args.seqlen,
-    )
+    if args.paged:
+        eng = serving.PagedContinuousBatchEngine(
+            model_type, config, specs, params, slots=args.slots,
+            backend=args.backend, max_seq=args.seqlen,
+            page_size=args.page_size,
+            n_pages=-(-args.seqlen // args.page_size) * args.slots,
+        )
+    else:
+        eng = serving.ContinuousBatchEngine(
+            model_type, config, specs, params, slots=args.slots,
+            backend=args.backend, max_seq=args.seqlen,
+        )
     rng = np.random.default_rng(args.seed)
     prompts = [
         rng.integers(0, config.vocab_size, rng.integers(4, 32)).tolist()
         for _ in range(args.requests)
     ]
     # warm (compile prefill + batched decode)
-    eng.run(prompts[:1], max_new_tokens=2, window=args.window)
+    kw = {} if args.paged else {"window": args.window}
+    eng.run(prompts[:1], max_new_tokens=2, **kw)
     t0 = time.perf_counter()
-    results = eng.run(prompts, max_new_tokens=args.max_new_tokens,
-                      window=args.window)
+    results = eng.run(prompts, max_new_tokens=args.max_new_tokens, **kw)
     dt = time.perf_counter() - t0
     total = sum(len(t) for t in results.values())
     print(json.dumps({
@@ -363,6 +371,9 @@ def main(argv=None):
     sb.add_argument("--seed", type=int, default=0)
     sb.add_argument("--window", type=int, default=8,
                     help="decode tokens per host sync (lax.scan window)")
+    sb.add_argument("--paged", action="store_true",
+                    help="paged KV pool + prefix sharing (ops/paged_attn.py)")
+    sb.add_argument("--page-size", type=int, default=128)
     sb.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas", "pallas-bf16"])
     sb.set_defaults(fn=cmd_serve_bench)

@@ -195,6 +195,28 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
     q = common.apply_rope(q, cos, sin)
     k = common.apply_rope(k, cos, sin)
 
+    if cache is not None and "pk" in cache:
+        # paged KV (serving): fused cache-write + page-table attention in
+        # one Pallas launch (ops/paged_attn.py). pos is the (B,) 0-based
+        # position of the current token; lengths include it.
+        assert s == 1, "paged cache is a decode-only path"
+        from squeezellm_tpu.ops import paged_attn
+
+        lengths = (jnp.asarray(pos).reshape(-1) + 1).astype(jnp.int32)
+        out3, pk2, pv2 = paged_attn.paged_decode_attention(
+            q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+            cache["pk"], cache["pv"], cache["pt"], lengths,
+            page_size=cache["pk"].shape[2],
+            interpret=jax.default_backend() not in ("tpu",),
+        )
+        cache = dict(cache, pk=pk2, pv=pv2)
+        out = out3[:, :, None, :].astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+        out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
+        if axis_name is not None:
+            out = jax.lax.psum(out, axis_name)
+        return out, cache
+
     if cache is not None:
         if s == 1:
             # decode: pos scalar or per-slot (B,) vector
@@ -281,18 +303,23 @@ def forward(config: LlamaConfig, specs, params, tokens, *, backend="auto",
 
 
 def prefill(config: LlamaConfig, specs, params, tokens, cache, *,
-            backend="auto", dtype=jnp.float32, axis_name=None):
-    """Process the prompt, fill the KV cache; returns (last-token logits, cache)."""
+            backend="auto", dtype=jnp.float32, axis_name=None, start=0):
+    """Process the prompt, fill the KV cache; returns (last-token logits, cache).
+
+    start: position of tokens[:, 0] — a continuation prefill (prefix
+    sharing: the cache already holds rows [0, start)) attends to the
+    cached prefix through the offset causal mask."""
     b, s = tokens.shape
     x = params["embed"][tokens].astype(dtype)
-    positions = jnp.arange(s)
+    positions = start + jnp.arange(s)
     cos, sin = common.rope_cos_sin(positions, config.head_dim, config.rope_theta, dtype)
     max_seq = cache[0]["k"].shape[2]
-    mask = common.causal_mask(s, max_seq, sliding_window=config.sliding_window)
+    mask = common.causal_mask(s, max_seq, offset=start,
+                              sliding_window=config.sliding_window)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
         x, lc = _layer(config, spec_d, param_d, x, cos, sin, mask,
-                       cache=layer_cache, pos=0, backend=backend,
+                       cache=layer_cache, pos=start, backend=backend,
                        axis_name=axis_name)
         new_cache.append(lc)
     x = common.rms_norm(x[:, -1:], params["final_norm"], config.rms_eps)
@@ -309,8 +336,13 @@ def decode_step(config: LlamaConfig, specs, params, token, pos, cache, *,
     positions = (pos.reshape(-1, 1) if pos.ndim
                  else jnp.full((token.shape[0], 1), pos, jnp.int32))
     cos, sin = common.rope_cos_sin(positions, config.head_dim, config.rope_theta, dtype)
-    max_seq = cache[0]["k"].shape[2]
-    mask = common.decode_mask(max_seq, pos, sliding_window=config.sliding_window)
+    if "pk" in cache[0]:  # paged pool: masking happens inside the kernel
+        max_seq = cache[0]["pt"].shape[1] * cache[0]["pk"].shape[2]
+        mask = None
+    else:
+        max_seq = cache[0]["k"].shape[2]
+        mask = common.decode_mask(max_seq, pos,
+                                  sliding_window=config.sliding_window)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
         x, lc = _layer(config, spec_d, param_d, x, cos, sin, mask,

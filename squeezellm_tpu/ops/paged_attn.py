@@ -1,0 +1,219 @@
+"""Paged decode attention: Pallas TPU kernel over a shared KV page pool.
+
+Round 1/2 serving used one dense preallocated (B, H, max_seq, D) cache per
+slot pool — simple, but memory scales with slots x max_seq regardless of
+actual lengths, and prompts cannot share cache. This kernel decouples
+storage from slots (the vLLM design, rebuilt TPU-native):
+
+  * KV lives in a global page pool (n_pages, n_kv_heads, page_size, hd)
+    per layer; each slot owns a list of page ids (its page table).
+  * The decode kernel runs one grid step per (slot, kv-head). The page
+    table and per-slot lengths arrive via scalar prefetch; pages are
+    pulled from HBM with explicit double-buffered DMAs (`make_async_copy`)
+    — Pallas block specs cannot address scattered pages, manual DMA can.
+  * The current token's k/v are DMA-written into the slot's last page
+    inside the same kernel (pool aliased in->out), so a decode step does
+    page-table attention AND the cache update in ONE fused launch: no XLA
+    scatter, no separate cache op.
+  * Softmax is the online (flash) form accumulated across pages in
+    registers; GQA handled by grouping q heads per kv head.
+
+The reference has no serving layer at all (SURVEY §2.4); this replaces
+nothing there — it extends serving.py beyond fixed dense slots.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
+                       pk_in, pv_in, pk_ref, pv_ref, out_ref,
+                       kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
+                       *, ps: int, maxp: int, scale: float):
+    """One (slot b, kv-head h) grid step.
+
+    pt_ref:  (B, maxp) int32 page table (scalar prefetch, SMEM)
+    len_ref: (B,) int32 valid tokens per slot INCLUDING the current one
+    q_ref:   (1, 1, g, hd) f32 — rope'd query heads of this kv group
+    kn/vn:   (1, 1, 1, hd) f32 — current token's k/v for this kv head
+    pk/pv:   (P, Hkv, ps, hd) pool, ANY memory space, aliased in->out
+    out_ref: (1, 1, g, hd) f32
+    kbuf/vbuf: (2, ps, hd) VMEM double buffers
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    n = len_ref[b]
+    npages = jax.lax.div(n + ps - 1, ps)
+
+    # ---- write the current token's k/v into its page slot (n >= 1) ----
+    # Pool tiling constrains token-dim DMA slices (8 rows f32 / 16 bf16),
+    # so single-row writes are illegal: read an aligned 16-row SLAB, patch
+    # one row with a vector select, write the slab back (grid steps are
+    # sequential per core and the page loop waits on this — race-free).
+    last = n - 1
+    lpid = pt_ref[b, jax.lax.div(last, ps)]
+    loff = jax.lax.rem(last, ps)
+    slab = min(16, ps)  # >= hw tile height at ps >= 16; ps for tiny tests
+    off2 = jax.lax.div(loff, slab) * slab
+    sub = loff - off2
+
+    @pl.when(n > 0)
+    def _write():
+        rk = pltpu.make_async_copy(
+            pk_ref.at[lpid, h, pl.ds(off2, slab)], pairk, wsem.at[0])
+        rv = pltpu.make_async_copy(
+            pv_ref.at[lpid, h, pl.ds(off2, slab)], pairv, wsem.at[1])
+        rk.start()
+        rv.start()
+        rk.wait()
+        rv.wait()
+        rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+        pairk[:] = jnp.where(rows == sub, kn_ref[0, 0].astype(pairk.dtype),
+                             pairk[:])
+        pairv[:] = jnp.where(rows == sub, vn_ref[0, 0].astype(pairv.dtype),
+                             pairv[:])
+        wk = pltpu.make_async_copy(
+            pairk, pk_ref.at[lpid, h, pl.ds(off2, slab)], wsem.at[0])
+        wv = pltpu.make_async_copy(
+            pairv, pv_ref.at[lpid, h, pl.ds(off2, slab)], wsem.at[1])
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
+
+    def k_copy(p, slot):
+        return pltpu.make_async_copy(
+            pk_ref.at[pt_ref[b, p], h], kbuf.at[slot], ksem.at[slot])
+
+    def v_copy(p, slot):
+        return pltpu.make_async_copy(
+            pv_ref.at[pt_ref[b, p], h], vbuf.at[slot], vsem.at[slot])
+
+    @pl.when(npages > 0)
+    def _prologue():
+        k_copy(0, 0).start()
+        v_copy(0, 0).start()
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (g, hd)
+    g, hd = q.shape
+
+    def body(p, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < npages)
+        def _next():
+            k_copy(p + 1, 1 - slot).start()
+            v_copy(p + 1, 1 - slot).start()
+
+        k_copy(p, slot).wait()
+        v_copy(p, slot).wait()
+        k = kbuf[slot].astype(jnp.float32)  # (ps, hd)
+        v = vbuf[slot].astype(jnp.float32)
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (g, ps)
+        pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+        logits = jnp.where(pos < n, logits, NEG_INF)
+
+        m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m2)
+        pexp = jnp.exp(logits - m2)
+        l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
+        acc2 = acc * alpha + jnp.dot(pexp, v,
+                                     preferred_element_type=jnp.float32)
+        return m2, l2, acc2
+
+    init = (jnp.full((g, 1), NEG_INF, jnp.float32),
+            jnp.zeros((g, 1), jnp.float32),
+            jnp.zeros((g, hd), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(0, npages, body, init)
+    out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("page_size", "interpret"),
+)
+def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
+                           lengths, *, page_size: int, interpret: bool = False):
+    """Fused cache-write + paged attention for one decode step.
+
+    Args:
+      q:        (B, H, hd) f32/bf16 rope'd queries
+      k_new:    (B, Hkv, hd) current token's rope'd keys
+      v_new:    (B, Hkv, hd) values
+      pool_k/v: (P, Hkv, ps, hd) page pools (DONATED/aliased: updated pools
+                are returned)
+      page_tables: (B, maxp) int32; lengths: (B,) int32 — tokens per slot
+                INCLUDING the current one (0 = inactive slot).
+
+    Returns (attn_out (B, H, hd) f32, pool_k, pool_v).
+    """
+    B, H, hd = q.shape
+    Hkv = pool_k.shape[1]
+    ps = page_size
+    assert pool_k.shape[2] == ps, (pool_k.shape, ps)
+    maxp = page_tables.shape[1]
+    g = H // Hkv
+    scale = 1.0 / (hd ** 0.5)
+
+    q4 = q.reshape(B, Hkv, g, hd).astype(jnp.float32)
+    kn4 = k_new.reshape(B, Hkv, 1, hd).astype(pool_k.dtype)
+    vn4 = v_new.reshape(B, Hkv, 1, hd).astype(pool_v.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ps, hd), pool_k.dtype),
+            pltpu.VMEM((2, ps, hd), pool_v.dtype),
+            pltpu.VMEM((min(16, ps), hd), pool_k.dtype),
+            pltpu.VMEM((min(16, ps), hd), pool_v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    pool_k_out, pool_v_out, out = pl.pallas_call(
+        functools.partial(_paged_attn_kernel, ps=ps, maxp=maxp, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, g, hd), jnp.float32),
+        ],
+        input_output_aliases={5: 0, 6: 1},  # pools in -> out (in-place)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_tables, lengths, q4, kn4, vn4, pool_k, pool_v)
+
+    return out.reshape(B, H, hd), pool_k_out, pool_v_out

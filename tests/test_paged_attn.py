@@ -1,0 +1,102 @@
+"""Paged decode attention kernel vs a dense numpy oracle (interpret)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from squeezellm_tpu.ops import paged_attn
+
+
+def _oracle(q, k_all, v_all, lengths):
+    """Dense reference: per slot, softmax attention over its first
+    lengths[b] positions. q (B,H,hd); k/v (B,Hkv,S,hd)."""
+    B, H, hd = q.shape
+    Hkv = k_all.shape[1]
+    g = H // Hkv
+    out = np.zeros((B, H, hd), np.float32)
+    for b in range(B):
+        n = int(lengths[b])
+        if n == 0:
+            continue
+        for h in range(H):
+            kh = h // g
+            k = k_all[b, kh, :n].astype(np.float64)
+            v = v_all[b, kh, :n].astype(np.float64)
+            logits = (k @ q[b, h].astype(np.float64)) / np.sqrt(hd)
+            p = np.exp(logits - logits.max())
+            p /= p.sum()
+            out[b, h] = (p @ v).astype(np.float32)
+    return out
+
+
+@pytest.mark.parametrize("g,ps", [(1, 128), (4, 128), (2, 64)])
+def test_paged_attention_matches_dense(g, ps):
+    rng = np.random.default_rng(0)
+    B, Hkv, hd, P, maxp = 3, 2, 128, 16, 4
+    H = g * Hkv
+    lengths = np.asarray([1, ps + 5, 2 * ps], np.int32)  # 1 to multi-page
+
+    # assign distinct pages per slot
+    page_tables = np.full((B, maxp), 0, np.int32)
+    pid = 1
+    for b in range(B):
+        for p in range(maxp):
+            page_tables[b, p] = pid
+            pid += 1
+
+    pool_k = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    pool_v = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    q = rng.standard_normal((B, H, hd)).astype(np.float32)
+    k_new = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    v_new = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+
+    out, pk2, pv2 = paged_attn.paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(page_tables), jnp.asarray(lengths),
+        page_size=ps, interpret=True,
+    )
+    pk2, pv2 = np.asarray(pk2), np.asarray(pv2)
+
+    # the kernel must have written k_new/v_new at each slot's last position
+    for b in range(B):
+        n = int(lengths[b])
+        pidx = page_tables[b, (n - 1) // ps]
+        off = (n - 1) % ps
+        np.testing.assert_allclose(pk2[pidx, :, off], k_new[b], rtol=1e-6)
+        np.testing.assert_allclose(pv2[pidx, :, off], v_new[b], rtol=1e-6)
+
+    # dense gather of each slot's pages (post-write) for the oracle
+    S = maxp * ps
+    k_all = np.zeros((B, Hkv, S, hd), np.float32)
+    v_all = np.zeros((B, Hkv, S, hd), np.float32)
+    for b in range(B):
+        for p in range(maxp):
+            k_all[b, :, p * ps:(p + 1) * ps] = pk2[page_tables[b, p]]
+            v_all[b, :, p * ps:(p + 1) * ps] = pv2[page_tables[b, p]]
+    want = _oracle(q, k_all, v_all, lengths)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-5, atol=2e-5)
+
+
+def test_inactive_slot_zero_length():
+    rng = np.random.default_rng(1)
+    B, Hkv, g, hd, ps, P, maxp = 2, 2, 2, 128, 128, 4, 2
+    H = g * Hkv
+    lengths = np.asarray([0, 3], np.int32)
+    page_tables = np.asarray([[0, 0], [1, 2]], np.int32)
+    pool_k = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    pool_v = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    q = rng.standard_normal((B, H, hd)).astype(np.float32)
+    kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    out, pk2, _ = paged_attn.paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(page_tables), jnp.asarray(lengths),
+        page_size=ps, interpret=True,
+    )
+    # inactive slot: finite output (0/eps), no write into page 0
+    assert np.isfinite(np.asarray(out)[0]).all()
+    np.testing.assert_allclose(np.asarray(pk2)[0], pool_k[0])

@@ -1,0 +1,108 @@
+"""Paged continuous batching: must reproduce the dense-slot engine's
+tokens exactly, share prefix pages, and recycle freed pages."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from squeezellm_tpu import engine as engine_mod
+from squeezellm_tpu import serving
+from squeezellm_tpu.models import llama
+from squeezellm_tpu.quantize import pipeline
+
+
+def _small_model():
+    config = llama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        n_layers=2, n_heads=4, n_kv_heads=2, max_seq=64,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(0))
+    specs, params = pipeline.quantize_model("llama", config, dense, bits=4)
+    return config, specs, jax.tree.map(jnp.asarray, params)
+
+
+PS = 8  # small pages so multi-page prompts fit the tiny max_seq
+
+
+def _paged(config, specs, params, slots=2, n_pages=24):
+    return serving.PagedContinuousBatchEngine(
+        "llama", config, specs, params, slots=slots, n_pages=n_pages,
+        page_size=PS, backend="xla", cache_dtype=jnp.float32,
+    )
+
+
+def test_paged_matches_single_stream():
+    config, specs, params = _small_model()
+    eng = engine_mod.Engine("llama", config, specs, params, backend="xla")
+    prompts = [[1, 2, 3], list(range(7, 7 + 18)), [11, 13, 17, 19], [23]]
+    max_new = 6
+    expected = {
+        i: eng.generate(np.asarray(p, np.int32)[None], max_new)[0, len(p):]
+        for i, p in enumerate(prompts)
+    }
+    cb = _paged(config, specs, params, slots=2)
+    results = cb.run(prompts, max_new_tokens=max_new)
+    assert sorted(results) == [0, 1, 2, 3]
+    for rid, toks in results.items():
+        np.testing.assert_array_equal(
+            np.asarray(toks), np.asarray(expected[rid]),
+            err_msg=f"request {rid}")
+
+
+def test_prefix_sharing_reuses_pages():
+    config, specs, params = _small_model()
+    cb = _paged(config, specs, params, slots=2, n_pages=24)
+    base = list(range(1, 1 + 3 * PS + 2))  # 3 full pages + 2 tokens
+    a = base + [99]
+    b = base + [101, 102]
+
+    rid_a = cb.add_request(a, 4)
+    shared_a = cb._slot_shared[0]
+    assert shared_a == 0  # nothing registered yet
+    pages_a = list(cb._slot_pages[0])
+
+    rid_b = cb.add_request(b, 4)
+    shared_b = cb._slot_shared[1]
+    assert shared_b == 3  # the 3 full-page prefixes are reused
+    assert cb._slot_pages[1][:3] == pages_a[:3]
+    # shared pages are refcounted by both slots
+    for pid in pages_a[:3]:
+        assert cb.pool._ref[pid] == 2
+
+    # same tokens decoded with and without sharing
+    eng = engine_mod.Engine("llama", config, specs, params, backend="xla")
+    want_a = eng.generate(np.asarray(a, np.int32)[None], 4)[0, len(a):]
+    want_b = eng.generate(np.asarray(b, np.int32)[None], 4)[0, len(b):]
+    results = {}
+    while any(s.active for s in cb._slots):
+        for rid, r in cb.step().items():
+            if r["done"]:
+                results[rid] = r["tokens"]
+    np.testing.assert_array_equal(np.asarray(results[rid_a]),
+                                  np.asarray(want_a))
+    np.testing.assert_array_equal(np.asarray(results[rid_b]),
+                                  np.asarray(want_b))
+
+
+def test_pages_recycled_after_release():
+    config, specs, params = _small_model()
+    cb = _paged(config, specs, params, slots=1, n_pages=8)
+    # run several requests through one slot; private pages must recycle
+    for k in range(4):
+        cb.run([[5 + k, 6 + k, 7 + k]], max_new_tokens=3)
+    assert len(cb.pool._free) >= 6  # pool not leaking
+
+
+def test_paged_windowed_matches_per_token():
+    config, specs, params = _small_model()
+    prompts = [[1, 2, 3], list(range(7, 7 + 10))]
+    cb1 = _paged(config, specs, params, slots=2)
+    r1 = cb1.run(list(prompts), max_new_tokens=5, window=1)
+    cb8 = _paged(config, specs, params, slots=2)
+    r8 = cb8.run(list(prompts), max_new_tokens=5, window=8)
+    assert sorted(r1) == sorted(r8)
+    for rid in r1:
+        np.testing.assert_array_equal(np.asarray(r1[rid]),
+                                      np.asarray(r8[rid]))
