@@ -183,6 +183,27 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
     k = k.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
 
+    if cache is not None and "pk" in cache:
+        # paged KV (serving): see models/llama.py — same fused kernel; OPT
+        # has no rope and no GQA (g = 1 group per head)
+        assert s == 1, "paged cache is a decode-only path"
+        from squeezellm_tpu.ops import paged_attn
+
+        lengths = (jnp.asarray(pos).reshape(-1) + 1).astype(jnp.int32)
+        out3, pk2, pv2 = paged_attn.paged_decode_attention(
+            q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+            cache["pk"], cache["pv"], cache["pt"], lengths,
+            page_size=cache["pk"].shape[2],
+            interpret=jax.default_backend() not in ("tpu",),
+        )
+        cache = dict(cache, pk=pk2, pv=pv2)
+        out = out3[:, :, None, :].astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+        out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
+        if axis_name is not None:
+            out = jax.lax.psum(out, axis_name)
+        return out, cache
+
     if cache is not None:
         if s == 1:
             cache = common.update_kv_cache(cache, k, v, pos)
@@ -250,15 +271,17 @@ def forward(config: OPTConfig, specs, params, tokens, *, backend="auto",
 
 
 def prefill(config: OPTConfig, specs, params, tokens, cache, *, backend="auto",
-            dtype=jnp.float32, axis_name=None):
+            dtype=jnp.float32, axis_name=None, start=0):
+    """start: position of tokens[:, 0] (continuation prefill — the cache
+    already holds rows [0, start); see models/llama.py)."""
     b, s = tokens.shape
-    x = _embed(config, params, tokens, 0, dtype)
+    x = _embed(config, params, tokens, start, dtype)
     max_seq = cache[0]["k"].shape[2]
-    mask = common.causal_mask(s, max_seq)
+    mask = common.causal_mask(s, max_seq, offset=start)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
         x, lc = _layer(config, spec_d, param_d, x, mask, cache=layer_cache,
-                       pos=0, backend=backend, axis_name=axis_name)
+                       pos=start, backend=backend, axis_name=axis_name)
         new_cache.append(lc)
     x = common.layer_norm(x[:, -1:], params["final_norm"]["w"],
                           params["final_norm"]["b"], config.ln_eps)
@@ -273,8 +296,11 @@ def decode_step(config: OPTConfig, specs, params, token, pos, cache, *,
         x = x + params["embed_pos"][pos + _POS_OFFSET][:, None].astype(dtype)
     else:
         x = x + params["embed_pos"][pos + _POS_OFFSET][None, None].astype(dtype)
-    max_seq = cache[0]["k"].shape[2]
-    mask = common.decode_mask(max_seq, pos)
+    if "pk" in cache[0]:  # paged pool: masking happens inside the kernel
+        mask = None
+    else:
+        max_seq = cache[0]["k"].shape[2]
+        mask = common.decode_mask(max_seq, pos)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
         x, lc = _layer(config, spec_d, param_d, x, mask, cache=layer_cache,

@@ -106,3 +106,28 @@ def test_paged_windowed_matches_per_token():
     for rid in r1:
         np.testing.assert_array_equal(np.asarray(r1[rid]),
                                       np.asarray(r8[rid]))
+
+
+def test_paged_opt_matches_single_stream():
+    from squeezellm_tpu.models import opt as opt_mod
+
+    config = opt_mod.OPTConfig(
+        vocab_size=96, hidden_size=64, ffn_dim=128, n_layers=2,
+        n_heads=4, max_seq=64,
+    )
+    dense = opt_mod.random_dense_params(config, jax.random.PRNGKey(0))
+    specs, params = pipeline.quantize_model("opt", config, dense, bits=4)
+    params = jax.tree.map(jnp.asarray, params)
+    eng = engine_mod.Engine("opt", config, specs, params, backend="xla")
+    prompts = [[1, 2, 3], list(range(5, 5 + 12))]
+    expected = {
+        i: eng.generate(np.asarray(p, np.int32)[None], 5)[0, len(p):]
+        for i, p in enumerate(prompts)
+    }
+    cb = serving.PagedContinuousBatchEngine(
+        "opt", config, specs, params, slots=2, n_pages=24, page_size=PS,
+        backend="xla", cache_dtype=jnp.float32)
+    results = cb.run(prompts, max_new_tokens=5)
+    for rid, toks in results.items():
+        np.testing.assert_array_equal(np.asarray(toks),
+                                      np.asarray(expected[rid]))
