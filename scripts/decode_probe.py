@@ -21,7 +21,12 @@ def build(variant, n_layers=32):
     from bench import _build_quantized_llama
     from squeezellm_tpu.models import llama
 
-    config = llama.LlamaConfig(max_seq=2048, n_layers=n_layers)
+    if "13b" in variant:  # Vicuna/LLaMA-13B shapes (config ladder)
+        config = llama.LlamaConfig(
+            hidden_size=5120, intermediate_size=13824, n_layers=40,
+            n_heads=40, n_kv_heads=40, max_seq=2048)
+    else:
+        config = llama.LlamaConfig(max_seq=2048, n_layers=n_layers)
     if variant.replace("-win", "") == "bf16":
         params = llama.random_dense_params(config, jax.random.PRNGKey(0),
                                            dtype=jnp.bfloat16)

@@ -395,18 +395,25 @@ class PagedContinuousBatchEngine:
             return to_dense(kv["k"]), to_dense(kv["v"])
 
         @jax.jit
-        def _scatter_pages(pool_kv, dense_k, dense_v, pids, first_page):
+        def _scatter_pages(pool_kv, dense_k, dense_v, pids, first_page, cnt):
+            # pids may be pow2-padded (repeat-last): iterations beyond cnt
+            # must be no-ops — a clamped dense slice would otherwise
+            # overwrite the real last page with wrong rows
             def body(i, pools):
-                pk, pv = pools
-                src_k = jax.lax.dynamic_slice_in_dim(
-                    dense_k[0], (first_page + i) * self.ps, self.ps, axis=1)
-                src_v = jax.lax.dynamic_slice_in_dim(
-                    dense_v[0], (first_page + i) * self.ps, self.ps, axis=1)
-                pk = jax.lax.dynamic_update_slice_in_dim(
-                    pk, src_k[None].astype(pk.dtype), pids[i], axis=0)
-                pv = jax.lax.dynamic_update_slice_in_dim(
-                    pv, src_v[None].astype(pv.dtype), pids[i], axis=0)
-                return pk, pv
+                def write(pools):
+                    pk, pv = pools
+                    src_k = jax.lax.dynamic_slice_in_dim(
+                        dense_k[0], (first_page + i) * self.ps, self.ps,
+                        axis=1)
+                    src_v = jax.lax.dynamic_slice_in_dim(
+                        dense_v[0], (first_page + i) * self.ps, self.ps,
+                        axis=1)
+                    pk = jax.lax.dynamic_update_slice_in_dim(
+                        pk, src_k[None].astype(pk.dtype), pids[i], axis=0)
+                    pv = jax.lax.dynamic_update_slice_in_dim(
+                        pv, src_v[None].astype(pv.dtype), pids[i], axis=0)
+                    return pk, pv
+                return jax.lax.cond(i < cnt, write, lambda p: p, pools)
             pk, pv = jax.lax.fori_loop(
                 0, pids.shape[0], body, (pool_kv["pk"], pool_kv["pv"]))
             return {"pk": pk, "pv": pv}
@@ -440,6 +447,16 @@ class PagedContinuousBatchEngine:
         if plen + max_new_tokens > self.max_seq:
             raise ValueError("prompt + max_new_tokens exceeds max_seq")
 
+        def _bucket_pow2(pids):
+            # pad by REPEATING the last pid: the duplicate scatter rewrites
+            # identical content, the duplicate gather rows are sliced off —
+            # compile count stays O(log pages) instead of O(pages)
+            n = len(pids)
+            m = 1
+            while m < n:
+                m *= 2
+            return pids + [pids[-1]] * (m - n)
+
         shared_pids, chain_key = self.pool.lookup_chain(prompt)
         n_shared = len(shared_pids)
         start = n_shared * self.ps
@@ -464,21 +481,25 @@ class PagedContinuousBatchEngine:
             1, self.max_seq, self.config.n_layers, self.config.n_kv_heads,
             self.config.head_dim, self.pool.pools[0]["pk"].dtype)
         if n_shared:
-            spids = jnp.asarray(shared_pids, jnp.int32)
+            spids = jnp.asarray(_bucket_pow2(shared_pids), jnp.int32)
             for li in range(self.config.n_layers):
                 dk, dv = self._gather_pages(self.pool.pools[li], spids)
-                dense[li]["k"] = dense[li]["k"].at[:, :, : start].set(dk)
-                dense[li]["v"] = dense[li]["v"].at[:, :, : start].set(dv)
+                dense[li]["k"] = dense[li]["k"].at[:, :, : start].set(
+                    dk[:, :, : start])
+                dense[li]["v"] = dense[li]["v"].at[:, :, : start].set(
+                    dv[:, :, : start])
         _, dense = self._prefill(self.params, jnp.asarray(padded), dense,
                                  jnp.asarray(start, jnp.int32))
         # scatter the new (non-shared) prompt pages into the pool
         covered = -(-plen // self.ps)  # pages with any prompt content
-        npids = jnp.asarray(pids[n_shared:covered] or [0], jnp.int32)
+        npids = jnp.asarray(
+            _bucket_pow2(pids[n_shared:covered] or [0]), jnp.int32)
         if covered > n_shared:
             for li in range(self.config.n_layers):
                 self.pool.pools[li] = self._scatter_pages(
                     self.pool.pools[li], dense[li]["k"], dense[li]["v"],
-                    npids, n_shared)
+                    npids, n_shared,
+                    jnp.asarray(covered - n_shared, jnp.int32))
         # register the prompt's full pages (excl. the final page) for reuse
         self.pool.register_chain(chain_key, prompt, n_shared,
                                  max(n_shared, (plen - 1) // self.ps), pids)

@@ -131,3 +131,18 @@ def test_paged_opt_matches_single_stream():
     for rid, toks in results.items():
         np.testing.assert_array_equal(np.asarray(toks),
                                       np.asarray(expected[rid]))
+
+
+def test_admission_pow2_padding_no_clobber():
+    """A request whose non-shared page count is NOT a power of two must not
+    corrupt its own pages via the padded scatter (regression for the
+    clamped-slice bug)."""
+    config, specs, params = _small_model()
+    # 3 pages of prompt content (non-pow2 scatter count), no sharing
+    prompt = list(range(1, 1 + 2 * PS + 3))
+    eng = engine_mod.Engine("llama", config, specs, params, backend="xla")
+    want = eng.generate(np.asarray(prompt, np.int32)[None], 4)[0, len(prompt):]
+    cb = _paged(config, specs, params, slots=1, n_pages=12)
+    got = cb.run([prompt], max_new_tokens=4)
+    np.testing.assert_array_equal(np.asarray(list(got.values())[0]),
+                                  np.asarray(want))
