@@ -40,6 +40,74 @@ def main():
                     f"out={out_f} b={batch} {mode}: err {err:.2e}",
                     flush=True,
                 )
+            # large-batch dequant-to-scratch path (forced via big_batch)
+            y = pallas_ops.lut_matmul(
+                jnp.asarray(x), jnp.asarray(qweight), jnp.asarray(lut),
+                bits, mode="gather", big_batch=1,
+            )
+            err = np.abs(np.asarray(y) - x @ w_dense).max()
+            ok = err < 5e-4 * np.sqrt(in_f / 640)
+            failures += not ok
+            print(f"{'OK ' if ok else 'BAD'} bits={bits} in={in_f} "
+                  f"out={out_f} b={batch} bigbatch: err {err:.2e}", flush=True)
+
+    # two-hop-gather SpMV
+    from squeezellm_tpu.ops import spmv
+
+    o, i = 1000, 1300
+    nnz = int(o * i * 0.01)
+    r = rng.integers(0, o, nnz)
+    c = rng.integers(0, i, nnz)
+    v = rng.standard_normal(nnz).astype(np.float32)
+    plan = spmv.build_plan(r, c, v, o, i)
+    x = rng.standard_normal((2, i)).astype(np.float32)
+    y = np.asarray(pallas_ops.gather_spmv(
+        jnp.asarray(x), jnp.asarray(plan.meta), jnp.asarray(plan.vals),
+        oh=plan.oh, ih=plan.ih, out_features=o))
+    dense = np.zeros((o, i), np.float32)
+    np.add.at(dense, (r, c), v)
+    err = np.abs(y - x @ dense.T).max()
+    ok = err < 1e-4
+    failures += not ok
+    print(f"{'OK ' if ok else 'BAD'} gather_spmv: err {err:.2e}", flush=True)
+
+    # paged decode attention (fused cache write + page-table attention)
+    from squeezellm_tpu.ops import paged_attn
+
+    B, Hkv, g, hd, ps, P, maxp = 2, 4, 2, 128, 128, 8, 4
+    H = g * Hkv
+    lengths = np.asarray([5, 300], np.int32)
+    pt = np.arange(B * maxp, dtype=np.int32).reshape(B, maxp)
+    pk = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    pv = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    q = rng.standard_normal((B, H, hd)).astype(np.float32)
+    kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    out, pk2, pv2 = paged_attn.paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn), jnp.asarray(pk),
+        jnp.asarray(pv), jnp.asarray(pt), jnp.asarray(lengths), page_size=ps)
+    out, pk2, pv2 = np.asarray(out), np.asarray(pk2), np.asarray(pv2)
+    werr = 0.0
+    for b in range(B):
+        n = int(lengths[b])
+        pidx = pt[b, (n - 1) // ps]
+        werr = max(werr, np.abs(pk2[pidx, :, (n - 1) % ps] - kn[b]).max())
+    aerr = 0.0
+    for b in range(B):
+        n = int(lengths[b])
+        ks = np.concatenate([pk2[pt[b, p]] for p in range((n + ps - 1) // ps)],
+                            axis=1)[:, :n]
+        vs = np.concatenate([pv2[pt[b, p]] for p in range((n + ps - 1) // ps)],
+                            axis=1)[:, :n]
+        for h in range(H):
+            kh = h // g
+            lg = (ks[kh].astype(np.float64) @ q[b, h]) / np.sqrt(hd)
+            pr = np.exp(lg - lg.max()); pr /= pr.sum()
+            aerr = max(aerr, np.abs(out[b, h] - pr @ vs[kh]).max())
+    ok = werr < 1e-6 and aerr < 5e-2
+    failures += not ok
+    print(f"{'OK ' if ok else 'BAD'} paged_attn: write err {werr:.1e} "
+          f"attn err {aerr:.2e}", flush=True)
     sys.exit(1 if failures else 0)
 
 

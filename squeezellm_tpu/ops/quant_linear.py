@@ -220,7 +220,7 @@ def make_random_params(
     import jax
     import jax.numpy as jnp
 
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     nw = formats.n_words(spec.in_features, spec.bits)
     params = {
         "qweight": jax.random.randint(
@@ -240,7 +240,7 @@ def make_random_params(
             k4, (spec.nnz_pad,), 0, spec.in_features, dtype=jnp.int32
         )
         params["sp_vals"] = (
-            jax.random.normal(k3, (spec.nnz_pad,)) * lut_scale * 4
+            jax.random.normal(k5, (spec.nnz_pad,)) * lut_scale * 4
         ).astype(jnp.float32)
         # keep COO sorted by row, CSR-order invariant
         order = jnp.argsort(params["sp_rows"])
@@ -248,7 +248,7 @@ def make_random_params(
         params["sp_cols"] = params["sp_cols"][order]
     if spec.topx > 0:
         params["topx_weights"] = (
-            jax.random.normal(k4, (spec.in_features, spec.topx)) * lut_scale
+            jax.random.normal(k6, (spec.in_features, spec.topx)) * lut_scale
         ).astype(jnp.float32)
         params["topx_indices"] = jnp.arange(spec.topx, dtype=jnp.int32)
     if spec.has_bias:
