@@ -37,6 +37,17 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.nuq_weighted_kmeans_batched.restype = None
+        lib.spmv_plan.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.spmv_plan.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None
@@ -72,3 +83,37 @@ def weighted_kmeans_batched(
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return cents, labels
+
+
+def spmv_plan(rows, cols, vals, oh: int, oh_true: int, slack: float,
+              max_slack: float):
+    """Native greedy spmv slot assignment (csrc/spmv_planner.cpp; same
+    constraint model as ops/spmv.py's numpy greedy). Returns
+    (meta (R, 128) int32, vals (R, 128) f32)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C csrc)")
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    nnz = len(vals)
+    if nnz:
+        # the (class, dst-lane) bucket key (r//128, r%128) IS the row index
+        max_bucket = int(np.bincount(rows).max())
+    else:
+        max_bucket = 1
+    max_rows = (int(np.ceil(max_slack * max_bucket)) + 2) * oh
+    meta = np.zeros((max_rows, 128), dtype=np.int32)
+    v = np.zeros((max_rows, 128), dtype=np.float32)
+    r = lib.spmv_plan(
+        ctypes.c_int64(nnz),
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        oh, oh_true, slack, max_slack, max_rows,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if r < 0:
+        raise RuntimeError(f"spmv assignment failed at slack {max_slack}")
+    return meta[:r], v[:r]

@@ -90,10 +90,9 @@ def build_plan(
     """Assign every entry to a slot; grows the slot array geometrically
     until all entries fit (terminates: one entry per row has no conflicts).
 
-    method is accepted for call-site compatibility; the vectorized numpy
-    assignment is the only backend (the greedy is a handful of argsorts —
-    the native solver the butterfly needed is unnecessary here)."""
-    del method
+    method: 'auto' (native C++ when built, else numpy) | 'native' |
+    'numpy'. Both backends implement the same greedy; plans are validated
+    by construction (tests pin both against the dense oracle)."""
     live = np.asarray(vals) != 0
     rows = np.asarray(rows)[live].astype(np.int64)
     cols = np.asarray(cols)[live].astype(np.int64)
@@ -103,6 +102,19 @@ def build_plan(
     oh = max(8, _round_up(_round_up(out_features, LANES) // LANES, 8))
     ih = max(8, _round_up(_round_up(in_features, LANES) // LANES, 8))
     assert ih <= 256, (ih, "chirow must fit 8 bits; shard the linear first")
+
+    if method != "numpy" and nnz:
+        from squeezellm_tpu import _native
+
+        if _native.available():
+            oh_true = max(1, _round_up(out_features, LANES) // LANES)
+            meta, v = _native.spmv_plan(rows, cols, vals, oh, oh_true,
+                                        slack, max_slack)
+            return SpmvPlan(meta=meta, vals=v, oh=oh, ih=ih,
+                            out_features=out_features,
+                            in_features=in_features)
+        if method == "native":
+            raise RuntimeError("native library not built (make -C csrc)")
 
     if nnz == 0:  # all-dead plan: contributes exact zeros
         return SpmvPlan(

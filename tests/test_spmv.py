@@ -154,3 +154,26 @@ def test_bigbatch_sparse_folded_into_scratch(mode):
     else:
         err = np.abs(np.asarray(y_pl) - np.asarray(y_xla)).max()
         assert err < 3e-2 * np.abs(np.asarray(y_xla)).max()
+
+
+def test_native_planner_matches_oracle():
+    from squeezellm_tpu import _native
+
+    if not _native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    for (o, i, frac) in ((300, 500, 0.0045), (1000, 260, 0.01),
+                         (4096, 11008, 0.0045)):
+        nnz = max(1, int(o * i * frac))
+        r = rng.integers(0, o, nnz)
+        c = rng.integers(0, i, nnz)
+        v = rng.standard_normal(nnz).astype(np.float32)
+        plan = spmv.build_plan(r, c, v, o, i, method="native")
+        x = rng.standard_normal(i).astype(np.float32)
+        dense = np.zeros((o, i), np.float32)
+        np.add.at(dense, (r, c), v)
+        np.testing.assert_allclose(spmv.reference_apply(plan, x), dense @ x,
+                                   rtol=1e-4, atol=1e-5)
+        # fill comparable to (or better than) the numpy greedy
+        plan_np = spmv.build_plan(r, c, v, o, i, method="numpy")
+        assert plan.n_rows <= plan_np.n_rows * 1.5
