@@ -202,7 +202,8 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         assert s == 1, "paged cache is a decode-only path"
         from squeezellm_tpu.ops import paged_attn
 
-        lengths = (jnp.asarray(pos).reshape(-1) + 1).astype(jnp.int32)
+        lengths = jnp.broadcast_to(
+            jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
         out3, pk2, pv2 = paged_attn.paged_decode_attention(
             q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
             cache["pk"], cache["pv"], cache["pt"], lengths,
