@@ -25,6 +25,11 @@ def build(variant, n_layers=32):
         config = llama.LlamaConfig(
             hidden_size=5120, intermediate_size=13824, n_layers=40,
             n_heads=40, n_kv_heads=40, max_seq=2048)
+    elif "mistral" in variant:  # Mistral-7B: GQA 8 kv heads, sliding window
+        config = llama.LlamaConfig(
+            hidden_size=4096, intermediate_size=14336, n_layers=32,
+            n_heads=32, n_kv_heads=8, max_seq=2048, sliding_window=4096,
+            rope_theta=1e6, vocab_size=32000)
     else:
         config = llama.LlamaConfig(max_seq=2048, n_layers=n_layers)
     if variant.replace("-win", "") == "bf16":

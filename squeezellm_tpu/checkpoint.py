@@ -77,6 +77,15 @@ def save_quantized(path: str, model_type: str, config, specs, params) -> None:
                 meta["quant"] = False
             module_meta[f"{li}.{name}"] = meta
 
+    head_spec = specs.get("lm_head")
+    if head_spec is not None and getattr(head_spec, "is_quant", False):
+        q = head_spec.quant
+        module_meta["lm_head"] = {
+            "has_bias": head_spec.has_bias, "quant": True, "bits": q.bits,
+            "nnz_pad": q.nnz_pad, "topx": q.topx, "sg_rows": q.sg_rows,
+            "sg_oh": q.sg_oh, "sg_ih": q.sg_ih,
+        }
+
     wbits = None
     for m in module_meta.values():
         if m.get("quant"):
@@ -142,11 +151,26 @@ def load_quantized(path: str, to_device: bool = True) -> Tuple[str, Any, Any, An
                     in_features=i, out_features=o, has_bias=meta["has_bias"]
                 )
         spec_layers.append(spec_d)
+    head_meta = manifest["modules"].get("lm_head")
+    if head_meta and head_meta.get("quant"):
+        hq = QuantLinearSpec(
+            bits=head_meta["bits"], in_features=config.hidden_size,
+            out_features=config.vocab_size, has_bias=head_meta["has_bias"],
+            nnz_pad=head_meta["nnz_pad"], topx=head_meta["topx"],
+            sg_rows=head_meta.get("sg_rows", 0),
+            sg_oh=head_meta.get("sg_oh", 0), sg_ih=head_meta.get("sg_ih", 0),
+        )
+        lm_head_spec = LinearSpec(
+            in_features=config.hidden_size, out_features=config.vocab_size,
+            has_bias=head_meta["has_bias"], quant=hq,
+        )
+    else:
+        lm_head_spec = LinearSpec(
+            in_features=config.hidden_size, out_features=config.vocab_size
+        )
     specs = {
         "layers": tuple(spec_layers),
-        "lm_head": LinearSpec(
-            in_features=config.hidden_size, out_features=config.vocab_size
-        ),
+        "lm_head": lm_head_spec,
     }
     if to_device:
         import jax

@@ -102,6 +102,7 @@ def cmd_quantize(args):
         sensitivity=args.sensitivity,
         outlier_config=outlier_cfg,
         method=args.method,
+        quantize_lm_head=args.quantize_lm_head,
         verbose=True,
     )
     checkpoint.save_quantized(args.output, model_type, config, qspecs, qparams)
@@ -285,6 +286,9 @@ def main(argv=None):
                    help="IQR multiplier for threshold outliers (e.g. 1.8)")
     q.add_argument("--method", default="auto",
                    choices=["auto", "native", "batched", "sklearn"])
+    q.add_argument("--quantize-lm-head", action="store_true",
+                   help="also quantize lm_head (TPU-side extension; the "
+                        "reference keeps it fp16)")
     q.add_argument("--output", required=True)
     q.set_defaults(fn=cmd_quantize)
 

@@ -96,3 +96,17 @@ def test_cli_convert(tmp_path, capsys):
     _, _, specs, _ = checkpoint.load_quantized(out)
     q = specs["layers"][0]["q"].quant
     assert q.bits == 3 and q.nnz_pad > 0 and q.topx == 2 and q.sg_rows > 0
+
+
+def test_cli_quantize_lm_head(hf_dir, tmp_path, capsys):
+    out = str(tmp_path / "qh")
+    cli.main(["quantize", "--model", hf_dir, "--bits", "4",
+              "--quantize-lm-head", "--output", out])
+    _, _, specs, params = checkpoint.load_quantized(out)
+    assert specs["lm_head"].is_quant and specs["lm_head"].quant.bits == 4
+    assert "qweight" in params["lm_head"]
+    capsys.readouterr()
+    cli.main(["eval", out, "--dataset", "synthetic", "--seqlen", "32",
+              "--nsamples-eval", "1", "--backend", "xla"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(res["ppl"])

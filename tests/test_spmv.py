@@ -177,3 +177,32 @@ def test_native_planner_matches_oracle():
         # fill comparable to (or better than) the numpy greedy
         plan_np = spmv.build_plan(r, c, v, o, i, method="numpy")
         assert plan.n_rows <= plan_np.n_rows * 1.5
+
+
+@pytest.mark.parametrize("method", ["numpy", "native"])
+def test_planner_fuzz(method):
+    """Property fuzz over shapes/densities: every plan must reproduce the
+    dense SpMV through the oracle, for both planner backends."""
+    from squeezellm_tpu import _native
+
+    if method == "native" and not _native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(123)
+    for trial in range(12):
+        o = int(rng.integers(1, 40)) * int(rng.choice([1, 17, 128]))
+        i = int(rng.integers(1, 40)) * int(rng.choice([1, 13, 128]))
+        o, i = max(o, 2), max(i, 2)
+        if i > 32768 or o > 65536:
+            continue
+        nnz = int(rng.integers(1, max(2, min(o * i // 2, 5000))))
+        r = rng.integers(0, o, nnz)
+        c = rng.integers(0, i, nnz)
+        v = rng.standard_normal(nnz).astype(np.float32)
+        v[rng.random(nnz) < 0.1] = 0.0  # dead entries
+        plan = spmv.build_plan(r, c, v, o, i, method=method)
+        x = rng.standard_normal(i).astype(np.float32)
+        dense = np.zeros((o, i), np.float32)
+        np.add.at(dense, (r, c), v)
+        np.testing.assert_allclose(
+            spmv.reference_apply(plan, x), dense @ x, rtol=1e-4, atol=1e-4,
+            err_msg=f"trial {trial}: o={o} i={i} nnz={nnz}")
