@@ -47,6 +47,25 @@ def build(variant, n_layers=32):
             config, bits=3 if "w3" in variant else 4, sparsity=sparsity,
             key=jax.random.PRNGKey(0)
         )
+        if "qhead" in variant:  # opt-in quantized lm_head
+            import jax as _jax
+
+            from squeezellm_tpu.models.common import LinearSpec
+            from squeezellm_tpu.ops import quant_linear as ql
+
+            hq = ql.QuantLinearSpec(
+                bits=3 if "w3" in variant else 4,
+                in_features=config.hidden_size,
+                out_features=config.vocab_size)
+            specs = dict(specs)
+            specs["lm_head"] = LinearSpec(
+                in_features=config.hidden_size,
+                out_features=config.vocab_size, quant=hq)
+            params = dict(params)
+            params["lm_head"] = {
+                k: (v if hasattr(v, "shape") else v)
+                for k, v in ql.make_random_params(
+                    _jax.random.PRNGKey(7), hq).items()}
         if "fused" in variant:
             from squeezellm_tpu.models import fuse
 
