@@ -55,3 +55,12 @@ def test_cli_serve_bench(ckpt_dir, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["total_tokens"] == 9
     assert out["throughput_tok_s"] > 0
+
+
+def test_cli_serve_bench_paged(ckpt_dir, capsys):
+    cli.main(["serve-bench", ckpt_dir, "--slots", "2", "--requests", "3",
+              "--max-new-tokens", "3", "--seqlen", "64", "--backend", "xla",
+              "--paged", "--page-size", "8"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["total_tokens"] == 9
+    assert out["throughput_tok_s"] > 0
