@@ -103,3 +103,64 @@ def test_convert_dense_only_4bit():
         )
     )
     np.testing.assert_allclose(w.T, expected_w["q"], atol=0)
+
+
+def test_convert_opt_reference_state_dict():
+    """OPT reference layout (sq-opt-* checkpoints: out_proj/fc1/fc2 names,
+    model.decoder.* prefixes, biased linears) converts and matches the
+    dense math."""
+    from squeezellm_tpu.models import opt as opt_mod
+
+    cfg = opt_mod.OPTConfig(
+        vocab_size=64, hidden_size=32, ffn_dim=64, n_layers=1, n_heads=2,
+        max_seq=32,
+    )
+    rng = np.random.default_rng(5)
+    bits = 4
+    hf = {"q": "self_attn.q_proj", "k": "self_attn.k_proj",
+          "v": "self_attn.v_proj", "o": "self_attn.out_proj",
+          "up": "fc1", "down": "fc2"}
+    sd = {}
+    expected_w = {}
+    for name, (out_f, in_f) in cfg.linear_shapes().items():
+        lut = np.sort(rng.normal(size=(out_f, 2**bits)).astype(np.float32) * 0.1, axis=1)
+        codes = rng.integers(0, 2**bits, size=(in_f, out_f), dtype=np.uint8)
+        p = f"model.decoder.layers.0.{hf[name]}."
+        sd[p + "qweight"] = formats.pack_codes_ref(codes, bits)
+        sd[p + "lookup_table"] = lut
+        sd[p + "bias"] = rng.normal(size=(out_f,)).astype(np.float32) * 0.01
+        expected_w[name] = formats.dequant_np(codes, lut).T
+    h = cfg.hidden_size
+    sd["model.decoder.layers.0.self_attn_layer_norm.weight"] = np.ones(h, np.float32)
+    sd["model.decoder.layers.0.self_attn_layer_norm.bias"] = np.zeros(h, np.float32)
+    sd["model.decoder.layers.0.final_layer_norm.weight"] = np.ones(h, np.float32)
+    sd["model.decoder.layers.0.final_layer_norm.bias"] = np.zeros(h, np.float32)
+    sd["model.decoder.embed_tokens.weight"] = rng.normal(size=(64, h)).astype(np.float32) * 0.1
+    sd["model.decoder.embed_positions.weight"] = rng.normal(
+        size=(cfg.max_seq + 2, h)).astype(np.float32) * 0.1
+    sd["model.decoder.final_layer_norm.weight"] = np.ones(h, np.float32)
+    sd["model.decoder.final_layer_norm.bias"] = np.zeros(h, np.float32)
+
+    specs, params = convert.convert_state_dict(sd, "opt", cfg, wbits=bits)
+    params_dev = jax.tree.map(jnp.asarray, params)
+
+    from squeezellm_tpu.models import opt
+    dense_specs = opt.dense_specs(cfg)
+    dense_params = {
+        "embed": jnp.asarray(sd["model.decoder.embed_tokens.weight"]),
+        "embed_pos": jnp.asarray(sd["model.decoder.embed_positions.weight"]),
+        "final_norm": {"w": jnp.ones(h), "b": jnp.zeros(h)},
+        "lm_head": {"w": jnp.asarray(sd["model.decoder.embed_tokens.weight"])},
+        "layers": [{
+            **{n: {"w": jnp.asarray(expected_w[n]),
+                   "b": jnp.asarray(sd[f"model.decoder.layers.0.{hf[n]}.bias"])}
+               for n in opt.MODULE_NAMES},
+            "attn_norm": {"w": jnp.ones(h), "b": jnp.zeros(h)},
+            "ffn_norm": {"w": jnp.ones(h), "b": jnp.zeros(h)},
+        }],
+    }
+    tokens = jnp.asarray(rng.integers(0, 64, size=(1, 7)), jnp.int32)
+    y_q = opt.forward(cfg, specs, params_dev, tokens, backend="xla")
+    y_d = opt.forward(cfg, dense_specs, dense_params, tokens, backend="xla")
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_d), rtol=2e-4,
+                               atol=2e-4)
