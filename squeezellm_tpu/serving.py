@@ -303,6 +303,8 @@ class PagedKVPool:
             if pid is None:
                 break
             shared.append(pid)
+            self._lru.remove(nkey)
+            self._lru.append(nkey)
             key = nkey
         return shared, key
 
@@ -426,7 +428,10 @@ class PagedContinuousBatchEngine:
         self._slot_shared: List[int] = [0] * slots
         self._next_id = 0
         self._cur = jnp.zeros((slots, 1), jnp.int32)
-        self._pos = np.zeros(slots, np.int64)
+        # inactive slots carry pos = -1 -> kernel length 0: no page reads
+        # AND no cache write. A stale pos would write through the freed
+        # page table into pages that may already belong to another slot.
+        self._pos = np.full(slots, -1, np.int64)
         self._pt = np.zeros((slots, self.maxp), np.int32)
 
     def free_slots(self) -> int:
@@ -588,12 +593,13 @@ class PagedContinuousBatchEngine:
 
     def _release(self, idx: int) -> None:
         pids = self._slot_pages[idx]
-        n_shared = self._slot_shared[idx]
         registered_pids = set(self.pool._registry.values())
         for pid in pids:
             self.pool.release(pid, registered=pid in registered_pids)
         self._slot_pages[idx] = []
         self._slots[idx] = _Slot()
+        self._pos[idx] = -1  # length 0: the freed page ids must never be
+        self._pt[idx] = 0    # written again through this slot
 
     def run(self, requests, max_new_tokens: int = 16,
             window: int = 1) -> Dict[int, List[int]]:

@@ -146,3 +146,39 @@ def test_admission_pow2_padding_no_clobber():
     got = cb.run([prompt], max_new_tokens=4)
     np.testing.assert_array_equal(np.asarray(list(got.values())[0]),
                                   np.asarray(want))
+
+
+def test_released_slot_cannot_corrupt_reallocated_pages():
+    """Regression: a released slot used to keep its stale position and page
+    table, so its inactive-slot garbage decode WROTE through freed page ids
+    — corrupting whichever slot they were reallocated to. Scenario: slot B
+    releases early; its pages are reallocated to a new request in slot A
+    while B stays empty; further steps must not disturb A's decode."""
+    config, specs, params = _small_model()
+    eng = engine_mod.Engine("llama", config, specs, params, backend="xla")
+    long_p = list(range(2, 2 + 2 * PS))  # multi-page prompt
+    short_p = [7, 9]
+    late_p = list(range(40, 40 + PS + 3))
+    want_long = eng.generate(np.asarray(long_p, np.int32)[None], 10)[0, len(long_p):]
+    want_late = eng.generate(np.asarray(late_p, np.int32)[None], 6)[0, len(late_p):]
+
+    cb = _paged(config, specs, params, slots=3, n_pages=16)
+    rid_long = cb.add_request(long_p, 10)
+    rid_short = cb.add_request(short_p, 2)  # finishes early, frees pages
+    results = {}
+    admitted_late = False
+    rid_late = None
+    while any(s.active for s in cb._slots):
+        for rid, r in cb.step().items():
+            if r["done"]:
+                results[rid] = r["tokens"]
+        if not admitted_late and rid_short in results:
+            # slot freed; admit into a DIFFERENT slot (slot of rid_short is
+            # first-inactive, so this reuses its freed pages while the
+            # OTHER empty slot keeps any stale state)
+            rid_late = cb.add_request(late_p, 6)
+            admitted_late = True
+    np.testing.assert_array_equal(np.asarray(results[rid_long]),
+                                  np.asarray(want_long))
+    np.testing.assert_array_equal(np.asarray(results[rid_late]),
+                                  np.asarray(want_late))
