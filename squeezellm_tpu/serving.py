@@ -370,7 +370,11 @@ class PagedContinuousBatchEngine:
                 nc = [{kk: v for kk, v in c.items() if kk != "pt"}
                       for c in nc]
                 nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                return (nxt[:, None], p + 1, nc), nxt
+                # inactive slots (pos < 0) must NOT advance: at pos 0 they
+                # would write through their zeroed page table into page 0,
+                # which likely belongs to an active slot
+                p2 = jnp.where(p < 0, p, p + 1)
+                return (nxt[:, None], p2, nc), nxt
 
             (cur, p, caches), toks = jax.lax.scan(
                 body, (token, pos, caches), None, length=k)

@@ -182,3 +182,22 @@ def test_released_slot_cannot_corrupt_reallocated_pages():
                                   np.asarray(want_long))
     np.testing.assert_array_equal(np.asarray(results[rid_late]),
                                   np.asarray(want_late))
+
+
+def test_windowed_inactive_slot_does_not_write_page_zero():
+    """Regression: inside a decode window, an inactive slot's position used
+    to advance from -1 to 0 and write through its zeroed page table into
+    page id 0 (the FIRST page the allocator hands out)."""
+    config, specs, params = _small_model()
+    cb = _paged(config, specs, params, slots=2, n_pages=8)
+    rid = cb.add_request(list(range(3, 3 + PS + 2)), 8)  # owns page 0
+    eng = engine_mod.Engine("llama", config, specs, params, backend="xla")
+    want = eng.generate(np.asarray(list(range(3, 3 + PS + 2)),
+                                   np.int32)[None], 8)[0, PS + 2:]
+    results = {}
+    # slot 1 stays inactive through multi-token windows
+    while any(s.active for s in cb._slots):
+        for r, res in cb.step_window(8).items():
+            if res["done"]:
+                results[r] = res["tokens"]
+    np.testing.assert_array_equal(np.asarray(results[rid]), np.asarray(want))
