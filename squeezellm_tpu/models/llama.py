@@ -200,6 +200,10 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         # one Pallas launch (ops/paged_attn.py). pos is the (B,) 0-based
         # position of the current token; lengths include it.
         assert s == 1, "paged cache is a decode-only path"
+        assert config.sliding_window is None, (
+            "paged attention has no sliding-window masking yet — use the "
+            "dense-slot engine for Mistral-family models"
+        )
         from squeezellm_tpu.ops import paged_attn
 
         lengths = jnp.broadcast_to(

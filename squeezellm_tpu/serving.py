@@ -472,9 +472,20 @@ class PagedContinuousBatchEngine:
         for pid in shared_pids:
             self.pool.retain(pid)
 
-        # pages covering [start, plen + max_new_tokens)
+        # pages covering [start, plen + max_new_tokens); roll back every
+        # refcount if the pool runs out mid-allocation
         total_pages = -(-(plen + max_new_tokens) // self.ps)
-        new_pids = [self.pool.alloc() for _ in range(total_pages - n_shared)]
+        new_pids: List[int] = []
+        try:
+            for _ in range(total_pages - n_shared):
+                new_pids.append(self.pool.alloc())
+        except RuntimeError:
+            registered = set(self.pool._registry.values())
+            for pid in new_pids:
+                self.pool.release(pid, registered=pid in registered)
+            for pid in shared_pids:
+                self.pool.release(pid, registered=True)
+            raise
         pids = shared_pids + new_pids
         self._slot_pages[idx] = pids
         self._slot_shared[idx] = n_shared

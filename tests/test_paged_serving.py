@@ -201,3 +201,13 @@ def test_windowed_inactive_slot_does_not_write_page_zero():
             if res["done"]:
                 results[r] = res["tokens"]
     np.testing.assert_array_equal(np.asarray(results[rid]), np.asarray(want))
+
+
+def test_admission_pool_exhaustion_rolls_back():
+    config, specs, params = _small_model()
+    cb = _paged(config, specs, params, slots=2, n_pages=3)
+    cb.add_request([1, 2, 3], 3)  # takes 1 page
+    free_before = len(cb.pool._free)
+    with pytest.raises(RuntimeError):
+        cb.add_request(list(range(2, 2 + 2 * PS)), 3 * PS)  # needs > pool
+    assert len(cb.pool._free) == free_before  # nothing leaked
