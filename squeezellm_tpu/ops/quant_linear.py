@@ -96,10 +96,13 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
         y = xla_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
 
     if spec.include_sparse and not sparse_folded:
-        if spec.sg_rows > 0 and backend.startswith("pallas") and flat_b <= 64:
+        if spec.sg_rows > 0 and backend.startswith("pallas") and (
+                flat_b < pallas_ops.BIG_BATCH):
             # two-hop-gather SpMV: ~100-1000x faster than the XLA scatter
-            # on TPU at decode/serving batch sizes (batch = leading grid dim)
-            from squeezellm_tpu.ops import pallas_ops
+            # on TPU at decode/serving batch sizes (batch = leading grid
+            # dim); at BIG_BATCH and above the sidecar folds into the
+            # dequant scratch instead, so every batch size has a
+            # scatter-free sparse path
 
             interpret = jax.default_backend() != "tpu"
             sp = pallas_ops.gather_spmv(
