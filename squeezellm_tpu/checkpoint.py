@@ -32,10 +32,6 @@ from squeezellm_tpu.ops.quant_linear import QuantLinearSpec
 FORMAT_NAME = "squeezellm-tpu"
 FORMAT_VERSION = 1
 
-_QUANT_KEYS = ("qweight", "lut", "bias", "sp_rows", "sp_cols", "sp_vals",
-               "topx_weights", "topx_indices", "sg_meta", "sg_vals")
-
-
 def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
     out = {}
     for k, v in d.items():
