@@ -135,10 +135,19 @@ def fuse_for_decode(model_type: str, specs, params, build_spmv=True):
     return attach_decode_luts(new_specs, new_params)
 
 
-def attach_decode_luts(specs, params):
-    """Add a gather-layout 'lut_t' to every quantized linear (idempotent;
-    numpy-side, deduplicated for array-sharing synthetic models). Removes
-    the per-call LUT transpose+pad from the decode hot path."""
+def attach_decode_luts(specs, params, transposed: bool = False):
+    """Add decode-path derived buffers to every quantized linear
+    (idempotent; numpy-side, deduplicated for array-sharing synthetic
+    models):
+
+    * 'lut_t' — gather-layout LUT (removes a per-call transpose+pad)
+    * with ``transposed=True``, 4-bit linears also get 'qweight_t'/'lut_w'
+      (transposed packed words + wide replicated table) and route through
+      `pallas_ops.lut_matmul_t`. OFF by default: on v5e the lane-dim
+      dynamic_gather it relies on costs ~8 VPU ops/vreg (measured 2.7x
+      slower than the sublane hi/lo path); it is a v6 target.
+    """
+    from squeezellm_tpu.ops.pallas_ops import wide_lut
     from squeezellm_tpu.ops.quant_linear import transposed_lut
 
     memo: dict = {}
@@ -152,10 +161,15 @@ def attach_decode_luts(specs, params):
             lut = pd[name]["lut"]
             if getattr(lut, "ndim", 2) != 2:  # tp-stacked locals: skip
                 continue
-            key = id(lut)
+            key = (id(lut), id(pd[name]["qweight"]))
             if key not in memo:
-                memo[key] = transposed_lut(np.asarray(lut), q.bits)
-            pd[name] = dict(pd[name], lut_t=memo[key])
+                extra = {"lut_t": transposed_lut(np.asarray(lut), q.bits)}
+                if transposed and q.bits == 4:
+                    qw = np.asarray(pd[name]["qweight"])
+                    extra["qweight_t"] = np.ascontiguousarray(qw.T)
+                    extra["lut_w"] = wide_lut(np.asarray(lut), q.bits)
+                memo[key] = extra
+            pd[name] = dict(pd[name], **memo[key])
         param_layers.append(pd)
     new_params = dict(params)
     new_params["layers"] = param_layers

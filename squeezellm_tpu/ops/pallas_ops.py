@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -338,6 +340,155 @@ def gather_spmv(
 
     out = out.reshape(B, -1)[:, :out_features]
     return out[0] if single else out
+
+
+def _lut_matmul_t_kernel(x_ref, qwt_ref, lutw_ref, out_ref, *, bits: int,
+                         cpw: int, mode: str, w_blk: int, precision,
+                         interpret: bool):
+    """One (out-block, in-block) grid step of the transposed GEMV kernel.
+
+    x_ref:    (cpw * W_BLK, B) f32 — per-i-chunk plane-blocked xT: rows
+              [j*W_BLK, (j+1)*W_BLK) hold x[(i*W_BLK + w)*cpw + j]
+    qwt_ref:  (O_BLK, W_BLK) int32 — TRANSPOSED packed words (row = output
+              channel riding sublanes, word index along lanes)
+    lutw_ref: (O_BLK, 128) f32 — wide table, entries replicated mod 2**bits
+    out_ref:  (O_BLK, B) f32 — transposed output, revisited across i
+    """
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    words = qwt_ref[:]
+    tab = lutw_ref[:]
+    acc = out_ref[:]
+    for j in range(cpw):
+        s = (words >> (bits * j)) if j else words
+        # wide-table wrap-gather: the 128-lane dynamic_gather consumes bits
+        # 0-6 of the shifted word (wraps mod 128); the table's period-
+        # 2**bits replication absorbs the garbage bits above the code, so
+        # tab[o, s & 127] == lut[o, s & (2**bits - 1)]. 4-bit dequant is
+        # shift + ONE gather (~2 VPU ops/weight) — the (8, O) sublane-
+        # gather layout needs two gathers + a select for 16-entry tables.
+        chunks = [
+            _gather_lane(tab, s[:, c : c + 128], interpret)
+            for c in range(0, w_blk, 128)
+        ]
+        wj = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
+        xj = x_ref[j * w_blk : (j + 1) * w_blk, :]
+        acc = acc + jnp.dot(
+            wj, xj,
+            preferred_element_type=jnp.float32,
+            precision=None if mode == "bf16" else precision,
+        )
+    out_ref[:] = acc
+
+
+def wide_lut(lut, bits: int):
+    """(out, 2**bits) LUT -> (out, 128) wide gather table: entries tiled
+    with period 2**bits so a mod-128 wrap-gather with ANY garbage bits
+    above the code still lands on the right entry (numpy or jnp)."""
+    reps = 128 // lut.shape[1]
+    if isinstance(lut, np.ndarray):
+        return np.tile(lut.astype(np.float32), (1, reps))
+    return jnp.tile(lut.astype(jnp.float32), (1, reps))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "o_blk", "w_blk", "interpret", "mode",
+                     "precision"),
+)
+def lut_matmul_t(
+    x,
+    qweight_t,
+    lut_w,
+    bits: int,
+    *,
+    o_blk: int = 0,
+    w_blk: int = 0,
+    interpret: bool = False,
+    mode: str = "gather",
+    precision: str = "highest",
+):
+    """Transposed-layout fused LUT-dequant GEMV: ``x (..., in) -> (..., out)``.
+
+    The decode-path twin of :func:`lut_matmul` for 4-bit: packed words are
+    stored TRANSPOSED (out_features, n_words) so output channels ride
+    sublanes, letting dequant run as one 128-LANE wrap-gather per plane
+    against an (out, 128) wide table (see `wide_lut`) — ~2 VPU ops/weight
+    vs ~6 for the sublane-gather hi/lo-select path. The dot contracts
+    wjT (O, W) @ xT (W, B) in natural MXU orientation; the transposed
+    (O, B) output is flipped back host-graph-side (B <= 8, trivial).
+
+    Replaces the same reference kernels as `lut_matmul`
+    (quant_cuda_kernel.cu:741-1038) for the batch<=8 decode case.
+    """
+    cpw = formats.CODES_PER_WORD[bits]
+    *lead, in_features = x.shape
+    out_features, nw = qweight_t.shape
+    assert nw == formats.n_words(in_features, bits), (nw, in_features, bits)
+
+    xf = x.reshape(-1, in_features).astype(jnp.float32)
+    batch = xf.shape[0]
+    assert batch <= 8, "lut_matmul_t is the GEMV (decode) path"
+    b_lanes = 8  # lane dim of xT/out blocks; 1-lane blocks don't lower
+
+    if not w_blk:
+        n_i = max(1, _cdiv(nw, 512))
+        w_blk = _round_up(_cdiv(nw, n_i), 128)
+    n_i = _cdiv(nw, w_blk)
+    wp = n_i * w_blk  # may overhang nw: OOB words dequant to finite junk
+    if not o_blk:
+        o_blk = 1024
+    o_blk = min(o_blk, _round_up(out_features, 8))
+    op = _round_up(out_features, o_blk)
+
+    # xT relayout, plane-blocked per i-chunk: row i*(cpw*w_blk) + j*w_blk
+    # + w holds x[:, (i*w_blk + w)*cpw + j] — each block is contiguous and
+    # each plane is a contiguous slab inside it.
+    xpad = jnp.pad(xf, ((0, b_lanes - batch), (0, wp * cpw - in_features)))
+    x3 = (
+        xpad.reshape(b_lanes, n_i, w_blk, cpw)
+        .transpose(1, 3, 2, 0)
+        .reshape(n_i * cpw * w_blk, b_lanes)
+    )
+    if mode == "bf16":
+        x3 = x3.astype(jnp.bfloat16).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _lut_matmul_t_kernel, bits=bits, cpw=cpw, mode=mode, w_blk=w_blk,
+            precision=jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT,
+            interpret=interpret,
+        ),
+        grid=(op // o_blk, n_i),
+        in_specs=[
+            pl.BlockSpec((cpw * w_blk, b_lanes), lambda o, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((o_blk, w_blk), lambda o, i: (o, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((o_blk, 128), lambda o, i: (o, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((o_blk, b_lanes), lambda o, i: (o, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((op, b_lanes), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_lanes * op * wp * cpw,
+            bytes_accessed=wp * op * 4 + op * 128 * 4 + op * b_lanes * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x3, qweight_t, lut_w)
+
+    y = out[:out_features, :batch].T
+    return y.reshape(*lead, out_features)
 
 
 BIG_BATCH = 1024  # rows at which lut_matmul switches to the scratch path

@@ -83,15 +83,27 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
             spec.include_sparse and spec.bits <= 4
             and flat_b >= pallas_ops.BIG_BATCH
         )
-        y = pallas_ops.lut_matmul(
-            x, params["qweight"], params["lut"], spec.bits,
-            interpret=interpret,
-            mode="bf16" if backend == "pallas-bf16" else "gather",
-            lut_t=params.get("lut_t"),
-            sp_rows=params["sp_rows"] if sparse_folded else None,
-            sp_cols=params["sp_cols"] if sparse_folded else None,
-            sp_vals=params["sp_vals"] if sparse_folded else None,
-        )
+        mode = "bf16" if backend == "pallas-bf16" else "gather"
+        if flat_b <= 8 and spec.bits == 4 and "qweight_t" in params:
+            # 4-bit decode via the transposed wide-table lane-gather GEMV.
+            # NOT attached by default on v5e (lane-dim dynamic_gather costs
+            # ~8 VPU ops/vreg there, measured 2.7x slower than the sublane
+            # hi/lo path) — a v6 byte-gather/lane-shuffle target. Activates
+            # only when a loader explicitly attaches qweight_t/lut_w.
+            y = pallas_ops.lut_matmul_t(
+                x, params["qweight_t"], params["lut_w"], spec.bits,
+                interpret=interpret, mode=mode,
+            )
+        else:
+            y = pallas_ops.lut_matmul(
+                x, params["qweight"], params["lut"], spec.bits,
+                interpret=interpret,
+                mode=mode,
+                lut_t=params.get("lut_t"),
+                sp_rows=params["sp_rows"] if sparse_folded else None,
+                sp_cols=params["sp_cols"] if sparse_folded else None,
+                sp_vals=params["sp_vals"] if sparse_folded else None,
+            )
     else:
         y = xla_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
 

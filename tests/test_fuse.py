@@ -52,6 +52,29 @@ def test_llama_fused_matches_unfused():
                                atol=2e-4)
 
 
+def test_transposed_decode_path_matches():
+    """attach_decode_luts(transposed=True) routes 4-bit decode through
+    lut_matmul_t (qweight_t/lut_w) and must be numerically identical."""
+    config = llama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        n_layers=2, n_heads=4, n_kv_heads=2, max_seq=32,
+    )
+    specs, params = _sparse_quantized(llama, config, "llama")
+    tspecs, tparams = fuse.attach_decode_luts(specs, params, transposed=True)
+    assert "qweight_t" in tparams["layers"][0]["q"]
+    jp = jax.tree.map(jnp.asarray, params)
+    tp = jax.tree.map(jnp.asarray, tparams)
+    cache = common.init_kv_cache(1, config.max_seq, config.n_layers,
+                                 config.n_kv_heads, config.head_dim)
+    l1, _ = llama.decode_step(config, specs, jp, jnp.asarray([[3]], jnp.int32),
+                              jnp.asarray(0, jnp.int32), cache, backend="xla")
+    l2, _ = llama.decode_step(config, tspecs, tp, jnp.asarray([[3]], jnp.int32),
+                              jnp.asarray(0, jnp.int32), cache,
+                              backend="pallas")
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=2e-3,
+                               atol=2e-4)
+
+
 def test_opt_fused_matches_unfused():
     config = opt.OPTConfig(
         vocab_size=96, hidden_size=64, ffn_dim=128, n_layers=1, n_heads=4,

@@ -80,6 +80,40 @@ def test_pallas_interpret_matches_xla(bits):
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("batch", [1, 3, 8])
+@pytest.mark.parametrize("shape", [(320, 384), (384, 200)])
+def test_pallas_lut_matmul_t_interpret(batch, shape):
+    """Transposed wide-table lane-gather GEMV path (4-bit decode)."""
+    from squeezellm_tpu.ops import pallas_ops
+
+    rng = np.random.default_rng(6)
+    in_f, out_f = shape
+    bits = 4
+    lut, codes, qweight, w_dense = _random_quantized(rng, out_f, in_f, bits)
+    x = rng.normal(size=(batch, in_f)).astype(np.float32)
+    y = pallas_ops.lut_matmul_t(
+        jnp.asarray(x),
+        jnp.asarray(np.ascontiguousarray(qweight.T)),
+        jnp.asarray(pallas_ops.wide_lut(lut, bits)),
+        bits, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y), x @ w_dense, rtol=1e-4, atol=1e-4)
+
+
+def test_wide_lut_wrap_identity():
+    """tab[o, s & 127] == lut[o, s & (2**bits - 1)] for arbitrary garbage
+    bits above the code — the invariant the mod-128 hardware wrap relies on."""
+    from squeezellm_tpu.ops import pallas_ops
+
+    rng = np.random.default_rng(7)
+    lut = rng.normal(size=(16, 16)).astype(np.float32)
+    tab = pallas_ops.wide_lut(lut, 4)
+    s = rng.integers(-(2**31), 2**31 - 1, size=(16, 64), dtype=np.int64)
+    got = tab[np.arange(16)[:, None], s & 127]
+    want = lut[np.arange(16)[:, None], s & 15]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_interpret_unaligned_shapes():
     from squeezellm_tpu.ops import pallas_ops
 
