@@ -20,7 +20,9 @@ from squeezellm_tpu.models import fuse, llama
 
 
 def main():
-    slots_list = [int(s) for s in sys.argv[1:]] or [1, 8]
+    args = [a for a in sys.argv[1:] if a != "--paged"]
+    paged = "--paged" in sys.argv[1:]
+    slots_list = [int(s) for s in args] or [1, 8]
     print("backend:", jax.default_backend(), flush=True)
     config = llama.LlamaConfig(max_seq=256, n_layers=32)
     specs, params = _build_quantized_llama(config, bits=4, sparsity=0.0045)
@@ -31,11 +33,19 @@ def main():
 
     rng = np.random.default_rng(0)
     for slots in slots_list:
-        eng = serving.ContinuousBatchEngine(
-            "llama", config, specs, params, slots=slots, backend=backend,
-            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-            cache_dtype=jnp.bfloat16, max_seq=256,
-        )
+        if paged:
+            eng = serving.PagedContinuousBatchEngine(
+                "llama", config, specs, params, slots=slots,
+                n_pages=slots * 2 + 4, page_size=128, backend=backend,
+                dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                cache_dtype=jnp.bfloat16, max_seq=256,
+            )
+        else:
+            eng = serving.ContinuousBatchEngine(
+                "llama", config, specs, params, slots=slots, backend=backend,
+                dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                cache_dtype=jnp.bfloat16, max_seq=256,
+            )
         n_req = slots * 2
         prompts = [rng.integers(0, config.vocab_size,
                                 int(rng.integers(4, 17))).tolist()

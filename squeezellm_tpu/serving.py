@@ -361,29 +361,25 @@ class PagedContinuousBatchEngine:
             nc = [{k: v for k, v in c.items() if k != "pt"} for c in nc]
             return logits, nc
 
-        def _decode_k(params, token, pos, caches, pt, k):
-            def body(carry, _):
-                cur, p, cs = carry
-                c2 = [dict(c, pt=pt) for c in cs]
-                logits, nc = mod.decode_step(config, specs, params, cur, p,
-                                             c2, backend=backend, dtype=dtype)
-                nc = [{kk: v for kk, v in c.items() if kk != "pt"}
-                      for c in nc]
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                # inactive slots (pos < 0) must NOT advance: at pos 0 they
-                # would write through their zeroed page table into page 0,
-                # which likely belongs to an active slot
-                p2 = jnp.where(p < 0, p, p + 1)
-                return (nxt[:, None], p2, nc), nxt
-
-            (cur, p, caches), toks = jax.lax.scan(
-                body, (token, pos, caches), None, length=k)
-            return toks, cur, caches
+        def _decode_adv(params, token, pos, caches, pt):
+            """One decode step that also advances token/pos ON DEVICE, so a
+            window of steps can be enqueued back-to-back with no host sync.
+            Donation chains across calls (each call consumes the previous
+            call's pool outputs) — unlike a lax.scan carry, which XLA
+            refuses to alias through the Pallas in-place cache write and
+            copies the multi-GB pools every step (measured 54.8 vs 77.7
+            tok/s; see ROADMAP round-2 note this replaces)."""
+            logits, nc = _decode(params, token, pos, caches, pt)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            # inactive slots (pos < 0) must NOT advance: at pos 0 they
+            # would write through their zeroed page table into page 0,
+            # which likely belongs to an active slot
+            p2 = jnp.where(pos < 0, pos, pos + 1)
+            return nxt, p2, nc
 
         self._prefill = jax.jit(_prefill)
         self._decode = jax.jit(_decode, donate_argnums=(3,))
-        self._decode_k = jax.jit(_decode_k, static_argnums=(5,),
-                                 donate_argnums=(3,))
+        self._decode_adv = jax.jit(_decode_adv, donate_argnums=(3,))
 
         @jax.jit
         def _gather_pages(pool_kv, pids):
@@ -564,30 +560,38 @@ class PagedContinuousBatchEngine:
         return out
 
     def step_window(self, max_window: int = 8) -> Dict[int, Any]:
-        """Up to 2^k <= max_window decode steps in one device dispatch
-        (see ContinuousBatchEngine.step_window; same bookkeeping).
+        """Up to max_window decode steps with ONE host sync (see
+        ContinuousBatchEngine.step_window; same bookkeeping).
 
-        CAVEAT (measured, 7B): XLA copies the multi-GB page pools through
-        the lax.scan carry instead of honoring the kernel's in-place
-        aliasing, so windowing is SLOWER than per-token stepping here
-        (54.8 vs 77.7 tok/s at 8 slots) — run() defaults to window=1; the
-        dense-slot engine remains the windowed-throughput path."""
+        Unlike the dense engine this does NOT lax.scan the steps: XLA
+        copies the multi-GB page pools through a scan carry instead of
+        honoring the Pallas kernel's in-place aliasing (measured 54.8 vs
+        77.7 tok/s at 8 slots). Instead the window enqueues `k`
+        _decode_adv dispatches back-to-back — token and positions advance
+        on device, pool donation chains call-to-call (honored at jit
+        boundaries), and only the stacked window tokens are fetched.
+        Page tables are static for the whole window: admission allocates
+        pages through max_new_tokens up front."""
         active = [s for s in self._slots if s.active]
         if not active:
             return {}
         remaining = min(s.max_new - s.generated for s in active)
-        k = 1
-        while k * 2 <= min(max_window, remaining):
-            k *= 2
+        k = min(max_window, remaining)
         if k == 1:
             return self.step()
         pos = jnp.asarray(self._pos, jnp.int32)
-        toks, self._cur, caches = self._decode_k(
-            self.params, self._cur, pos, self._layer_caches(),
-            jnp.asarray(self._pt), k)
+        pt = jnp.asarray(self._pt)
+        cur = self._cur[:, 0]
+        caches = self._layer_caches()
+        toks = []
+        for _ in range(k):
+            cur, pos, caches = self._decode_adv(
+                self.params, cur[:, None], pos, caches, pt)
+            toks.append(cur)
+        self._cur = cur[:, None]
         for li, c in enumerate(caches):
             self.pool.pools[li] = {"pk": c["pk"], "pv": c["pv"]}
-        toks_host = np.asarray(toks)
+        toks_host = np.asarray(jnp.stack(toks))
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
             if not s.active:
