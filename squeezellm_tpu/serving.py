@@ -18,13 +18,15 @@ are static, so the step never retraces:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from squeezellm_tpu import sampling as sampling_mod
 from squeezellm_tpu.models import common, registry
+from squeezellm_tpu.sampling import SamplingParams
 
 
 @dataclasses.dataclass
@@ -35,6 +37,42 @@ class _Slot:
     max_new: int = 0
     generated: int = 0
     tokens: Optional[List[int]] = None
+    stop: Tuple[int, ...] = ()  # stop-token ids (host-side truncation)
+
+
+def _init_sampler_state(eng, slots: int, seed: int) -> None:
+    """Per-slot sampling parameter arrays shared by both engines; greedy
+    defaults so inactive slots never force the sampling trace."""
+    eng.seed = seed
+    eng._temp = np.zeros(slots, np.float32)
+    eng._topk = np.zeros(slots, np.int32)
+    eng._topp = np.ones(slots, np.float32)
+    eng._rids = np.zeros(slots, np.int32)
+
+
+def _set_slot_sampling(eng, idx: int, rid: int,
+                       sampling: Optional[SamplingParams]) -> None:
+    sp = sampling or sampling_mod.GREEDY
+    eng._temp[idx] = sp.temperature
+    eng._topk[idx] = sp.top_k
+    eng._topp[idx] = sp.top_p
+    eng._rids[idx] = rid
+
+
+def _clear_slot_sampling(eng, idx: int) -> None:
+    eng._temp[idx] = 0.0
+    eng._topk[idx] = 0
+    eng._topp[idx] = 1.0
+    eng._rids[idx] = 0
+
+
+def _sampler_args(eng):
+    return (jnp.asarray(eng._temp), jnp.asarray(eng._topk),
+            jnp.asarray(eng._topp), jnp.asarray(eng._rids))
+
+
+def _slot_finished(s: _Slot, tok: int) -> bool:
+    return s.generated >= s.max_new or tok in s.stop
 
 
 class ContinuousBatchEngine:
@@ -42,7 +80,8 @@ class ContinuousBatchEngine:
 
     def __init__(self, model_type: str, config, specs, params, *,
                  slots: int = 8, backend: str = "auto", dtype=jnp.float32,
-                 cache_dtype=jnp.float32, max_seq: Optional[int] = None):
+                 cache_dtype=jnp.float32, max_seq: Optional[int] = None,
+                 seed: int = 0):
         from squeezellm_tpu.models import fuse as fuse_mod
 
         specs, params = fuse_mod.attach_decode_luts(specs, params)
@@ -52,6 +91,7 @@ class ContinuousBatchEngine:
         self.params = params
         self.n_slots = slots
         self.max_seq = max_seq or config.max_seq
+        _init_sampler_state(self, slots, seed)
         mod = registry.get_model_module(model_type)
 
         def _prefill(params, tokens, cache):
@@ -62,15 +102,23 @@ class ContinuousBatchEngine:
             return mod.decode_step(config, specs, params, token, pos, cache,
                                    backend=backend, dtype=dtype)
 
-        def _decode_k(params, token, pos, cache, k):
-            # k greedy steps in ONE dispatch (lax.scan): the host syncs once
+        def _decode_k(params, token, pos, cache, temp, topk, topp, rids,
+                      k, sampled):
+            # k decode steps in ONE dispatch (lax.scan): the host syncs once
             # per k tokens instead of per token — on a remote transport the
-            # per-step round-trip (~29 ms) otherwise dominates throughput
+            # per-step round-trip (~29 ms) otherwise dominates throughput.
+            # `sampled` is static: the all-greedy trace carries no top-k /
+            # categorical work at all.
             def body(carry, _):
                 cur, p, c = carry
                 logits, c = mod.decode_step(config, specs, params, cur, p, c,
                                             backend=backend, dtype=dtype)
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                if sampled:
+                    nxt = sampling_mod.sample_tokens(
+                        logits[:, -1].astype(jnp.float32), temp, topk, topp,
+                        rids, p, seed)
+                else:
+                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                 return (nxt[:, None], p + 1, c), nxt
 
             (cur, p, cache), toks = jax.lax.scan(
@@ -79,8 +127,11 @@ class ContinuousBatchEngine:
 
         self._prefill = jax.jit(_prefill)
         self._decode = jax.jit(_decode, donate_argnums=(3,))
-        self._decode_k = jax.jit(_decode_k, static_argnums=(4,),
+        self._decode_k = jax.jit(_decode_k, static_argnums=(8, 9),
                                  donate_argnums=(3,))
+        self._sample1 = jax.jit(
+            lambda lg, temp, topk, topp, rids, pos: sampling_mod.sample_tokens(
+                lg.astype(jnp.float32), temp, topk, topp, rids, pos, seed))
 
         @jax.jit
         def _insert(cache, one_cache, slot):
@@ -110,8 +161,14 @@ class ContinuousBatchEngine:
     # minutes over a remote TPU transport)
     PROMPT_BUCKET = 16
 
-    def add_request(self, prompt_tokens, max_new_tokens: int) -> int:
+    def add_request(self, prompt_tokens, max_new_tokens: int,
+                    sampling: Optional[SamplingParams] = None,
+                    stop_tokens: Sequence[int] = ()) -> int:
         """Prefill + occupy a slot. Returns the request id.
+
+        sampling: per-request temperature/top-k/top-p (None = greedy),
+        drawn on device inside the decode step. stop_tokens: generation
+        ends when one is emitted (the stop token is kept in the output).
 
         The first generated token comes from the next step(): the slot is
         seeded at pos = plen-1 with the LAST prompt token, whose re-decode
@@ -142,22 +199,27 @@ class ContinuousBatchEngine:
         self._pos[idx] = plen - 1
         rid = self._next_id
         self._next_id += 1
+        _set_slot_sampling(self, idx, rid, sampling)
         self._slots[idx] = _Slot(active=True, request_id=rid, pos=plen - 1,
                                  max_new=max_new_tokens, generated=0,
-                                 tokens=[])
+                                 tokens=[], stop=tuple(stop_tokens))
         return rid
 
     def step(self) -> Dict[int, Any]:
-        """One batched greedy decode step for every active slot.
+        """One batched decode step for every active slot (greedy or
+        per-slot sampled).
 
-        Returns {request_id: {'token', 'done', 'tokens'?}} and releases
-        finished slots."""
+        Returns {request_id: {'token', 'new_tokens', 'done', 'tokens'?}}
+        and releases finished slots."""
         if not any(s.active for s in self._slots):
             return {}
         pos = jnp.asarray(self._pos, jnp.int32)
         logits, self.cache = self._decode(self.params, self._cur, pos,
                                           self.cache)
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        if bool((self._temp > 0).any()):
+            nxt = self._sample1(logits[:, -1], *_sampler_args(self), pos)
+        else:
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         nxt_host = np.asarray(nxt)
         self._cur = nxt[:, None]
         out: Dict[int, Any] = {}
@@ -169,10 +231,12 @@ class ContinuousBatchEngine:
             s.generated += 1
             s.pos += 1
             self._pos[i] = s.pos
-            done = s.generated >= s.max_new
-            out[s.request_id] = {"token": tok, "done": done}
+            done = _slot_finished(s, tok)
+            out[s.request_id] = {"token": tok, "new_tokens": [tok],
+                                 "done": done}
             if done:
                 out[s.request_id]["tokens"] = s.tokens
+                _clear_slot_sampling(self, i)
                 self._slots[i] = _Slot()
         return out
 
@@ -183,7 +247,8 @@ class ContinuousBatchEngine:
         overshoot any active slot's remaining budget (power-of-two bucketing
         bounds the number of compiled scan lengths). Emits the same
         per-request dicts as :meth:`step`, with every token of the window
-        applied in order."""
+        applied in order. Slots that hit a stop token mid-window discard
+        the window's tail (their decode continues harmlessly on device)."""
         active = [s for s in self._slots if s.active]
         if not active:
             return {}
@@ -194,40 +259,53 @@ class ContinuousBatchEngine:
         if k == 1:
             return self.step()
         pos = jnp.asarray(self._pos, jnp.int32)
+        sampled = bool((self._temp > 0).any())
         toks, self._cur, self.cache = self._decode_k(
-            self.params, self._cur, pos, self.cache, k)
+            self.params, self._cur, pos, self.cache, *_sampler_args(self),
+            k, sampled)
         toks_host = np.asarray(toks)  # (k, n_slots)
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
             if not s.active:
                 continue
+            new: List[int] = []
+            done = False
             for t in range(k):
                 tok = int(toks_host[t, i])
                 s.tokens.append(tok)
+                new.append(tok)
                 s.generated += 1
                 s.pos += 1
-                if s.generated >= s.max_new:
+                done = _slot_finished(s, tok)
+                if done:
                     break
             self._pos[i] = s.pos
-            done = s.generated >= s.max_new
-            out[s.request_id] = {"token": s.tokens[-1], "done": done}
+            out[s.request_id] = {"token": s.tokens[-1], "new_tokens": new,
+                                 "done": done}
             if done:
                 out[s.request_id]["tokens"] = s.tokens
+                _clear_slot_sampling(self, i)
                 self._slots[i] = _Slot()
         return out
 
-    def run(self, requests, max_new_tokens: int = 16,
-            window: int = 8) -> Dict[int, List[int]]:
+    def run(self, requests, max_new_tokens: int = 16, window: int = 8,
+            sampling: Optional[SamplingParams] = None,
+            stop_tokens: Sequence[int] = (),
+            on_token=None) -> Dict[int, List[int]]:
         """Drain a list of prompts through the slot pool; returns
         {request_id: generated tokens}. window > 1 decodes multi-token
-        windows per host sync (step_window)."""
+        windows per host sync (step_window). on_token(rid, new_tokens,
+        done) streams each window's tokens as they are fetched."""
         pending = list(requests)
         results: Dict[int, List[int]] = {}
         while pending or any(s.active for s in self._slots):
             while pending and self.free_slots():
-                self.add_request(pending.pop(0), max_new_tokens)
+                self.add_request(pending.pop(0), max_new_tokens,
+                                 sampling=sampling, stop_tokens=stop_tokens)
             res = (self.step_window(window) if window > 1 else self.step())
             for rid, r in res.items():
+                if on_token is not None:
+                    on_token(rid, r["new_tokens"], r["done"])
                 if r["done"]:
                     results[rid] = r["tokens"]
         return results
@@ -332,7 +410,8 @@ class PagedContinuousBatchEngine:
     def __init__(self, model_type: str, config, specs, params, *,
                  slots: int = 8, n_pages: int = 256, page_size: int = 128,
                  backend: str = "auto", dtype=jnp.float32,
-                 cache_dtype=jnp.bfloat16, max_seq: Optional[int] = None):
+                 cache_dtype=jnp.bfloat16, max_seq: Optional[int] = None,
+                 seed: int = 0):
         from squeezellm_tpu.models import fuse as fuse_mod
 
         specs, params = fuse_mod.attach_decode_luts(specs, params)
@@ -341,6 +420,7 @@ class PagedContinuousBatchEngine:
         self.params = params
         self.n_slots = slots
         self.max_seq = max_seq or config.max_seq
+        _init_sampler_state(self, slots, seed)
         self.ps = page_size
         self.maxp = -(-self.max_seq // page_size)
         mod = registry.get_model_module(model_type)
@@ -361,7 +441,8 @@ class PagedContinuousBatchEngine:
             nc = [{k: v for k, v in c.items() if k != "pt"} for c in nc]
             return logits, nc
 
-        def _decode_adv(params, token, pos, caches, pt):
+        def _decode_adv(params, token, pos, caches, pt, temp, topk, topp,
+                        rids, sampled):
             """One decode step that also advances token/pos ON DEVICE, so a
             window of steps can be enqueued back-to-back with no host sync.
             Donation chains across calls (each call consumes the previous
@@ -370,7 +451,12 @@ class PagedContinuousBatchEngine:
             copies the multi-GB pools every step (measured 54.8 vs 77.7
             tok/s; see ROADMAP round-2 note this replaces)."""
             logits, nc = _decode(params, token, pos, caches, pt)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            if sampled:
+                nxt = sampling_mod.sample_tokens(
+                    logits[:, -1].astype(jnp.float32), temp, topk, topp,
+                    rids, jnp.maximum(pos, 0), seed)
+            else:
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             # inactive slots (pos < 0) must NOT advance: at pos 0 they
             # would write through their zeroed page table into page 0,
             # which likely belongs to an active slot
@@ -379,7 +465,12 @@ class PagedContinuousBatchEngine:
 
         self._prefill = jax.jit(_prefill)
         self._decode = jax.jit(_decode, donate_argnums=(3,))
-        self._decode_adv = jax.jit(_decode_adv, donate_argnums=(3,))
+        self._decode_adv = jax.jit(_decode_adv, static_argnums=(9,),
+                                   donate_argnums=(3,))
+        self._sample1 = jax.jit(
+            lambda lg, temp, topk, topp, rids, pos: sampling_mod.sample_tokens(
+                lg.astype(jnp.float32), temp, topk, topp, rids,
+                jnp.maximum(pos, 0), seed))
 
         @jax.jit
         def _gather_pages(pool_kv, pids):
@@ -441,7 +532,9 @@ class PagedContinuousBatchEngine:
         return [dict(self.pool.pools[li])
                 for li in range(self.config.n_layers)]
 
-    def add_request(self, prompt_tokens, max_new_tokens: int) -> int:
+    def add_request(self, prompt_tokens, max_new_tokens: int,
+                    sampling: Optional[SamplingParams] = None,
+                    stop_tokens: Sequence[int] = ()) -> int:
         if max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
         idx = next((i for i, s in enumerate(self._slots) if not s.active), None)
@@ -526,9 +619,10 @@ class PagedContinuousBatchEngine:
         self._pos[idx] = plen - 1
         rid = self._next_id
         self._next_id += 1
+        _set_slot_sampling(self, idx, rid, sampling)
         self._slots[idx] = _Slot(active=True, request_id=rid, pos=plen - 1,
                                  max_new=max_new_tokens, generated=0,
-                                 tokens=[])
+                                 tokens=[], stop=tuple(stop_tokens))
         return rid
 
     def step(self) -> Dict[int, Any]:
@@ -540,7 +634,10 @@ class PagedContinuousBatchEngine:
                                       jnp.asarray(self._pt))
         for li, c in enumerate(caches):
             self.pool.pools[li] = {"pk": c["pk"], "pv": c["pv"]}
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        if bool((self._temp > 0).any()):
+            nxt = self._sample1(logits[:, -1], *_sampler_args(self), pos)
+        else:
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         nxt_host = np.asarray(nxt)
         self._cur = nxt[:, None]
         out: Dict[int, Any] = {}
@@ -552,8 +649,9 @@ class PagedContinuousBatchEngine:
             s.generated += 1
             s.pos += 1
             self._pos[i] = s.pos
-            done = s.generated >= s.max_new
-            out[s.request_id] = {"token": tok, "done": done}
+            done = _slot_finished(s, tok)
+            out[s.request_id] = {"token": tok, "new_tokens": [tok],
+                                 "done": done}
             if done:
                 out[s.request_id]["tokens"] = s.tokens
                 self._release(i)
@@ -583,10 +681,12 @@ class PagedContinuousBatchEngine:
         pt = jnp.asarray(self._pt)
         cur = self._cur[:, 0]
         caches = self._layer_caches()
+        sampled = bool((self._temp > 0).any())
+        sargs = _sampler_args(self)
         toks = []
         for _ in range(k):
             cur, pos, caches = self._decode_adv(
-                self.params, cur[:, None], pos, caches, pt)
+                self.params, cur[:, None], pos, caches, pt, *sargs, sampled)
             toks.append(cur)
         self._cur = cur[:, None]
         for li, c in enumerate(caches):
@@ -596,15 +696,20 @@ class PagedContinuousBatchEngine:
         for i, s in enumerate(self._slots):
             if not s.active:
                 continue
+            new: List[int] = []
+            done = False
             for t in range(k):
-                s.tokens.append(int(toks_host[t, i]))
+                tok = int(toks_host[t, i])
+                s.tokens.append(tok)
+                new.append(tok)
                 s.generated += 1
                 s.pos += 1
-                if s.generated >= s.max_new:
+                done = _slot_finished(s, tok)
+                if done:
                     break
             self._pos[i] = s.pos
-            done = s.generated >= s.max_new
-            out[s.request_id] = {"token": s.tokens[-1], "done": done}
+            out[s.request_id] = {"token": s.tokens[-1], "new_tokens": new,
+                                 "done": done}
             if done:
                 out[s.request_id]["tokens"] = s.tokens
                 self._release(i)
@@ -617,18 +722,24 @@ class PagedContinuousBatchEngine:
             self.pool.release(pid, registered=pid in registered_pids)
         self._slot_pages[idx] = []
         self._slots[idx] = _Slot()
+        _clear_slot_sampling(self, idx)
         self._pos[idx] = -1  # length 0: the freed page ids must never be
         self._pt[idx] = 0    # written again through this slot
 
-    def run(self, requests, max_new_tokens: int = 16,
-            window: int = 1) -> Dict[int, List[int]]:
+    def run(self, requests, max_new_tokens: int = 16, window: int = 1,
+            sampling: Optional[SamplingParams] = None,
+            stop_tokens: Sequence[int] = (),
+            on_token=None) -> Dict[int, List[int]]:
         pending = list(requests)
         results: Dict[int, List[int]] = {}
         while pending or any(s.active for s in self._slots):
             while pending and self.free_slots():
-                self.add_request(pending.pop(0), max_new_tokens)
+                self.add_request(pending.pop(0), max_new_tokens,
+                                 sampling=sampling, stop_tokens=stop_tokens)
             res = (self.step_window(window) if window > 1 else self.step())
             for rid, r in res.items():
+                if on_token is not None:
+                    on_token(rid, r["new_tokens"], r["done"])
                 if r["done"]:
                     results[rid] = r["tokens"]
         return results
