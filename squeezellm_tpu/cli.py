@@ -244,8 +244,9 @@ def cmd_serve_bench(args):
         rng.integers(0, config.vocab_size, rng.integers(4, 32)).tolist()
         for _ in range(args.requests)
     ]
-    # warm (compile prefill + batched decode)
-    kw = {} if args.paged else {"window": args.window}
+    # warm (compile prefill + batched decode); windows apply to both
+    # engines — the paged engine chains per-token dispatches per window
+    kw = {"window": args.window}
     eng.run(prompts[:1], max_new_tokens=2, **kw)
     t0 = time.perf_counter()
     results = eng.run(prompts, max_new_tokens=args.max_new_tokens, **kw)
@@ -258,6 +259,37 @@ def cmd_serve_bench(args):
     }))
 
 
+def cmd_serve(args):
+    import time
+
+    from squeezellm_tpu import server as server_mod
+    from squeezellm_tpu import serving
+
+    model_type, config, specs, params = _load_any(args.model)
+    if args.paged:
+        eng = serving.PagedContinuousBatchEngine(
+            model_type, config, specs, params, slots=args.slots,
+            backend=args.backend, max_seq=args.seqlen,
+            page_size=args.page_size,
+            n_pages=-(-args.seqlen // args.page_size) * args.slots,
+        )
+    else:
+        eng = serving.ContinuousBatchEngine(
+            model_type, config, specs, params, slots=args.slots,
+            backend=args.backend, max_seq=args.seqlen,
+        )
+    httpd = server_mod.serve(eng, host=args.host, port=args.port,
+                             window=args.window)
+    print(json.dumps({"listening": f"http://{args.host}:{args.port}",
+                      "slots": args.slots, "paged": args.paged}), flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        httpd.serving_loop.shutdown()
+        httpd.shutdown()
+
+
 def cmd_generate(args):
     import numpy as np
 
@@ -267,7 +299,9 @@ def cmd_generate(args):
     eng = engine_mod.Engine(model_type, config, specs, params,
                             backend=args.backend, fuse=args.fuse)
     prompt = np.asarray([int(t) for t in args.prompt_tokens.split(",")], np.int32)[None]
-    out = eng.generate(prompt, args.max_new_tokens, temperature=args.temperature)
+    out = eng.generate(prompt, args.max_new_tokens,
+                       temperature=args.temperature, top_k=args.top_k,
+                       top_p=args.top_p, seed=args.seed)
     print(json.dumps({"tokens": out[0].tolist()}))
 
 
@@ -382,11 +416,28 @@ def main(argv=None):
                     choices=["auto", "xla", "pallas", "pallas-bf16"])
     sb.set_defaults(fn=cmd_serve_bench)
 
+    sv = sub.add_parser("serve", help="HTTP serving front-end "
+                        "(/v1/completions + /health)")
+    sv.add_argument("model")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--slots", type=int, default=8)
+    sv.add_argument("--window", type=int, default=8)
+    sv.add_argument("--seqlen", type=int, default=2048)
+    sv.add_argument("--paged", action="store_true")
+    sv.add_argument("--page-size", type=int, default=128)
+    sv.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas", "pallas-bf16"])
+    sv.set_defaults(fn=cmd_serve)
+
     g = sub.add_parser("generate", help="generate tokens")
     g.add_argument("model")
     g.add_argument("--prompt-tokens", required=True, help="comma-separated ids")
     g.add_argument("--max-new-tokens", type=int, default=32)
     g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--top-k", type=int, default=0)
+    g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--seed", type=int, default=0)
     g.add_argument("--fuse", action="store_true")
     g.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas", "pallas-bf16"])
     g.set_defaults(fn=cmd_generate)

@@ -75,8 +75,12 @@ class Engine:
         temperature: float = 0.0,
         seed: int = 0,
         max_seq: Optional[int] = None,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ) -> np.ndarray:
-        """Greedy (temperature=0) or sampled generation.
+        """Greedy (temperature=0) or sampled (temperature/top-k/top-p)
+        generation via the shared on-device sampler (squeezellm_tpu.sampling;
+        streams keyed by (seed, row, position)).
 
         prompt_tokens: (B, S) int32. Returns (B, S + max_new_tokens).
         """
@@ -84,29 +88,38 @@ class Engine:
         b, s = prompt.shape
         cache = self.new_cache(b, max_seq)
         logits, cache = self._prefill(self.params, prompt, cache)
-        key = jax.random.PRNGKey(seed)
         out = [prompt]
         # pos must be a device scalar: a python int would bake into the jitted
         # graph and retrace the decode step at every position.
         pos = jnp.asarray(s, jnp.int32)
-        tok = self._select(logits, temperature, key)
+        tok = self._select(logits, temperature, top_k, top_p, pos, seed)
         for i in range(max_new_tokens):
             out.append(tok)
             if i == max_new_tokens - 1:
                 break
             logits, cache = self._decode(self.params, tok, pos, cache)
-            key, sub = jax.random.split(key)
-            tok = self._select(logits, temperature, sub)
+            tok = self._select(logits, temperature, top_k, top_p, pos, seed)
             pos = pos + 1
         return np.asarray(jnp.concatenate(out, axis=1))
 
     @staticmethod
-    def _select(logits, temperature, key):
+    def _select(logits, temperature, top_k, top_p, pos, seed):
         if temperature <= 0.0:
             return jnp.argmax(logits[:, -1], axis=-1)[:, None].astype(jnp.int32)
-        return jax.random.categorical(
-            key, logits[:, -1] / temperature, axis=-1
-        )[:, None].astype(jnp.int32)
+        from squeezellm_tpu import sampling
+
+        lg = logits[:, -1].astype(jnp.float32)
+        bsz = lg.shape[0]
+        toks = sampling.sample_tokens(
+            lg,
+            jnp.full((bsz,), temperature, jnp.float32),
+            jnp.full((bsz,), top_k, jnp.int32),
+            jnp.full((bsz,), top_p, jnp.float32),
+            jnp.arange(bsz, dtype=jnp.int32),
+            jnp.full((bsz,), pos, jnp.int32),
+            seed,
+        )
+        return toks[:, None]
 
     def benchmark(
         self,

@@ -1,0 +1,137 @@
+"""HTTP serving front-end: completions, sampling, streaming, health."""
+
+import http.client
+import json
+import threading
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from squeezellm_tpu import server as server_mod
+from squeezellm_tpu import serving
+from squeezellm_tpu.models import llama
+from squeezellm_tpu.quantize import pipeline
+
+
+@pytest.fixture(scope="module")
+def httpd():
+    config = llama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        n_layers=2, n_heads=4, n_kv_heads=2, max_seq=64,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(0))
+    specs, params = pipeline.quantize_model("llama", config, dense, bits=4)
+    params = jax.tree.map(jnp.asarray, params)
+    eng = serving.ContinuousBatchEngine("llama", config, specs, params,
+                                        slots=2, backend="xla", seed=7)
+    srv = server_mod.serve(eng, host="127.0.0.1", port=0, window=4)
+    yield srv
+    srv.serving_loop.shutdown()
+    srv.shutdown()
+
+
+def _post(srv, path, body):
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_port, timeout=120)
+    conn.request("POST", path, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    return r.status, data
+
+
+def test_health(httpd):
+    conn = http.client.HTTPConnection("127.0.0.1", httpd.server_port,
+                                      timeout=30)
+    conn.request("GET", "/health")
+    r = conn.getresponse()
+    out = json.loads(r.read())
+    conn.close()
+    assert r.status == 200 and out["status"] == "ok"
+    assert out["free_slots"] == 2
+
+
+def test_completion_greedy(httpd):
+    status, data = _post(httpd, "/v1/completions",
+                         {"prompt_tokens": [1, 2, 3], "max_tokens": 5})
+    out = json.loads(data)
+    assert status == 200
+    assert len(out["tokens"]) == 5
+    assert out["finish_reason"] == "length"
+    # greedy is deterministic: same request -> same tokens
+    _, data2 = _post(httpd, "/v1/completions",
+                     {"prompt_tokens": [1, 2, 3], "max_tokens": 5})
+    assert json.loads(data2)["tokens"] == out["tokens"]
+
+
+def test_completion_sampled_and_stop(httpd):
+    status, data = _post(httpd, "/v1/completions",
+                         {"prompt_tokens": [4, 5], "max_tokens": 6,
+                          "temperature": 0.9, "top_k": 20, "top_p": 0.9})
+    out = json.loads(data)
+    assert status == 200 and len(out["tokens"]) == 6
+    # stop token (greedy, so the continuation is reproducible): truncates
+    # at its first occurrence and reports 'stop'
+    _, data = _post(httpd, "/v1/completions",
+                    {"prompt_tokens": [4, 5], "max_tokens": 6})
+    full = json.loads(data)["tokens"]
+    stop = full[1]
+    status, data = _post(httpd, "/v1/completions",
+                         {"prompt_tokens": [4, 5], "max_tokens": 6,
+                          "stop": [stop]})
+    out2 = json.loads(data)
+    cut = full.index(stop) + 1
+    assert out2["tokens"] == full[:cut]
+    assert out2["finish_reason"] == "stop"
+
+
+def test_streaming_chunks(httpd):
+    conn = http.client.HTTPConnection("127.0.0.1", httpd.server_port,
+                                      timeout=120)
+    conn.request("POST", "/v1/completions",
+                 json.dumps({"prompt_tokens": [9, 8, 7], "max_tokens": 7,
+                             "stream": True}),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.getheader("Content-Type") == "text/event-stream"
+    body = r.read().decode()
+    conn.close()
+    events = [ln[6:] for ln in body.splitlines()
+              if ln.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    toks = []
+    for e in events[:-1]:
+        toks.extend(json.loads(e)["tokens"])
+    assert len(toks) == 7
+    # streamed tokens == non-streamed greedy tokens
+    _, data = _post(httpd, "/v1/completions",
+                    {"prompt_tokens": [9, 8, 7], "max_tokens": 7})
+    assert toks == json.loads(data)["tokens"]
+
+
+def test_concurrent_requests(httpd):
+    results = {}
+
+    def go(i):
+        _, data = _post(httpd, "/v1/completions",
+                        {"prompt_tokens": [i, i + 1], "max_tokens": 4})
+        results[i] = json.loads(data)["tokens"]
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(5)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert len(results) == 5
+    for toks in results.values():
+        assert len(toks) == 4
+
+
+def test_bad_request(httpd):
+    status, data = _post(httpd, "/v1/completions", {"max_tokens": 4})
+    assert status == 400
+    status, _ = _post(httpd, "/v1/completions",
+                      {"prompt_tokens": [1] * 70, "max_tokens": 4})
+    assert status in (400, 429)  # prompt exceeds max_seq
