@@ -299,6 +299,15 @@ def cmd_generate(args):
     eng = engine_mod.Engine(model_type, config, specs, params,
                             backend=args.backend, fuse=args.fuse)
     prompt = np.asarray([int(t) for t in args.prompt_tokens.split(",")], np.int32)[None]
+    if args.speculative:
+        if args.temperature > 0:
+            raise SystemExit("--speculative is greedy-only (exactness)")
+        out = eng.generate_speculative(prompt, args.max_new_tokens,
+                                       draft_len=args.draft_len,
+                                       ngram=args.ngram)
+        print(json.dumps({"tokens": out[0].tolist(),
+                          "spec_stats": eng.spec_stats}))
+        return
     out = eng.generate(prompt, args.max_new_tokens,
                        temperature=args.temperature, top_k=args.top_k,
                        top_p=args.top_p, seed=args.seed)
@@ -438,6 +447,10 @@ def main(argv=None):
     g.add_argument("--top-k", type=int, default=0)
     g.add_argument("--top-p", type=float, default=1.0)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding (greedy-exact)")
+    g.add_argument("--draft-len", type=int, default=8)
+    g.add_argument("--ngram", type=int, default=2)
     g.add_argument("--fuse", action="store_true")
     g.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas", "pallas-bf16"])
     g.set_defaults(fn=cmd_generate)

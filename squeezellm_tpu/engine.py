@@ -57,9 +57,18 @@ class Engine:
             return mod.decode_step(config, specs, params, token, pos, cache,
                                    backend=backend, dtype=dtype)
 
+        def _verify(params, tokens, start, cache):
+            # speculative verification: a short continuation prefill that
+            # returns logits for EVERY window position — weights stream
+            # from HBM once per window instead of once per token
+            return mod.prefill(config, specs, params, tokens, cache,
+                               backend=backend, dtype=dtype, start=start,
+                               all_logits=True)
+
         # donate the cache: decode updates it in place on device
         self._prefill = jax.jit(_prefill, donate_argnums=(2,))
         self._decode = jax.jit(_decode, donate_argnums=(3,))
+        self._verify = jax.jit(_verify, donate_argnums=(3,))
 
     def new_cache(self, batch: int = 1, max_seq: Optional[int] = None):
         c = self.config
@@ -101,6 +110,73 @@ class Engine:
             tok = self._select(logits, temperature, top_k, top_p, pos, seed)
             pos = pos + 1
         return np.asarray(jnp.concatenate(out, axis=1))
+
+    def generate_speculative(
+        self,
+        prompt_tokens: np.ndarray,
+        max_new_tokens: int,
+        draft_len: int = 8,
+        ngram: int = 2,
+        max_seq: Optional[int] = None,
+    ) -> np.ndarray:
+        """Greedy generation accelerated by prompt-lookup speculation.
+
+        Each round drafts up to `draft_len` tokens by matching the last
+        `ngram` generated/context tokens against an earlier occurrence in
+        the sequence (Saxena's prompt-lookup decoding — no draft model),
+        then verifies the whole draft in ONE forward over (draft_len + 1)
+        positions. On a weight-streaming-bound quantized model that
+        forward costs barely more than a single decode step, so every
+        accepted draft token is nearly free. Output is BIT-IDENTICAL to
+        greedy :meth:`generate` — speculation only changes how many
+        tokens each weight pass yields. Rejected draft suffixes leave
+        stale KV rows beyond the accepted position; they are masked by
+        the causal mask and overwritten by the next window.
+
+        Stats from the last call are in ``self.spec_stats``
+        (windows, drafted, accepted).
+
+        prompt_tokens: (1, S) int32. Returns (1, S + max_new_tokens).
+        """
+        prompt = jnp.asarray(prompt_tokens, jnp.int32)
+        b, s = prompt.shape
+        assert b == 1, "speculative path is single-stream"
+        cache_len = max_seq or self.config.max_seq
+        # verification windows must never write past the cache end
+        assert s + max_new_tokens + draft_len + 1 <= cache_len, (
+            "prompt + max_new + draft_len + 1 must fit in max_seq")
+        cache = self.new_cache(1, cache_len)
+        logits, cache = self._prefill(self.params, prompt, cache)
+        ctx = [int(t) for t in np.asarray(prompt[0])]
+        tok = int(np.asarray(jnp.argmax(logits[0, -1])))
+        out = [tok]
+        ctx.append(tok)
+        pos = s  # position of the next token to be fed/written
+        self.spec_stats = {"windows": 0, "drafted": 0, "accepted": 0}
+        while len(out) < max_new_tokens:
+            draft = _lookup_draft(ctx, ngram, draft_len)
+            window = np.zeros((1, draft_len + 1), np.int32)
+            window[0, 0] = tok
+            window[0, 1 : 1 + len(draft)] = draft
+            logits_all, cache = self._verify(
+                self.params, jnp.asarray(window),
+                jnp.asarray(pos, jnp.int32), cache)
+            greedy = np.asarray(jnp.argmax(logits_all[0], axis=-1))
+            n_acc = 0
+            while n_acc < len(draft) and draft[n_acc] == int(greedy[n_acc]):
+                n_acc += 1
+            emitted = [int(g) for g in draft[:n_acc]] + [int(greedy[n_acc])]
+            emitted = emitted[: max_new_tokens - len(out)]
+            out.extend(emitted)
+            ctx.extend(emitted)
+            pos += len(emitted)
+            tok = emitted[-1]
+            self.spec_stats["windows"] += 1
+            self.spec_stats["drafted"] += len(draft)
+            self.spec_stats["accepted"] += n_acc
+        return np.asarray(
+            np.concatenate([np.asarray(prompt_tokens).reshape(1, -1),
+                            np.asarray(out, np.int32)[None]], axis=1))
 
     @staticmethod
     def _select(logits, temperature, top_k, top_p, pos, seed):
@@ -210,6 +286,27 @@ class Engine:
     def param_bytes(self) -> int:
         leaves = jax.tree.leaves(self.params)
         return int(sum(x.size * x.dtype.itemsize for x in leaves))
+
+
+def _lookup_draft(ctx, ngram: int, k: int):
+    """Prompt-lookup draft: continuation of the most recent PRIOR
+    occurrence of the last `ngram` tokens (vectorized window match)."""
+    n = len(ctx)
+    if k < 1 or n < ngram + 1:
+        return []
+    a = np.asarray(ctx, np.int64)
+    key = a[n - ngram:]
+    # windows a[i:i+ngram] for i in [0, n-ngram-1) — exclude the key itself
+    m = n - ngram
+    if m < 1:
+        return []
+    win = np.lib.stride_tricks.sliding_window_view(a[: n - 1], ngram)
+    hits = np.nonzero((win == key).all(axis=1))[0]
+    if len(hits) == 0:
+        return []
+    i = int(hits[-1])  # most recent prior occurrence
+    cont = a[i + ngram : i + ngram + k]
+    return [int(t) for t in cont]
 
 
 _HBM_GB_S = {

@@ -308,12 +308,15 @@ def forward(config: LlamaConfig, specs, params, tokens, *, backend="auto",
 
 
 def prefill(config: LlamaConfig, specs, params, tokens, cache, *,
-            backend="auto", dtype=jnp.float32, axis_name=None, start=0):
+            backend="auto", dtype=jnp.float32, axis_name=None, start=0,
+            all_logits=False):
     """Process the prompt, fill the KV cache; returns (last-token logits, cache).
 
     start: position of tokens[:, 0] — a continuation prefill (prefix
     sharing: the cache already holds rows [0, start)) attends to the
-    cached prefix through the offset causal mask."""
+    cached prefix through the offset causal mask.
+    all_logits: return logits for EVERY window position (speculative-
+    decode verification needs the greedy token after each draft token)."""
     b, s = tokens.shape
     x = params["embed"][tokens].astype(dtype)
     positions = start + jnp.arange(s)
@@ -327,7 +330,8 @@ def prefill(config: LlamaConfig, specs, params, tokens, cache, *,
                        cache=layer_cache, pos=start, backend=backend,
                        axis_name=axis_name)
         new_cache.append(lc)
-    x = common.rms_norm(x[:, -1:], params["final_norm"], config.rms_eps)
+    x = common.rms_norm(x if all_logits else x[:, -1:],
+                        params["final_norm"], config.rms_eps)
     return _lm_head(specs, params, x, backend, axis_name), new_cache
 
 

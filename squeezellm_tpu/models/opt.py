@@ -272,9 +272,10 @@ def forward(config: OPTConfig, specs, params, tokens, *, backend="auto",
 
 
 def prefill(config: OPTConfig, specs, params, tokens, cache, *, backend="auto",
-            dtype=jnp.float32, axis_name=None, start=0):
+            dtype=jnp.float32, axis_name=None, start=0, all_logits=False):
     """start: position of tokens[:, 0] (continuation prefill — the cache
-    already holds rows [0, start); see models/llama.py)."""
+    already holds rows [0, start); see models/llama.py). all_logits:
+    logits for every position (speculative verification)."""
     b, s = tokens.shape
     x = _embed(config, params, tokens, start, dtype)
     max_seq = cache[0]["k"].shape[2]
@@ -284,7 +285,8 @@ def prefill(config: OPTConfig, specs, params, tokens, cache, *, backend="auto",
         x, lc = _layer(config, spec_d, param_d, x, mask, cache=layer_cache,
                        pos=start, backend=backend, axis_name=axis_name)
         new_cache.append(lc)
-    x = common.layer_norm(x[:, -1:], params["final_norm"]["w"],
+    x = common.layer_norm(x if all_logits else x[:, -1:],
+                          params["final_norm"]["w"],
                           params["final_norm"]["b"], config.ln_eps)
     return _lm_head(specs, params, x, backend, axis_name), new_cache
 
