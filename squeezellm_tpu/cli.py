@@ -246,16 +246,44 @@ def cmd_serve_bench(args):
     ]
     # warm (compile prefill + batched decode); windows apply to both
     # engines — the paged engine chains per-token dispatches per window
-    kw = {"window": args.window}
-    eng.run(prompts[:1], max_new_tokens=2, **kw)
+    eng.run(prompts[:1], max_new_tokens=2, window=args.window)
+
+    # per-request latency: admit / first-token / completion timestamps
+    admit, first, done = {}, {}, {}
+    orig_add = eng.add_request
+
+    def timed_add(prompt_tokens, max_new_tokens, **akw):
+        t = time.perf_counter()  # BEFORE prefill: TTFT includes admission
+        rid = orig_add(prompt_tokens, max_new_tokens, **akw)
+        admit[rid] = t
+        return rid
+
+    eng.add_request = timed_add
+
+    def on_token(rid, new, is_done):
+        now = time.perf_counter()
+        first.setdefault(rid, now)
+        if is_done:
+            done[rid] = now
+
     t0 = time.perf_counter()
-    results = eng.run(prompts, max_new_tokens=args.max_new_tokens, **kw)
+    results = eng.run(prompts, max_new_tokens=args.max_new_tokens,
+                      window=args.window, on_token=on_token)
     dt = time.perf_counter() - t0
     total = sum(len(t) for t in results.values())
+    ttft = sorted(first[r] - admit[r] for r in first)
+    lat = sorted(done[r] - admit[r] for r in done)
+
+    def pct(xs, p):
+        return round(xs[min(len(xs) - 1, int(p * len(xs)))], 4) if xs else None
+
     print(json.dumps({
         "requests": args.requests, "slots": args.slots,
         "total_tokens": total, "elapsed_s": round(dt, 3),
         "throughput_tok_s": round(total / dt, 2),
+        "ttft_s_p50": pct(ttft, 0.50), "ttft_s_p95": pct(ttft, 0.95),
+        "request_latency_s_p50": pct(lat, 0.50),
+        "request_latency_s_p95": pct(lat, 0.95),
     }))
 
 
