@@ -19,9 +19,42 @@ from squeezellm_tpu import serving
 from squeezellm_tpu.models import fuse, llama
 
 
+def prefix_probe(config, specs, params, backend, on_tpu):
+    """Prefix sharing: identical 128-token prefixes should cut admission
+    prefill cost (shared pages are reused AND not recomputed)."""
+    rng = np.random.default_rng(0)
+    shared = rng.integers(0, config.vocab_size, 128).tolist()
+    for mode in ("distinct", "shared"):
+        eng = serving.PagedContinuousBatchEngine(
+            "llama", config, specs, params, slots=8, n_pages=40,
+            page_size=128, backend=backend,
+            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            cache_dtype=jnp.bfloat16, max_seq=256,
+        )
+        if mode == "shared":
+            prompts = [shared + rng.integers(0, config.vocab_size, 8).tolist()
+                       for _ in range(17)]
+        else:
+            prompts = [rng.integers(0, config.vocab_size, 136).tolist()
+                       for _ in range(17)]
+        # warm/compile BOTH admission shapes: the first request prefills
+        # the whole prompt (no registered prefix yet); the second, in
+        # shared mode, takes the continuation-prefill path (16-token
+        # suffix bucket + page prime) — without this the measured run
+        # pays a ~25 s one-time compile and the comparison is garbage
+        eng.run(prompts[:2], max_new_tokens=2, window=8)
+        t0 = time.perf_counter()
+        results = eng.run(prompts[2:], max_new_tokens=16, window=8)
+        dt = time.perf_counter() - t0
+        total = sum(len(t) for t in results.values())
+        print(f"prefix={mode:9s}: {total} tokens in {dt:.2f}s "
+              f"-> {total/dt:7.1f} tok/s", flush=True)
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--paged"]
+    args = [a for a in sys.argv[1:] if a not in ("--paged", "--prefix")]
     paged = "--paged" in sys.argv[1:]
+    prefix = "--prefix" in sys.argv[1:]
     slots_list = [int(s) for s in args] or [1, 8]
     print("backend:", jax.default_backend(), flush=True)
     config = llama.LlamaConfig(max_seq=256, n_layers=32)
@@ -30,6 +63,10 @@ def main():
     params = put_dedup(params)
     on_tpu = jax.default_backend() == "tpu"
     backend = "pallas-bf16" if on_tpu else "xla"
+
+    if prefix:
+        prefix_probe(config, specs, params, backend, on_tpu)
+        return
 
     rng = np.random.default_rng(0)
     for slots in slots_list:

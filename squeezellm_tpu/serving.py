@@ -472,47 +472,71 @@ class PagedContinuousBatchEngine:
                 lg.astype(jnp.float32), temp, topk, topp, rids,
                 jnp.maximum(pos, 0), seed))
 
-        @jax.jit
-        def _gather_pages(pool_kv, pids):
-            def one(pid):
-                return {
-                    "k": jax.lax.dynamic_slice_in_dim(pool_kv["pk"], pid, 1)[0],
-                    "v": jax.lax.dynamic_slice_in_dim(pool_kv["pv"], pid, 1)[0],
-                }
-            # (m, Hkv, ps, hd) -> (1, Hkv, m*ps, hd) dense rows
-            kv = jax.lax.map(one, pids)
-            def to_dense(a):
-                m = a.shape[0]
-                return a.transpose(1, 0, 2, 3).reshape(
-                    1, a.shape[1], m * self.ps, a.shape[3])
-            return to_dense(kv["k"]), to_dense(kv["v"])
+        def _prime_dense(pools, dense, pids):
+            """Prime a fresh dense temp cache with the shared pages for
+            EVERY layer in one dispatch (the per-layer eager version cost
+            ~0.15 s of pure dispatch overhead per admission at 7B). The
+            full m*ps rows are written (pow2 padding repeats the last
+            page); rows beyond the true shared prefix are overwritten by
+            the continuation prefill or stay causally masked until decode
+            writes them — exactly like the zero rows they replace."""
+            rows = min(pids.shape[0] * self.ps, self.max_seq)
 
-        @jax.jit
-        def _scatter_pages(pool_kv, dense_k, dense_v, pids, first_page, cnt):
-            # pids may be pow2-padded (repeat-last): iterations beyond cnt
-            # must be no-ops — a clamped dense slice would otherwise
-            # overwrite the real last page with wrong rows
-            def body(i, pools):
-                def write(pools):
-                    pk, pv = pools
-                    src_k = jax.lax.dynamic_slice_in_dim(
-                        dense_k[0], (first_page + i) * self.ps, self.ps,
-                        axis=1)
-                    src_v = jax.lax.dynamic_slice_in_dim(
-                        dense_v[0], (first_page + i) * self.ps, self.ps,
-                        axis=1)
-                    pk = jax.lax.dynamic_update_slice_in_dim(
-                        pk, src_k[None].astype(pk.dtype), pids[i], axis=0)
-                    pv = jax.lax.dynamic_update_slice_in_dim(
-                        pv, src_v[None].astype(pv.dtype), pids[i], axis=0)
-                    return pk, pv
-                return jax.lax.cond(i < cnt, write, lambda p: p, pools)
-            pk, pv = jax.lax.fori_loop(
-                0, pids.shape[0], body, (pool_kv["pk"], pool_kv["pv"]))
-            return {"pk": pk, "pv": pv}
+            def one_layer(pool_kv, d):
+                def one(pid):
+                    return {
+                        "k": jax.lax.dynamic_slice_in_dim(
+                            pool_kv["pk"], pid, 1)[0],
+                        "v": jax.lax.dynamic_slice_in_dim(
+                            pool_kv["pv"], pid, 1)[0],
+                    }
+                kv = jax.lax.map(one, pids)
 
-        self._gather_pages = _gather_pages
-        self._scatter_pages = _scatter_pages
+                def to_dense(a):
+                    m = a.shape[0]
+                    return a.transpose(1, 0, 2, 3).reshape(
+                        1, a.shape[1], m * self.ps, a.shape[3])[:, :, :rows]
+
+                k = jax.lax.dynamic_update_slice(
+                    d["k"], to_dense(kv["k"]).astype(d["k"].dtype),
+                    (0, 0, 0, 0))
+                v = jax.lax.dynamic_update_slice(
+                    d["v"], to_dense(kv["v"]).astype(d["v"].dtype),
+                    (0, 0, 0, 0))
+                return {"k": k, "v": v}
+
+            return [one_layer(p, d) for p, d in zip(pools, dense)]
+
+        def _scatter_all(pools, dense, pids, first_page, cnt):
+            """Write the new (non-shared) prompt pages of EVERY layer back
+            into the pool in one dispatch. pids may be pow2-padded
+            (repeat-last): iterations beyond cnt must be no-ops — a
+            clamped dense slice would otherwise overwrite the real last
+            page with wrong rows."""
+            new = []
+            for pool_kv, d in zip(pools, dense):
+                def body(i, pools_kv, dk=d["k"], dv=d["v"]):
+                    def write(pools_kv):
+                        pk, pv = pools_kv
+                        src_k = jax.lax.dynamic_slice_in_dim(
+                            dk[0], (first_page + i) * self.ps, self.ps,
+                            axis=1)
+                        src_v = jax.lax.dynamic_slice_in_dim(
+                            dv[0], (first_page + i) * self.ps, self.ps,
+                            axis=1)
+                        pk = jax.lax.dynamic_update_slice_in_dim(
+                            pk, src_k[None].astype(pk.dtype), pids[i], axis=0)
+                        pv = jax.lax.dynamic_update_slice_in_dim(
+                            pv, src_v[None].astype(pv.dtype), pids[i], axis=0)
+                        return pk, pv
+                    return jax.lax.cond(i < cnt, write, lambda p: p, pools_kv)
+                pk, pv = jax.lax.fori_loop(
+                    0, pids.shape[0], body, (pool_kv["pk"], pool_kv["pv"]))
+                new.append({"pk": pk, "pv": pv})
+            return new
+
+        self._prime_dense = jax.jit(_prime_dense, donate_argnums=(1,))
+        self._scatter_all = jax.jit(_scatter_all, donate_argnums=(0,))
 
         self._slots = [_Slot() for _ in range(slots)]
         self._slot_pages: List[List[int]] = [[] for _ in range(slots)]
@@ -591,12 +615,7 @@ class PagedContinuousBatchEngine:
             self.config.head_dim, self.pool.pools[0]["pk"].dtype)
         if n_shared:
             spids = jnp.asarray(_bucket_pow2(shared_pids), jnp.int32)
-            for li in range(self.config.n_layers):
-                dk, dv = self._gather_pages(self.pool.pools[li], spids)
-                dense[li]["k"] = dense[li]["k"].at[:, :, : start].set(
-                    dk[:, :, : start])
-                dense[li]["v"] = dense[li]["v"].at[:, :, : start].set(
-                    dv[:, :, : start])
+            dense = self._prime_dense(self.pool.pools, dense, spids)
         _, dense = self._prefill(self.params, jnp.asarray(padded), dense,
                                  jnp.asarray(start, jnp.int32))
         # scatter the new (non-shared) prompt pages into the pool
@@ -604,11 +623,10 @@ class PagedContinuousBatchEngine:
         npids = jnp.asarray(
             _bucket_pow2(pids[n_shared:covered] or [0]), jnp.int32)
         if covered > n_shared:
-            for li in range(self.config.n_layers):
-                self.pool.pools[li] = self._scatter_pages(
-                    self.pool.pools[li], dense[li]["k"], dense[li]["v"],
-                    npids, n_shared,
-                    jnp.asarray(covered - n_shared, jnp.int32))
+            self.pool.pools = self._scatter_all(
+                self.pool.pools, dense, npids,
+                jnp.asarray(n_shared, jnp.int32),
+                jnp.asarray(covered - n_shared, jnp.int32))
         # register the prompt's full pages (excl. the final page) for reuse
         self.pool.register_chain(chain_key, prompt, n_shared,
                                  max(n_shared, (plen - 1) // self.ps), pids)
