@@ -37,7 +37,8 @@ from squeezellm_tpu.sampling import SamplingParams
 
 
 class _Pending:
-    __slots__ = ("tokens", "max_tokens", "sampling", "stop", "stream", "out")
+    __slots__ = ("tokens", "max_tokens", "sampling", "stop", "stream",
+                 "out", "rid")
 
     def __init__(self, tokens, max_tokens, sampling, stop, stream):
         self.tokens = tokens
@@ -45,6 +46,7 @@ class _Pending:
         self.sampling = sampling
         self.stop = stop
         self.stream = stream
+        self.rid: Optional[int] = None
         self.out: "queue.Queue[Dict[str, Any]]" = queue.Queue()
 
 
@@ -57,6 +59,7 @@ class ServingLoop:
         self.window = window
         self.poll_s = poll_s
         self.pending: "queue.Queue[_Pending]" = queue.Queue()
+        self.cancels: "queue.Queue[_Pending]" = queue.Queue()
         self.served = 0
         self._live: Dict[int, _Pending] = {}
         self._stop = threading.Event()
@@ -73,6 +76,11 @@ class ServingLoop:
     def submit(self, req: _Pending) -> None:
         self.pending.put(req)
 
+    def request_cancel(self, req: _Pending) -> None:
+        """Thread-safe: the engine thread applies the cancel (engine state
+        is only ever touched from that thread)."""
+        self.cancels.put(req)
+
     def _admit(self) -> None:
         while self.engine.free_slots():
             try:
@@ -86,10 +94,22 @@ class ServingLoop:
             except (ValueError, RuntimeError) as e:
                 req.out.put({"error": str(e)})
                 continue
+            req.rid = rid
             self._live[rid] = req
+
+    def _drain_cancels(self) -> None:
+        while True:
+            try:
+                req = self.cancels.get_nowait()
+            except queue.Empty:
+                return
+            if req.rid is not None and req.rid in self._live:
+                self.engine.cancel(req.rid)
+                del self._live[req.rid]
 
     def _run(self) -> None:
         while not self._stop.is_set():
+            self._drain_cancels()
             self._admit()
             if not self._live:
                 try:
@@ -186,16 +206,21 @@ def make_handler(loop: ServingLoop):
                 self.wfile.write(f"{len(payload):x}\r\n".encode())
                 self.wfile.write(payload + b"\r\n")
 
-            while True:
-                msg = p.out.get()
-                if "error" in msg:
-                    chunk(json.dumps(msg))
-                    break
-                chunk(json.dumps({"id": rid, "tokens": msg["new_tokens"]}))
-                if msg["done"]:
-                    break
-            chunk("[DONE]")
-            self.wfile.write(b"0\r\n\r\n")
+            try:
+                while True:
+                    msg = p.out.get()
+                    if "error" in msg:
+                        chunk(json.dumps(msg))
+                        break
+                    chunk(json.dumps({"id": rid,
+                                      "tokens": msg["new_tokens"]}))
+                    if msg["done"]:
+                        break
+                chunk("[DONE]")
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                # client went away mid-stream: free the slot
+                loop.request_cancel(p)
 
     return Handler
 

@@ -205,6 +205,16 @@ class ContinuousBatchEngine:
                                  tokens=[], stop=tuple(stop_tokens))
         return rid
 
+    def cancel(self, request_id: int) -> bool:
+        """Abort an in-flight request and free its slot (e.g. the HTTP
+        client disconnected). Returns False if the id is not active."""
+        for i, s in enumerate(self._slots):
+            if s.active and s.request_id == request_id:
+                _clear_slot_sampling(self, i)
+                self._slots[i] = _Slot()
+                return True
+        return False
+
     def step(self) -> Dict[int, Any]:
         """One batched decode step for every active slot (greedy or
         per-slot sampled).
@@ -732,6 +742,15 @@ class PagedContinuousBatchEngine:
                 out[s.request_id]["tokens"] = s.tokens
                 self._release(i)
         return out
+
+    def cancel(self, request_id: int) -> bool:
+        """Abort an in-flight request: frees its slot AND its pages
+        (refcounts released; registered prefix pages stay cached)."""
+        for i, s in enumerate(self._slots):
+            if s.active and s.request_id == request_id:
+                self._release(i)
+                return True
+        return False
 
     def _release(self, idx: int) -> None:
         pids = self._slot_pages[idx]

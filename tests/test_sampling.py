@@ -119,6 +119,32 @@ def test_engine_streaming_callback():
     assert streamed == res
 
 
+def test_cancel_frees_slots_and_pages():
+    config, specs, params = _small_model()
+    cb = serving.ContinuousBatchEngine("llama", config, specs, params,
+                                       slots=2, backend="xla")
+    r0 = cb.add_request([1, 2, 3], 8)
+    r1 = cb.add_request([4, 5], 8)
+    assert cb.free_slots() == 0
+    assert cb.cancel(r0)
+    assert not cb.cancel(r0)  # already gone
+    assert cb.free_slots() == 1
+    cb.step()  # surviving request still decodes
+    assert any(s.active and s.request_id == r1 for s in cb._slots)
+
+    pe = serving.PagedContinuousBatchEngine(
+        "llama", config, specs, params, slots=2, n_pages=24, page_size=8,
+        backend="xla", cache_dtype=jnp.float32)
+    free0 = len(pe.pool._free)
+    rid = pe.add_request([1, 2, 3, 4, 5, 6, 7, 8, 9], 8)
+    assert len(pe.pool._free) < free0
+    assert pe.cancel(rid)
+    # non-registered pages return to the free list; registered prefix
+    # pages stay cached (refcount 0) for reuse
+    registered = set(pe.pool._registry.values())
+    assert len(pe.pool._free) == free0 - len(registered)
+
+
 def test_paged_engine_sampled_and_stop():
     config, specs, params = _small_model()
     kw = dict(slots=2, n_pages=24, page_size=8, backend="xla",
