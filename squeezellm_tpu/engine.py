@@ -65,10 +65,74 @@ class Engine:
                                backend=backend, dtype=dtype, start=start,
                                all_logits=True)
 
+        def _spec_loop(params, prompt, cache, max_new, draft_len, ngram):
+            """Whole speculative generation as ONE device program: draft
+            matching, verification forward, acceptance, and context
+            bookkeeping run inside a lax.while_loop — zero host round
+            trips between windows (the host-loop variant pays transport
+            RTT per window). Greedy-exact: acceptance only keeps draft
+            tokens equal to the greedy token, so accidental matches in
+            clamped/garbage drafts are still correct."""
+            K = draft_len
+            max_ctx = cache[0]["k"].shape[2]
+            s = prompt.shape[1]
+            logits, cache = mod.prefill(config, specs, params, prompt,
+                                        cache, backend=backend, dtype=dtype)
+            first = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+            ctx = jnp.zeros((max_ctx,), jnp.int32)
+            ctx = jax.lax.dynamic_update_slice(ctx, prompt[0], (0,))
+            ctx = ctx.at[s].set(first)
+            out = jnp.zeros((max_new + K + 1,), jnp.int32)
+            out = out.at[0].set(first)
+            iota = jnp.arange(max_ctx)
+
+            def cond(c):
+                return c[3] < max_new
+
+            def body(c):
+                ctx, pos, out, out_n, cache, wins, acc = c
+                # n-gram draft: continuation of the most recent PRIOR
+                # occurrence of ctx[pos-ngram+1 : pos+1]
+                key = jax.lax.dynamic_slice(
+                    ctx, (jnp.maximum(pos - ngram + 1, 0),), (ngram,))
+                stacked = jnp.stack(
+                    [jnp.roll(ctx, -j) for j in range(ngram)], axis=1)
+                hits = (stacked == key[None, :]).all(axis=1) & (
+                    iota <= pos - ngram)
+                istar = jnp.max(jnp.where(hits, iota, -1))
+                dstart = jnp.clip(istar + ngram, 0, max_ctx - K)
+                draft = jax.lax.dynamic_slice(ctx, (dstart,), (K,))
+                window = jnp.concatenate(
+                    [jax.lax.dynamic_slice(ctx, (pos,), (1,)), draft]
+                )[None, :]
+                logits_all, cache = mod.prefill(
+                    config, specs, params, window, cache, backend=backend,
+                    dtype=dtype, start=pos, all_logits=True)
+                greedy = jnp.argmax(logits_all[0], axis=-1).astype(jnp.int32)
+                match = (draft == greedy[:K]).astype(jnp.int32)
+                n_acc = jnp.sum(jnp.cumprod(match))
+                m = jnp.minimum(n_acc + 1, max_new - out_n)
+                cand = jnp.concatenate([draft, jnp.zeros((1,), jnp.int32)])
+                emit = jnp.where(jnp.arange(K + 1) < n_acc, cand,
+                                 greedy[n_acc])
+                out = jax.lax.dynamic_update_slice(out, emit, (out_n,))
+                ctx = jax.lax.dynamic_update_slice(ctx, emit, (pos + 1,))
+                return (ctx, pos + m, out, out_n + m, cache,
+                        wins + 1, acc + n_acc)
+
+            ctx, pos, out, out_n, cache, wins, acc = jax.lax.while_loop(
+                cond, body,
+                (ctx, jnp.asarray(s, jnp.int32), out,
+                 jnp.asarray(1, jnp.int32), cache,
+                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
+            return out[:max_new], wins, acc
+
         # donate the cache: decode updates it in place on device
         self._prefill = jax.jit(_prefill, donate_argnums=(2,))
         self._decode = jax.jit(_decode, donate_argnums=(3,))
         self._verify = jax.jit(_verify, donate_argnums=(3,))
+        self._spec_loop = jax.jit(_spec_loop, static_argnums=(3, 4, 5),
+                                  donate_argnums=(2,))
 
     def new_cache(self, batch: int = 1, max_seq: Optional[int] = None):
         c = self.config
@@ -118,6 +182,7 @@ class Engine:
         draft_len: int = 8,
         ngram: int = 2,
         max_seq: Optional[int] = None,
+        host_loop: bool = False,
     ) -> np.ndarray:
         """Greedy generation accelerated by prompt-lookup speculation.
 
@@ -133,6 +198,11 @@ class Engine:
         stale KV rows beyond the accepted position; they are masked by
         the causal mask and overwritten by the next window.
 
+        By default the WHOLE loop (drafting, verification, acceptance)
+        runs as one device program — no host round trip per window.
+        host_loop=True uses the python reference loop instead (same
+        outputs; also the readable spec of the algorithm).
+
         Stats from the last call are in ``self.spec_stats``
         (windows, drafted, accepted).
 
@@ -146,6 +216,16 @@ class Engine:
         assert s + max_new_tokens + draft_len + 1 <= cache_len, (
             "prompt + max_new + draft_len + 1 must fit in max_seq")
         cache = self.new_cache(1, cache_len)
+        if not host_loop:
+            out, wins, acc = self._spec_loop(
+                self.params, prompt, cache, max_new_tokens, draft_len,
+                ngram)
+            self.spec_stats = {"windows": int(wins),
+                               "drafted": int(wins) * draft_len,
+                               "accepted": int(acc)}
+            return np.concatenate(
+                [np.asarray(prompt_tokens).reshape(1, -1),
+                 np.asarray(out)[None]], axis=1)
         logits, cache = self._prefill(self.params, prompt, cache)
         ctx = [int(t) for t in np.asarray(prompt[0])]
         tok = int(np.asarray(jnp.argmax(logits[0, -1])))

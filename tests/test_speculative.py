@@ -42,11 +42,13 @@ def test_lookup_draft():
     [8],
 ])
 @pytest.mark.parametrize("draft_len,ngram", [(8, 2), (4, 3), (1, 1)])
-def test_speculative_matches_greedy(prompt, draft_len, ngram):
+@pytest.mark.parametrize("host_loop", [False, True])
+def test_speculative_matches_greedy(prompt, draft_len, ngram, host_loop):
     eng = _engine()
     p = np.asarray(prompt, np.int32)[None]
     want = eng.generate(p, 12)
-    got = eng.generate_speculative(p, 12, draft_len=draft_len, ngram=ngram)
+    got = eng.generate_speculative(p, 12, draft_len=draft_len, ngram=ngram,
+                                   host_loop=host_loop)
     np.testing.assert_array_equal(got, want)
     st = eng.spec_stats
     assert st["windows"] >= 1
