@@ -67,6 +67,27 @@ def test_speculative_accepts_on_repetitive_text():
     assert st["windows"] < 20  # fewer weight passes than tokens
 
 
+def test_speculative_opt_family():
+    """The verify-prefill path (all_logits) works across model families."""
+    from squeezellm_tpu.models import opt
+
+    config = opt.OPTConfig(
+        vocab_size=128, hidden_size=64, ffn_dim=128, n_layers=2, n_heads=4,
+        max_seq=96,
+    )
+    dense = opt.random_dense_params(config, jax.random.PRNGKey(1))
+    specs, params = pipeline.quantize_model("opt", config, dense, bits=4)
+    eng = engine_mod.Engine("opt", config, specs,
+                            jax.tree.map(jnp.asarray, params), backend="xla")
+    p = np.asarray([5, 6, 7, 5, 6, 7, 5, 6], np.int32)[None]
+    want = eng.generate(p, 10)
+    np.testing.assert_array_equal(
+        eng.generate_speculative(p, 10, draft_len=4, ngram=2), want)
+    np.testing.assert_array_equal(
+        eng.generate_speculative(p, 10, draft_len=4, ngram=2,
+                                 host_loop=True), want)
+
+
 def test_speculative_max_seq_guard():
     eng = _engine()
     p = np.asarray([[1, 2, 3]], np.int32)
