@@ -159,6 +159,37 @@ def decode_mask(max_seq: int, pos, sliding_window: Optional[int] = None):
     return m[:, None, None, :] if pos.ndim else m[None, None]
 
 
+def window_mask(sq: int, max_seq: int, pos,
+                sliding_window: Optional[int] = None):
+    """Mask for an sq-token query window starting at per-slot positions.
+
+    pos: (B,) — slot b's window rows sit at positions pos_b .. pos_b+sq-1,
+    each attending cache columns <= its own position. The batched
+    generalization of decode_mask (speculative verification windows).
+    Returns (B, 1, sq, max_seq)."""
+    pos = jnp.asarray(pos)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_seq), 3)
+    qpos = pos.reshape(-1, 1, 1, 1) + jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, sq, 1), 2)
+    m = kpos <= qpos
+    if sliding_window is not None:
+        m = jnp.logical_and(m, kpos > qpos - sliding_window)
+    return m
+
+
+def update_kv_window(cache, k_new, v_new, pos):
+    """Write an s-token window's k/v (B, H, s, D) at per-slot positions
+    pos (B,): slot b's rows land at [pos_b, pos_b + s)."""
+    def one(cb, nb, pb):
+        return jax.lax.dynamic_update_slice_in_dim(
+            cb, nb.astype(cb.dtype), pb, axis=1)  # cb (H, S, D)
+
+    return {
+        "k": jax.vmap(one)(cache["k"], k_new, pos),
+        "v": jax.vmap(one)(cache["v"], v_new, pos),
+    }
+
+
 def update_kv_cache(cache, k_new, v_new, pos):
     """Write one new token's k/v (B, H, 1, D) at position(s) pos.
 

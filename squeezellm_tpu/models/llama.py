@@ -226,6 +226,9 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         if s == 1:
             # decode: pos scalar or per-slot (B,) vector
             cache = common.update_kv_cache(cache, k, v, pos)
+        elif pos is not None and jnp.asarray(pos).ndim:
+            # speculative verify window: per-slot start positions
+            cache = common.update_kv_window(cache, k, v, jnp.asarray(pos))
         else:
             # prefill: write [start, start+s)
             start = 0 if pos is None else pos
@@ -332,6 +335,33 @@ def prefill(config: LlamaConfig, specs, params, tokens, cache, *,
         new_cache.append(lc)
     x = common.rms_norm(x if all_logits else x[:, -1:],
                         params["final_norm"], config.rms_eps)
+    return _lm_head(specs, params, x, backend, axis_name), new_cache
+
+
+def verify_window(config: LlamaConfig, specs, params, tokens, pos, cache, *,
+                  backend="auto", dtype=jnp.float32, axis_name=None):
+    """Speculative-verification window for continuous batching: an
+    s-token window per slot, slot b's window starting at its own position
+    pos_b (B,). Returns (logits (B, s, V), cache) — logits for EVERY
+    window position, the per-slot generalization of
+    ``prefill(all_logits=True, start=...)``."""
+    b, s = tokens.shape
+    pos = jnp.asarray(pos)
+    x = params["embed"][tokens].astype(dtype)
+    positions = pos[:, None] + jnp.arange(s)  # (B, s)
+    cos, sin = common.rope_cos_sin(positions, config.head_dim,
+                                   config.rope_theta, dtype)
+    max_seq = cache[0]["k"].shape[2]
+    mask = common.window_mask(s, max_seq, pos,
+                              sliding_window=config.sliding_window)
+    new_cache = []
+    for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"],
+                                            cache):
+        x, lc = _layer(config, spec_d, param_d, x, cos, sin, mask,
+                       cache=layer_cache, pos=pos, backend=backend,
+                       axis_name=axis_name)
+        new_cache.append(lc)
+    x = common.rms_norm(x, params["final_norm"], config.rms_eps)
     return _lm_head(specs, params, x, backend, axis_name), new_cache
 
 

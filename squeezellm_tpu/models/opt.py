@@ -208,6 +208,9 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
     if cache is not None:
         if s == 1:
             cache = common.update_kv_cache(cache, k, v, pos)
+        elif pos is not None and jnp.asarray(pos).ndim:
+            # speculative verify window: per-slot start positions
+            cache = common.update_kv_window(cache, k, v, jnp.asarray(pos))
         else:
             start = 0 if pos is None else pos
             cache = {
@@ -287,6 +290,27 @@ def prefill(config: OPTConfig, specs, params, tokens, cache, *, backend="auto",
         new_cache.append(lc)
     x = common.layer_norm(x if all_logits else x[:, -1:],
                           params["final_norm"]["w"],
+                          params["final_norm"]["b"], config.ln_eps)
+    return _lm_head(specs, params, x, backend, axis_name), new_cache
+
+
+def verify_window(config: OPTConfig, specs, params, tokens, pos, cache, *,
+                  backend="auto", dtype=jnp.float32, axis_name=None):
+    """Per-slot speculative verification window (see models/llama.py)."""
+    b, s = tokens.shape
+    pos = jnp.asarray(pos)
+    x = params["embed"][tokens].astype(dtype)
+    positions = pos[:, None] + jnp.arange(s) + _POS_OFFSET  # (B, s)
+    x = x + params["embed_pos"][positions].astype(dtype)
+    max_seq = cache[0]["k"].shape[2]
+    mask = common.window_mask(s, max_seq, pos)
+    new_cache = []
+    for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"],
+                                            cache):
+        x, lc = _layer(config, spec_d, param_d, x, mask, cache=layer_cache,
+                       pos=pos, backend=backend, axis_name=axis_name)
+        new_cache.append(lc)
+    x = common.layer_norm(x, params["final_norm"]["w"],
                           params["final_norm"]["b"], config.ln_eps)
     return _lm_head(specs, params, x, backend, axis_name), new_cache
 

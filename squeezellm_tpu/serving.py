@@ -81,7 +81,8 @@ class ContinuousBatchEngine:
     def __init__(self, model_type: str, config, specs, params, *,
                  slots: int = 8, backend: str = "auto", dtype=jnp.float32,
                  cache_dtype=jnp.float32, max_seq: Optional[int] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 speculative: Optional[Tuple[int, int]] = None):
         from squeezellm_tpu.models import fuse as fuse_mod
 
         specs, params = fuse_mod.attach_decode_luts(specs, params)
@@ -91,6 +92,10 @@ class ContinuousBatchEngine:
         self.params = params
         self.n_slots = slots
         self.max_seq = max_seq or config.max_seq
+        # (draft_len, ngram): slot-batched prompt-lookup speculation —
+        # step_spec_window() verifies per-slot drafts in ONE windowed
+        # forward, so each weight pass can yield several tokens per slot
+        self.speculative = speculative
         _init_sampler_state(self, slots, seed)
         mod = registry.get_model_module(model_type)
 
@@ -125,10 +130,52 @@ class ContinuousBatchEngine:
                 body, (token, pos, cache), None, length=k)
             return toks, cur, cache
 
+        def _spec_window(params, ctx, cur, pos, cache, draft_len, ngram):
+            """One slot-batched speculative window: per-slot n-gram drafts
+            from the device context buffer, ONE verify forward over
+            (draft_len+1) positions for every slot, greedy acceptance.
+            Exactness-safe with stale/garbage drafts: a draft token is
+            only kept when it EQUALS the greedy token."""
+            K = draft_len
+            max_ctx = ctx.shape[1]
+            iota = jnp.arange(max_ctx)
+
+            def draft_one(ctx_b, pos_b):
+                key = jax.lax.dynamic_slice(
+                    ctx_b, (jnp.maximum(pos_b - ngram + 1, 0),), (ngram,))
+                stacked = jnp.stack(
+                    [jnp.roll(ctx_b, -j) for j in range(ngram)], axis=1)
+                hits = (stacked == key[None, :]).all(axis=1) & (
+                    iota <= pos_b - ngram)
+                istar = jnp.max(jnp.where(hits, iota, -1))
+                dstart = jnp.clip(istar + ngram, 0, max_ctx - K)
+                return jax.lax.dynamic_slice(ctx_b, (dstart,), (K,))
+
+            draft = jax.vmap(draft_one)(ctx, pos)          # (B, K)
+            window = jnp.concatenate([cur, draft], axis=1)  # (B, K+1)
+            logits, cache = mod.verify_window(
+                config, specs, params, window, pos, cache, backend=backend,
+                dtype=dtype)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            match = (draft == greedy[:, :K]).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,)
+            cand = jnp.concatenate(
+                [draft, jnp.zeros((draft.shape[0], 1), jnp.int32)], axis=1)
+            bonus = jnp.take_along_axis(greedy, n_acc[:, None], axis=1)
+            emit = jnp.where(jnp.arange(K + 1)[None, :] < n_acc[:, None],
+                             cand, bonus)                   # (B, K+1)
+            ctx = jax.vmap(
+                lambda cb, eb, pb: jax.lax.dynamic_update_slice(
+                    cb, eb, (pb + 1,)))(ctx, emit, pos)
+            cur2 = jnp.take_along_axis(emit, n_acc[:, None], axis=1)
+            return emit, n_acc, cur2, ctx, cache
+
         self._prefill = jax.jit(_prefill)
         self._decode = jax.jit(_decode, donate_argnums=(3,))
         self._decode_k = jax.jit(_decode_k, static_argnums=(8, 9),
                                  donate_argnums=(3,))
+        self._spec_window_fn = jax.jit(_spec_window, static_argnums=(5, 6),
+                                       donate_argnums=(4,))
         self._sample1 = jax.jit(
             lambda lg, temp, topk, topp, rids, pos: sampling_mod.sample_tokens(
                 lg.astype(jnp.float32), temp, topk, topp, rids, pos, seed))
@@ -150,6 +197,11 @@ class ContinuousBatchEngine:
         self._next_id = 0
         self._cur = jnp.zeros((slots, 1), jnp.int32)
         self._pos = np.zeros(slots, np.int64)
+        # device-resident per-slot token history for speculative drafting.
+        # Stale rows (slots stepped by the non-speculative path) only
+        # lower the accept rate — acceptance is greedy-exact regardless.
+        self._ctx = (jnp.zeros((slots, self.max_seq), jnp.int32)
+                     if speculative else None)
 
     # -- request management --------------------------------------------------
 
@@ -184,8 +236,13 @@ class ContinuousBatchEngine:
             raise RuntimeError("no free slot")
         prompt = np.asarray(prompt_tokens, np.int32).reshape(-1)
         plen = len(prompt)
-        if plen + max_new_tokens > self.max_seq:
-            raise ValueError("prompt + max_new_tokens exceeds max_seq")
+        reserve = (self.speculative[0] + 1) if self.speculative else 0
+        if plen + max_new_tokens + reserve > self.max_seq:
+            # speculative windows may write draft_len+1 rows past the last
+            # real token; that overhang must stay inside the cache
+            raise ValueError("prompt + max_new_tokens exceeds max_seq"
+                             + (" (incl. speculative window reserve)"
+                                if reserve else ""))
         b = self.PROMPT_BUCKET
         padded = np.zeros((1, min(-(-plen // b) * b, self.max_seq)), np.int32)
         padded[0, :plen] = prompt
@@ -196,6 +253,10 @@ class ContinuousBatchEngine:
         _, one = self._prefill(self.params, jnp.asarray(padded), one)
         self.cache = self._insert(self.cache, one, jnp.asarray(idx, jnp.int32))
         self._cur = self._cur.at[idx, 0].set(int(prompt[-1]))
+        if self._ctx is not None:
+            row = np.zeros(self.max_seq, np.int32)
+            row[:plen] = prompt
+            self._ctx = self._ctx.at[idx].set(jnp.asarray(row))
         self._pos[idx] = plen - 1
         rid = self._next_id
         self._next_id += 1
@@ -298,21 +359,70 @@ class ContinuousBatchEngine:
                 self._slots[i] = _Slot()
         return out
 
+    def step_spec_window(self) -> Dict[int, Any]:
+        """One slot-batched speculative window (engine constructed with
+        ``speculative=(draft_len, ngram)``): every slot drafts from its
+        device context history and verifies in ONE shared forward — a
+        single weight pass yields up to draft_len+1 tokens PER SLOT.
+        Greedy-only: if any active slot samples, callers should use
+        step_window() until it leaves (run() does this automatically)."""
+        assert self.speculative, "engine not constructed with speculative="
+        active = [s for s in self._slots if s.active]
+        if not active:
+            return {}
+        draft_len, ngram = self.speculative
+        pos = jnp.asarray(self._pos, jnp.int32)
+        emit, n_acc, self._cur, self._ctx, self.cache = self._spec_window_fn(
+            self.params, self._ctx, self._cur, pos, self.cache,
+            draft_len, ngram)
+        emit_h = np.asarray(emit)
+        nacc_h = np.asarray(n_acc)
+        out: Dict[int, Any] = {}
+        for i, s in enumerate(self._slots):
+            if not s.active:
+                continue
+            m = int(nacc_h[i]) + 1
+            new: List[int] = []
+            done = False
+            for t in range(m):
+                tok = int(emit_h[i, t])
+                s.tokens.append(tok)
+                new.append(tok)
+                s.generated += 1
+                s.pos += 1
+                done = _slot_finished(s, tok)
+                if done:
+                    break
+            self._pos[i] = s.pos
+            out[s.request_id] = {"token": s.tokens[-1], "new_tokens": new,
+                                 "done": done}
+            if done:
+                out[s.request_id]["tokens"] = s.tokens
+                _clear_slot_sampling(self, i)
+                self._slots[i] = _Slot()
+        return out
+
     def run(self, requests, max_new_tokens: int = 16, window: int = 8,
             sampling: Optional[SamplingParams] = None,
             stop_tokens: Sequence[int] = (),
             on_token=None) -> Dict[int, List[int]]:
         """Drain a list of prompts through the slot pool; returns
         {request_id: generated tokens}. window > 1 decodes multi-token
-        windows per host sync (step_window). on_token(rid, new_tokens,
-        done) streams each window's tokens as they are fetched."""
+        windows per host sync (step_window). Engines constructed with
+        ``speculative=`` use slot-batched speculative windows whenever no
+        active slot is sampling. on_token(rid, new_tokens, done) streams
+        each window's tokens as they are fetched."""
         pending = list(requests)
         results: Dict[int, List[int]] = {}
         while pending or any(s.active for s in self._slots):
             while pending and self.free_slots():
                 self.add_request(pending.pop(0), max_new_tokens,
                                  sampling=sampling, stop_tokens=stop_tokens)
-            res = (self.step_window(window) if window > 1 else self.step())
+            if self.speculative and not bool((self._temp > 0).any()):
+                res = self.step_spec_window()
+            else:
+                res = (self.step_window(window) if window > 1
+                       else self.step())
             for rid, r in res.items():
                 if on_token is not None:
                     on_token(rid, r["new_tokens"], r["done"])
