@@ -43,18 +43,78 @@ def prefix_probe(config, specs, params, backend, on_tpu):
         # suffix bucket + page prime) — without this the measured run
         # pays a ~25 s one-time compile and the comparison is garbage
         eng.run(prompts[:2], max_new_tokens=2, window=8)
+        # instrumented run (localizes admission vs decode cost)
+        t_admit = t_step = 0.0
+        n_admit = n_step = 0
+        pending = list(prompts[2:])
+        results = {}
         t0 = time.perf_counter()
-        results = eng.run(prompts[2:], max_new_tokens=16, window=8)
+        while pending or any(s.active for s in eng._slots):
+            while pending and eng.free_slots() > 0:
+                ta = time.perf_counter()
+                rid = eng.add_request(pending.pop(0), 16)
+                jax.block_until_ready(eng.pool.pools[0]["pk"])
+                t_admit += time.perf_counter() - ta
+                n_admit += 1
+                results[rid] = []
+            ts = time.perf_counter()
+            out = eng.step_window(8)
+            t_step += time.perf_counter() - ts
+            n_step += 1
+            for rid, toks in out.items():
+                results.setdefault(rid, []).extend(toks)
         dt = time.perf_counter() - t0
         total = sum(len(t) for t in results.values())
         print(f"prefix={mode:9s}: {total} tokens in {dt:.2f}s "
-              f"-> {total/dt:7.1f} tok/s", flush=True)
+              f"-> {total/dt:7.1f} tok/s | admit {n_admit}x "
+              f"{1000*t_admit/max(n_admit,1):.1f}ms step {n_step}x "
+              f"{1000*t_step/max(n_step,1):.1f}ms", flush=True)
+
+
+def spec_probe(config, specs, params, backend, on_tpu, slots=8):
+    """Slot-batched speculative serving vs plain windowed serving.
+
+    Accept rate (and the win/loss) is text-dependent, exactly as in
+    scripts/spec_probe.py: repetitive continuations accept most drafts;
+    random prompts accept ~none and the spec engine degenerates to one
+    host sync per token (a LOSS vs the plain 16-token windows). Both
+    workloads are reported."""
+    rng = np.random.default_rng(0)
+    phrase = rng.integers(0, config.vocab_size, 12).tolist()
+    workloads = {
+        "repetitive": [phrase * 5 for _ in range(slots * 2)],
+        "random": [rng.integers(0, config.vocab_size,
+                                int(rng.integers(4, 17))).tolist()
+                   for _ in range(slots * 2)],
+    }
+    for mode in ("plain-w16", "spec-8-2"):
+        kw = dict(slots=slots, backend=backend,
+                  dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                  cache_dtype=jnp.bfloat16, max_seq=256)
+        if mode.startswith("spec"):
+            kw["speculative"] = (8, 2)
+        eng = serving.ContinuousBatchEngine("llama", config, specs, params,
+                                            **kw)
+        # warm BOTH workloads: prompt-length buckets differ, so each must
+        # compile its prefill; max_new 16 compiles the k=16 scan for the
+        # plain engine (and the fixed-shape spec window for the spec one)
+        for prompts in workloads.values():
+            eng.run(prompts[:1], max_new_tokens=16, window=16)
+        for wname, prompts in workloads.items():
+            t0 = time.perf_counter()
+            results = eng.run(prompts, max_new_tokens=48, window=16)
+            dt = time.perf_counter() - t0
+            total = sum(len(t) for t in results.values())
+            print(f"{mode:9s} {wname:10s} slots={slots}: {total} tokens "
+                  f"in {dt:.2f}s -> {total/dt:7.1f} tok/s", flush=True)
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a not in ("--paged", "--prefix")]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--paged", "--prefix", "--spec")]
     paged = "--paged" in sys.argv[1:]
     prefix = "--prefix" in sys.argv[1:]
+    spec = "--spec" in sys.argv[1:]
     slots_list = [int(s) for s in args] or [1, 8]
     print("backend:", jax.default_backend(), flush=True)
     config = llama.LlamaConfig(max_seq=256, n_layers=32)
@@ -66,6 +126,10 @@ def main():
 
     if prefix:
         prefix_probe(config, specs, params, backend, on_tpu)
+        return
+    if spec:
+        spec_probe(config, specs, params, backend, on_tpu,
+                   slots=slots_list[0] if args else 8)
         return
 
     rng = np.random.default_rng(0)

@@ -42,9 +42,11 @@ def main():
     }
     n = 128
     for name, p in prompts.items():
-        # warm both paths (compile)
-        eng.generate(p, 4)
-        eng.generate_speculative(p, 4, draft_len=8, ngram=2)
+        # warm both paths with the SAME max_new — max_new is a static arg
+        # of the device spec loop, so a different warm length would leave
+        # the measured call paying its compile
+        eng.generate(p, n)
+        eng.generate_speculative(p, n, draft_len=8, ngram=2)
         t0 = time.perf_counter()
         eng.generate(p, n)
         t_plain = time.perf_counter() - t0

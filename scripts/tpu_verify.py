@@ -71,6 +71,32 @@ def main():
     failures += not ok
     print(f"{'OK ' if ok else 'BAD'} gather_spmv: err {err:.2e}", flush=True)
 
+    # fused sparse GEMV: per-o-block plans folded into the lut kernel
+    for bits in (3, 4):
+        in_f, out_f, batch = 4096, 2560, 1
+        lut = np.sort(rng.normal(size=(out_f, 2**bits)).astype(np.float32),
+                      axis=1)
+        codes = rng.integers(0, 2**bits, size=(in_f, out_f), dtype=np.uint8)
+        qweight = formats.pack_codes(codes, bits)
+        w_dense = formats.dequant_np(codes, lut)
+        nnz = int(out_f * in_f * 0.0045)
+        r = rng.integers(0, out_f, nnz)
+        c = rng.integers(0, in_f, nnz)
+        v = rng.standard_normal(nnz).astype(np.float32)
+        bmeta, bvals, ih = spmv.build_block_plans(r, c, v, out_f, in_f)
+        x = rng.normal(size=(batch, in_f)).astype(np.float32)
+        y = np.asarray(pallas_ops.lut_matmul(
+            jnp.asarray(x), jnp.asarray(qweight), jnp.asarray(lut), bits,
+            mode="gather", sgb_meta=jnp.asarray(bmeta),
+            sgb_vals=jnp.asarray(bvals), sgb_ih=ih))
+        sp = np.zeros((in_f, out_f), np.float32)
+        np.add.at(sp, (c, r), v)
+        err = np.abs(y - x @ (w_dense + sp)).max()
+        ok = err < 5e-4 * np.sqrt(in_f / 640)
+        failures += not ok
+        print(f"{'OK ' if ok else 'BAD'} fused-sparse bits={bits}: "
+              f"err {err:.2e}", flush=True)
+
     # paged decode attention (fused cache write + page-table attention)
     from squeezellm_tpu.ops import paged_attn
 

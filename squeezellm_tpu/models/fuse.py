@@ -141,36 +141,63 @@ def attach_decode_luts(specs, params, transposed: bool = False):
     models):
 
     * 'lut_t' — gather-layout LUT (removes a per-call transpose+pad)
+    * 'sgb_meta'/'sgb_vals' — per-o-block SpMV plans
+      (spmv.build_block_plans) for sparse linears: GEMV-shaped decode
+      calls fold the sparse sidecar INTO the lut kernel (one launch per
+      linear instead of lut + spmv + add)
     * with ``transposed=True``, 4-bit linears also get 'qweight_t'/'lut_w'
       (transposed packed words + wide replicated table) and route through
       `pallas_ops.lut_matmul_t`. OFF by default: on v5e the lane-dim
       dynamic_gather it relies on costs ~8 VPU ops/vreg (measured 2.7x
       slower than the sublane hi/lo path); it is a v6 target.
     """
+    from squeezellm_tpu.ops import spmv
     from squeezellm_tpu.ops.pallas_ops import wide_lut
     from squeezellm_tpu.ops.quant_linear import transposed_lut
 
     memo: dict = {}
+    bmemo: dict = {}
+    spec_layers: List[dict] = []
     param_layers = []
     for spec_d, param_d in zip(specs["layers"], params["layers"]):
+        sd = dict(spec_d)
         pd = dict(param_d)
         for name, ls in spec_d.items():
             q = getattr(ls, "quant", None)
-            if q is None or q.bits > 4 or "lut_t" in pd.get(name, {}):
+            if q is None or q.bits > 4:
                 continue
             lut = pd[name]["lut"]
             if getattr(lut, "ndim", 2) != 2:  # tp-stacked locals: skip
                 continue
-            key = (id(lut), id(pd[name]["qweight"]))
-            if key not in memo:
-                extra = {"lut_t": transposed_lut(np.asarray(lut), q.bits)}
-                if transposed and q.bits == 4:
-                    qw = np.asarray(pd[name]["qweight"])
-                    extra["qweight_t"] = np.ascontiguousarray(qw.T)
-                    extra["lut_w"] = wide_lut(np.asarray(lut), q.bits)
-                memo[key] = extra
-            pd[name] = dict(pd[name], **memo[key])
+            if "lut_t" not in pd[name]:
+                key = (id(lut), id(pd[name]["qweight"]))
+                if key not in memo:
+                    extra = {"lut_t": transposed_lut(np.asarray(lut), q.bits)}
+                    if transposed and q.bits == 4:
+                        qw = np.asarray(pd[name]["qweight"])
+                        extra["qweight_t"] = np.ascontiguousarray(qw.T)
+                        extra["lut_w"] = wide_lut(np.asarray(lut), q.bits)
+                    memo[key] = extra
+                pd[name] = dict(pd[name], **memo[key])
+            if (q.nnz_pad and q.sgb_rows == 0 and "sp_rows" in pd[name]
+                    and "sgb_meta" not in pd[name]):
+                bkey = (id(pd[name]["sp_rows"]), id(pd[name]["sp_vals"]))
+                if bkey not in bmemo:
+                    bmemo[bkey] = spmv.build_block_plans(
+                        np.asarray(pd[name]["sp_rows"]),
+                        np.asarray(pd[name]["sp_cols"]),
+                        np.asarray(pd[name]["sp_vals"]),
+                        q.out_features, q.in_features)
+                bmeta, bvals, ih = bmemo[bkey]
+                pd[name] = dict(pd[name], sgb_meta=bmeta, sgb_vals=bvals)
+                q = dataclasses.replace(
+                    q, sgb_rows=bmeta.shape[1],
+                    sg_ih=q.sg_ih or ih)
+                sd[name] = dataclasses.replace(ls, quant=q)
+        spec_layers.append(sd)
         param_layers.append(pd)
+    new_specs = dict(specs)
+    new_specs["layers"] = tuple(spec_layers)
     new_params = dict(params)
     new_params["layers"] = param_layers
-    return specs, new_params
+    return new_specs, new_params

@@ -177,6 +177,52 @@ def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    _lut_matmul_body(x_ref, qw_ref, lut_ref, out_ref, bits=bits, cpw=cpw,
+                     mode=mode, b_blk=b_blk, precision=precision,
+                     interpret=interpret)
+
+
+def _lut_matmul_sp_kernel(x_ref, qw_ref, lut_ref, x2d_ref, meta_ref,
+                          vals_ref, out_ref, *, bits: int, cpw: int,
+                          mode: str, b_blk: int, precision, interpret: bool,
+                          sg_ih: int, o_rows: int):
+    """`_lut_matmul_kernel` with the sparse sidecar FOLDED IN: at the first
+    in-block step the output block is initialized with this o-block's
+    two-hop-gather SpMV tile (spmv.build_block_plans) instead of zeros —
+    output feature o*128+l IS y2d[o, l], so the (8, 128) tile reshapes
+    straight into the (1, o_blk) output row. Replaces the separate
+    gather_spmv launch + add per linear on the decode path.
+
+    x2d_ref:  (b_blk, ih, 128) f32 — full activation in y2d layout
+    meta_ref: (1, R, 128) int32 — this o-block's slot plan
+    vals_ref: (1, R, 128) f32
+    """
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        vals = vals_ref[0]
+        rows_out = []
+        for t in range(b_blk):
+            cur = _two_hop_rows(x2d_ref[t], meta_ref[0], sg_ih,
+                                interpret) * vals
+            tile = jnp.zeros((8, 128), jnp.float32)
+            for m in range(cur.shape[0] // 8):
+                tile = tile + cur[8 * m : 8 * (m + 1), :]
+            # OOB tile rows (o_blk < 1024, last block) hold no slots by
+            # construction; slice before flattening into the block row
+            rows_out.append(tile[:o_rows].reshape(1, o_rows * 128))
+        out_ref[:] = (rows_out[0] if b_blk == 1
+                      else jnp.concatenate(rows_out, axis=0))
+
+    _lut_matmul_body(x_ref, qw_ref, lut_ref, out_ref, bits=bits, cpw=cpw,
+                     mode=mode, b_blk=b_blk, precision=precision,
+                     interpret=interpret)
+
+
+def _lut_matmul_body(x_ref, qw_ref, lut_ref, out_ref, *, bits: int,
+                     cpw: int, mode: str, b_blk: int, precision,
+                     interpret: bool):
     acc = out_ref[:]
     if mode == "select":
         words = qw_ref[:].astype(jnp.uint32)  # (W_BLK, O_BLK)
@@ -239,6 +285,28 @@ def _gather_lane(tab, idx, mask_idx: bool):
     )
 
 
+def _two_hop_rows(x2, meta, ih: int, interpret: bool):
+    """cur[k, l] = x-value routed to slot (k, l), for an (R, 128) int32
+    meta block over x2 (ih, 128) f32 (layout: ops/spmv.py).
+
+    Per 8-slot-row chunk:
+      hop 1: t[k, m] = x2[(meta & 255)[k, m], m] — the mod-8 gather wrap
+             consumes the row-in-group bits directly, bits 3-7 pick the
+             8-row group;
+      hop 2: xv[k, l] = t[k, (meta >> 8)[k, l] mod 128].
+    """
+    chunks = []
+    for c0 in range(0, meta.shape[0], 8):
+        m8 = meta[c0 : c0 + 8, :]
+        grp = (m8 >> 3) & 31
+        t = jnp.zeros((8, 128), jnp.float32)
+        for g in range(ih // 8):
+            cand = _gather8(x2[8 * g : 8 * (g + 1), :], m8, interpret)
+            t = jnp.where(grp == g, cand, t)
+        chunks.append(_gather_lane(t, m8 >> 8, interpret))
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+
+
 def _spmv_kernel(x_ref, meta_ref, vals_ref, out_ref, *,
                  ih: int, oh: int, r_blk: int, interpret: bool):
     """One (batch, slab-group) grid step.
@@ -254,21 +322,7 @@ def _spmv_kernel(x_ref, meta_ref, vals_ref, out_ref, *,
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    x2 = x_ref[0]
-    meta = meta_ref[:]
-    chunks = []
-    for c0 in range(0, r_blk, 8):
-        m8 = meta[c0 : c0 + 8, :]
-        # hop 1: t[k, m] = x2[(m8 & 255)[k, m], m]; the mod-8 gather wrap
-        # consumes the row-in-group bits directly, bits 3-7 pick the group
-        grp = (m8 >> 3) & 31
-        t = jnp.zeros((8, 128), jnp.float32)
-        for g in range(ih // 8):
-            cand = _gather8(x2[8 * g : 8 * (g + 1), :], m8, interpret)
-            t = jnp.where(grp == g, cand, t)
-        # hop 2: xv[k, l] = t[k, (m8 >> 8)[k, l] mod 128]
-        chunks.append(_gather_lane(t, m8 >> 8, interpret))
-    cur = jnp.concatenate(chunks, axis=0) * vals_ref[:]
+    cur = _two_hop_rows(x_ref[0], meta_ref[:], ih, interpret) * vals_ref[:]
 
     acc = out_ref[0]
     for m in range(r_blk // oh):
@@ -587,7 +641,7 @@ def _lut_matmul_bigbatch(xf, qweight, lut_in, bits, cpw, mode, precision,
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "b_blk", "w_blk", "o_blk", "interpret", "mode",
-                     "precision", "big_batch"),
+                     "precision", "big_batch", "sgb_ih"),
 )
 def lut_matmul(
     x,
@@ -606,6 +660,9 @@ def lut_matmul(
     sp_rows=None,
     sp_cols=None,
     sp_vals=None,
+    sgb_meta=None,
+    sgb_vals=None,
+    sgb_ih: int = 0,
 ):
     """Fused LUT-dequant matmul: ``x (..., in) -> (..., out)`` f32.
 
@@ -721,26 +778,56 @@ def lut_matmul(
         )
 
     grid = (bp // b_blk, op // o_blk, wp // w_blk)
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+
+    in_specs = [
+        pl.BlockSpec(
+            (cpw * b_blk, w_blk),
+            lambda b, o, i: (b, i),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (w_blk, o_blk), lambda b, o, i: (i, o), memory_space=pltpu.VMEM
+        ),
+        lut_spec,
+    ]
+    inputs = [x2, qw, lut_in]
+
+    if sgb_meta is not None:
+        # fold the sparse sidecar into this kernel (spmv.build_block_plans):
+        # the o-block's slot tile initializes out_ref at the first in-step
+        assert batch <= 8 and bp == b_blk, (
+            "fused sparse GEMV path requires batch <= 8")
+        n_ob, r_rows, _ = sgb_meta.shape
+        assert n_ob == op // o_blk and o_blk <= 1024, (
+            (n_ob, op, o_blk), "block plans were built for o_blk=1024")
+        x2d = jnp.pad(xf, ((0, 0), (0, sgb_ih * 128 - in_features)))
+        x2d = x2d.reshape(bp, sgb_ih, 128)
+        in_specs += [
+            pl.BlockSpec((bp, sgb_ih, 128), lambda b, o, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_rows, 128), lambda b, o, i: (o, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_rows, 128), lambda b, o, i: (o, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [x2d, sgb_meta, sgb_vals]
+        kernel = functools.partial(
+            _lut_matmul_sp_kernel, bits=bits, cpw=cpw, mode=mode,
+            b_blk=b_blk, precision=prec, interpret=interpret,
+            sg_ih=sgb_ih, o_rows=o_blk // 128,
+        )
+    else:
+        kernel = functools.partial(
+            _lut_matmul_kernel, bits=bits, cpw=cpw, mode=mode, b_blk=b_blk,
+            precision=prec, interpret=interpret,
+        )
 
     out = pl.pallas_call(
-        functools.partial(
-            _lut_matmul_kernel, bits=bits, cpw=cpw, mode=mode, b_blk=b_blk,
-            precision=jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.DEFAULT,
-            interpret=interpret,
-        ),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (cpw * b_blk, w_blk),
-                lambda b, o, i: (b, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (w_blk, o_blk), lambda b, o, i: (i, o), memory_space=pltpu.VMEM
-            ),
-            lut_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (b_blk, o_blk), lambda b, o, i: (b, o), memory_space=pltpu.VMEM
         ),
@@ -754,6 +841,6 @@ def lut_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, qw, lut_in)
+    )(*inputs)
 
     return out[:batch, :out_features].reshape(*lead, out_features)

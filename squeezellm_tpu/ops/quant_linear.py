@@ -41,6 +41,10 @@ class QuantLinearSpec:
     sg_rows: int = 0
     sg_oh: int = 0
     sg_ih: int = 0
+    # per-o-block plan rows (spmv.build_block_plans): params carry
+    # sgb_meta/sgb_vals (n_ob, sgb_rows, 128) and GEMV-shaped calls fold
+    # the sparse contribution INTO the lut kernel (no separate launch)
+    sgb_rows: int = 0
 
     @property
     def include_sparse(self) -> bool:
@@ -71,6 +75,7 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
     in_dtype = x.dtype
     flat_b = int(np.prod(x.shape[:-1]))
     sparse_folded = False
+    sgb_fused = False
     if backend.startswith("pallas"):
         from squeezellm_tpu.ops import pallas_ops
 
@@ -84,7 +89,14 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
             and flat_b >= pallas_ops.BIG_BATCH
         )
         mode = "bf16" if backend == "pallas-bf16" else "gather"
-        if flat_b <= 8 and spec.bits == 4 and "qweight_t" in params:
+        use_qwt = flat_b <= 8 and spec.bits == 4 and "qweight_t" in params
+        # GEMV/decode: fold the sparse sidecar INTO the lut kernel via the
+        # per-o-block plans (no separate SpMV launch, no add op)
+        sgb_fused = (
+            spec.include_sparse and spec.sgb_rows > 0 and flat_b <= 8
+            and not use_qwt and "sgb_meta" in params
+        )
+        if use_qwt:
             # 4-bit decode via the transposed wide-table lane-gather GEMV.
             # NOT attached by default on v5e (lane-dim dynamic_gather costs
             # ~8 VPU ops/vreg there, measured 2.7x slower than the sublane
@@ -103,11 +115,14 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
                 sp_rows=params["sp_rows"] if sparse_folded else None,
                 sp_cols=params["sp_cols"] if sparse_folded else None,
                 sp_vals=params["sp_vals"] if sparse_folded else None,
+                sgb_meta=params["sgb_meta"] if sgb_fused else None,
+                sgb_vals=params["sgb_vals"] if sgb_fused else None,
+                sgb_ih=spec.sg_ih if sgb_fused else 0,
             )
     else:
         y = xla_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
 
-    if spec.include_sparse and not sparse_folded:
+    if spec.include_sparse and not sparse_folded and not sgb_fused:
         if spec.sg_rows > 0 and backend.startswith("pallas") and (
                 flat_b < pallas_ops.BIG_BATCH):
             # two-hop-gather SpMV: ~100-1000x faster than the XLA scatter

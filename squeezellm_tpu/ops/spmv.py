@@ -241,6 +241,53 @@ def _try_assign(h, dl, chirow, sl, vals, rank, max_bucket, oh, ih,
     )
 
 
+def build_block_plans(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    out_features: int,
+    in_features: int,
+    o_blk: int = 1024,
+    slack: float = 1.2,
+    max_slack: float = 512.0,
+    method: str = "auto",
+):
+    """Per-output-block slot plans for the FUSED lut_matmul+spmv decode
+    kernel (``pallas_ops.lut_matmul`` ``sgb_*`` args).
+
+    The y2d layout (slot row r, lane l -> output feature r*128 + l) makes
+    an o_blk=1024 output block exactly an (8, 128) y2d tile, so entries of
+    block ``ob`` (output features [ob*o_blk, (ob+1)*o_blk)) form their own
+    oh=8 plan and the lut kernel adds the tile straight into the output
+    block it is already revisiting — no separate SpMV kernel launch, no
+    per-linear add op. Padding blocks to the widest R costs only dead
+    slots (meta=0, val=0 contributes exactly 0).
+
+    Returns ``(meta, vals, ih)`` with meta/vals of shape (n_ob, R, 128).
+    """
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    assert o_blk % 128 == 0 and o_blk <= 1024, o_blk
+    n_ob = max(1, -(-out_features // o_blk))
+    plans = []
+    for ob in range(n_ob):
+        lo = ob * o_blk
+        hi = min(lo + o_blk, out_features)
+        m = (rows >= lo) & (rows < hi) & (vals != 0)
+        p = build_plan(rows[m] - lo, cols[m], vals[m], hi - lo, in_features,
+                       slack=slack, max_slack=max_slack, method=method)
+        assert p.oh == 8, p.oh  # <=1024 features is always one 8-row tile
+        plans.append(p)
+    r_max = max(p.n_rows for p in plans)
+    meta = np.zeros((n_ob, r_max, LANES), np.int32)
+    v = np.zeros((n_ob, r_max, LANES), np.float32)
+    for i, p in enumerate(plans):
+        meta[i, : p.n_rows] = p.meta
+        v[i, : p.n_rows] = p.vals
+    return meta, v, plans[0].ih
+
+
 # ---------------------------------------------------------------------------
 # Attachment to quantized linears / whole models
 # ---------------------------------------------------------------------------
@@ -251,16 +298,21 @@ def attach_plan(spec, params, slack: float = 1.2):
 
     spec: QuantLinearSpec with nnz_pad > 0; params must hold numpy or device
     arrays sp_rows/sp_cols/sp_vals. Returns (new_spec, new_params)."""
-    plan = build_plan(
-        np.asarray(params["sp_rows"]), np.asarray(params["sp_cols"]),
-        np.asarray(params["sp_vals"]), spec.out_features, spec.in_features,
-        slack=slack,
-    )
+    rows = np.asarray(params["sp_rows"])
+    cols = np.asarray(params["sp_cols"])
+    vals = np.asarray(params["sp_vals"])
+    plan = build_plan(rows, cols, vals, spec.out_features, spec.in_features,
+                      slack=slack)
+    bmeta, bvals, _ = build_block_plans(
+        rows, cols, vals, spec.out_features, spec.in_features, slack=slack)
     new_params = dict(params)
     new_params["sg_meta"] = plan.meta
     new_params["sg_vals"] = plan.vals
+    new_params["sgb_meta"] = bmeta
+    new_params["sgb_vals"] = bvals
     new_spec = dataclasses.replace(
-        spec, sg_rows=plan.n_rows, sg_oh=plan.oh, sg_ih=plan.ih
+        spec, sg_rows=plan.n_rows, sg_oh=plan.oh, sg_ih=plan.ih,
+        sgb_rows=bmeta.shape[1],
     )
     return new_spec, new_params
 

@@ -246,3 +246,62 @@ def test_pallas_bigbatch_dequant_dense_path(bits, mode):
     else:
         np.testing.assert_allclose(np.asarray(y_big), x @ w_dense,
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("bits", [3, 4])
+@pytest.mark.parametrize("batch", [1, 4])
+def test_fused_sparse_gemv_parity(bits, batch):
+    """GEMV calls with per-o-block plans fold the sparse sidecar INTO the
+    lut kernel (spmv.build_block_plans); numerics must match the dense +
+    sparse oracle. out_f spans a full 1024 block plus a partial one."""
+    from squeezellm_tpu.ops import pallas_ops, spmv
+
+    rng = np.random.default_rng(3)
+    out_f, in_f = 1408, 384
+    lut, codes, qweight, w_dense = _random_quantized(rng, out_f, in_f, bits)
+    nnz = 700
+    rows = rng.integers(0, out_f, nnz).astype(np.int32)
+    cols = rng.integers(0, in_f, nnz).astype(np.int32)
+    vals = rng.normal(size=nnz).astype(np.float32)
+    bmeta, bvals, ih = spmv.build_block_plans(rows, cols, vals, out_f, in_f)
+    assert bmeta.shape[0] == 2  # 1024 + partial 384
+
+    x = rng.normal(size=(batch, in_f)).astype(np.float32)
+    y = pallas_ops.lut_matmul(
+        jnp.asarray(x), jnp.asarray(qweight), jnp.asarray(lut), bits,
+        interpret=True, sgb_meta=jnp.asarray(bmeta),
+        sgb_vals=jnp.asarray(bvals), sgb_ih=ih,
+    )
+    sp = np.zeros((in_f, out_f), np.float32)
+    np.add.at(sp, (cols, rows), vals)  # duplicate entries accumulate
+    want = x @ (w_dense + sp)
+    np.testing.assert_allclose(np.asarray(y), want, rtol=2e-4, atol=2e-4)
+
+
+def test_quant_linear_apply_fused_sparse_matches_xla():
+    """attach_plan attaches BOTH plan formats; the pallas decode path
+    (fused) and the xla path (scatter) must agree, and batch sizes above 8
+    (separate gather_spmv kernel) must agree with the fused GEMV result."""
+    from squeezellm_tpu.ops import spmv
+
+    rng = np.random.default_rng(5)
+    o, i = 1280, 256
+    spec = quant_linear.QuantLinearSpec(bits=4, in_features=i,
+                                        out_features=o, nnz_pad=512)
+    params = quant_linear.make_random_params(jax.random.PRNGKey(2), spec)
+    spec, params = spmv.attach_plan(
+        spec, {k: np.asarray(v) for k, v in params.items()})
+    assert spec.sgb_rows > 0 and "sgb_meta" in params
+    params = jax.tree.map(jnp.asarray, params)
+    x1 = jnp.asarray(rng.standard_normal((2, i)).astype(np.float32))
+    y_pallas = quant_linear.quant_linear_apply(spec, params, x1,
+                                               backend="pallas")
+    y_xla = quant_linear.quant_linear_apply(spec, params, x1, backend="xla")
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_xla),
+                               rtol=2e-4, atol=2e-4)
+    # batch 12: separate gather_spmv kernel path, same numerics
+    x12 = jnp.concatenate([x1] * 6, axis=0)
+    y12 = quant_linear.quant_linear_apply(spec, params, x12,
+                                          backend="pallas")
+    np.testing.assert_allclose(np.asarray(y12[:2]), np.asarray(y_pallas),
+                               rtol=2e-4, atol=2e-4)
