@@ -134,6 +134,45 @@ def main():
     failures += not ok
     print(f"{'OK ' if ok else 'BAD'} paged_attn: write err {werr:.1e} "
           f"attn err {aerr:.2e}", flush=True)
+
+    # fused dense-cache decode attention (cache write + chunked attention)
+    from squeezellm_tpu.ops import decode_attn
+
+    B, Hkv, g, hd, S = 3, 4, 2, 128, 2048
+    H = g * Hkv
+    for window in (None, 700):
+        lengths = np.asarray([900, 1, 0], np.int32)
+        ck = rng.standard_normal((B, Hkv, S, hd)).astype(np.float32)
+        cv = rng.standard_normal((B, Hkv, S, hd)).astype(np.float32)
+        q = rng.standard_normal((B, H, hd)).astype(np.float32)
+        kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+        vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+        out, ck2, cv2 = decode_attn.dense_decode_attention(
+            jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+            jnp.asarray(ck), jnp.asarray(cv), jnp.asarray(lengths),
+            sliding_window=window)
+        out, ck2 = np.asarray(out), np.asarray(ck2)
+        werr = max(np.abs(ck2[b, :, int(lengths[b]) - 1] - kn[b]).max()
+                   for b in range(B) if lengths[b] > 0)
+        aerr = 0.0
+        cv2 = np.asarray(cv2)
+        for b in range(B):
+            n = int(lengths[b])
+            if n == 0:
+                aerr = max(aerr, np.abs(out[b]).max())
+                continue
+            lo = max(0, n - (window or S + 1))
+            for h in range(H):
+                kh = h // g
+                lg = (ck2[b, kh, lo:n].astype(np.float64) @ q[b, h]
+                      ) / np.sqrt(hd)
+                pr = np.exp(lg - lg.max()); pr /= pr.sum()
+                aerr = max(aerr, np.abs(out[b, h] - pr @ cv2[b, kh, lo:n]
+                                        ).max())
+        ok = werr < 1e-6 and aerr < 5e-2
+        failures += not ok
+        print(f"{'OK ' if ok else 'BAD'} dense_attn window={window}: "
+              f"write err {werr:.1e} attn err {aerr:.2e}", flush=True)
     sys.exit(1 if failures else 0)
 
 

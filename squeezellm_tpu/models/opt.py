@@ -8,6 +8,7 @@ learned positional embeddings (HF offset +2) and ReLU MLP.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -198,6 +199,26 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
             interpret=jax.default_backend() not in ("tpu",),
         )
         cache = dict(cache, pk=pk2, pv=pv2)
+        out = out3[:, :, None, :].astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+        out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
+        if axis_name is not None:
+            out = jax.lax.psum(out, axis_name)
+        return out, cache
+
+    if (cache is not None and s == 1 and backend.startswith("pallas")
+            and os.environ.get("SQUEEZELLM_FUSED_ATTN", "1") == "1"):
+        # dense-cache decode: fused cache-write + chunked attention
+        # (ops/decode_attn.py; see models/llama.py — OPT has no GQA)
+        from squeezellm_tpu.ops import decode_attn
+
+        lengths = jnp.broadcast_to(
+            jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
+        out3, ck2, cv2 = decode_attn.dense_decode_attention(
+            q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+            cache["k"], cache["v"], lengths,
+            interpret=jax.default_backend() not in ("tpu",))
+        cache = {"k": ck2, "v": cv2}
         out = out3[:, :, None, :].astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
         out = common.apply_linear(specs["o"], params["o"], out, backend=backend)

@@ -1,0 +1,240 @@
+"""Fused dense-cache decode attention: cache write + attention, one launch.
+
+The dense decode path (single-stream `engine.Engine` and the dense-slot
+`serving.ContinuousBatchEngine`) previously issued, per layer per token:
+two cache `dynamic_update_slice`s (or a batched scatter for per-slot
+positions), a `repeat_kv` broadcast, a mask build, and a 4-op masked
+softmax chain over the FULL (B, H, max_seq, hd) cache — ~10 small XLA ops
+whose inter-op scheduling gaps dominate at decode (measured ~0.85 ms/step
+of gaps across ~550 ops at 7B; ROADMAP round-2 notes). The reference's
+CUDA decode has no analogue op-count problem (one fused attention kernel
+per step via torch SDPA at `/root/reference/llama.py:60-132` module
+forward), so this closes a TPU-specific gap, not a parity one.
+
+This kernel folds all of it into ONE Pallas launch per layer, the dense
+twin of `ops/paged_attn.py` (same manual-DMA + online-softmax structure,
+page table replaced by direct row addressing):
+
+  * the current token's k/v are DMA-written into row `len-1` of the slot's
+    cache inside the kernel (aligned 16-row slab read-modify-write: token-
+    dim DMA slices must align to the dtype tile height — see
+    ops/paged_attn.py);
+  * attention streams the cache in `chunk`-row slabs with double-buffered
+    DMAs, reading ONLY ceil(len/chunk) chunks instead of all max_seq rows
+    (the XLA path reads + masks the whole cache every token: ~1 GB/token
+    at 7B/2048 — this reads just the valid prefix);
+  * sliding-window models (Mistral) skip chunks wholly below the window;
+  * GQA is grouped: one grid step per (slot, kv head) computes all
+    `H/Hkv` query heads of that group; softmax is the online (flash) form.
+
+Inactive slots (length 0) read nothing, write nothing, and emit zeros.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _pick_chunk(S: int, cap: int = 512) -> int:
+    """Largest divisor of S that is <= cap (S itself for small caches)."""
+    if S <= cap:
+        return S
+    for c in range(cap, 0, -1):
+        if S % c == 0:
+            return c
+    return S
+
+
+def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
+                       ck_ref, cv_ref, out_ref,
+                       kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
+                       *, S: int, chunk: int, scale: float, window: int):
+    """One (slot b, kv-head h) grid step.
+
+    len_ref: (B,) int32 valid tokens per slot INCLUDING the current one
+    q_ref:   (1, 1, g, hd) f32 — rope'd query heads of this kv group
+    kn/vn:   (1, 1, 1, hd) f32 — current token's k/v for this kv head
+    ck/cv:   (B, Hkv, S, hd) dense cache, ANY memory space, aliased in->out
+    out_ref: (1, 1, g, hd) f32
+    kbuf/vbuf: (2, chunk, hd) VMEM double buffers
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    n = len_ref[b]
+    nchunks = jax.lax.div(n + chunk - 1, chunk)
+    # sliding window: chunks wholly below kpos = n - window hold no
+    # attended rows — start there instead of 0
+    lo = jnp.maximum(n - window, 0)
+    c0 = jax.lax.div(lo, chunk)
+
+    # ---- write the current token's k/v into cache row n-1 (n >= 1) ----
+    # (aligned-slab read-modify-write; grid steps are sequential per core
+    # and the chunk loop below waits on this — race-free)
+    last = n - 1
+    slab = min(16, S)
+    off2 = jax.lax.div(last, slab) * slab
+    sub = last - off2
+
+    @pl.when(n > 0)
+    def _write():
+        rk = pltpu.make_async_copy(
+            ck_ref.at[b, h, pl.ds(off2, slab)], pairk, wsem.at[0])
+        rv = pltpu.make_async_copy(
+            cv_ref.at[b, h, pl.ds(off2, slab)], pairv, wsem.at[1])
+        rk.start()
+        rv.start()
+        rk.wait()
+        rv.wait()
+        rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+        pairk[:] = jnp.where(rows == sub, kn_ref[0, 0].astype(pairk.dtype),
+                             pairk[:])
+        pairv[:] = jnp.where(rows == sub, vn_ref[0, 0].astype(pairv.dtype),
+                             pairv[:])
+        wk = pltpu.make_async_copy(
+            pairk, ck_ref.at[b, h, pl.ds(off2, slab)], wsem.at[0])
+        wv = pltpu.make_async_copy(
+            pairv, cv_ref.at[b, h, pl.ds(off2, slab)], wsem.at[1])
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
+
+    def k_copy(p, slot):
+        return pltpu.make_async_copy(
+            ck_ref.at[b, h, pl.ds(p * chunk, chunk)], kbuf.at[slot],
+            ksem.at[slot])
+
+    def v_copy(p, slot):
+        return pltpu.make_async_copy(
+            cv_ref.at[b, h, pl.ds(p * chunk, chunk)], vbuf.at[slot],
+            vsem.at[slot])
+
+    @pl.when(c0 < nchunks)
+    def _prologue():
+        k_copy(c0, jax.lax.rem(c0, 2)).start()
+        v_copy(c0, jax.lax.rem(c0, 2)).start()
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (g, hd)
+    g, hd = q.shape
+
+    def body(p, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < nchunks)
+        def _next():
+            k_copy(p + 1, 1 - slot).start()
+            v_copy(p + 1, 1 - slot).start()
+
+        k_copy(p, slot).wait()
+        v_copy(p, slot).wait()
+        k = kbuf[slot].astype(jnp.float32)  # (chunk, hd)
+        v = vbuf[slot].astype(jnp.float32)
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (g, chunk)
+        kpos = p * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        logits = jnp.where((kpos < n) & (kpos >= lo), logits, NEG_INF)
+
+        m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m2)
+        pexp = jnp.exp(logits - m2)
+        l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
+        acc2 = acc * alpha + jnp.dot(pexp, v,
+                                     preferred_element_type=jnp.float32)
+        return m2, l2, acc2
+
+    init = (jnp.full((g, 1), NEG_INF, jnp.float32),
+            jnp.zeros((g, 1), jnp.float32),
+            jnp.zeros((g, hd), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(c0, nchunks, body, init)
+    out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("sliding_window", "interpret"))
+def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
+                           sliding_window=None, interpret: bool = False):
+    """Fused cache-write + attention for one dense-cache decode step.
+
+    Args:
+      q:       (B, H, hd) rope'd queries
+      k_new:   (B, Hkv, hd) current token's rope'd keys
+      v_new:   (B, Hkv, hd) values
+      ck/cv:   (B, Hkv, S, hd) dense KV cache (DONATED/aliased: the updated
+               cache is returned)
+      lengths: (B,) int32 — valid tokens per slot INCLUDING the current one
+               (0 = inactive slot: no write, zero output).
+      sliding_window: attend only the last `sliding_window` positions
+               (Mistral); None = full causal.
+
+    Returns (attn_out (B, H, hd) f32, ck, cv).
+    """
+    B, H, hd = q.shape
+    Hkv, S = ck.shape[1], ck.shape[2]
+    assert ck.shape == cv.shape == (B, Hkv, S, hd), (ck.shape, q.shape)
+    g = H // Hkv
+    assert g * Hkv == H, (H, Hkv)
+    chunk = _pick_chunk(S)
+    scale = 1.0 / (hd ** 0.5)
+    window = S + 1 if sliding_window is None else int(sliding_window)
+
+    q4 = q.reshape(B, Hkv, g, hd).astype(jnp.float32)
+    kn4 = k_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
+    vn4 = v_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, hd), ck.dtype),
+            pltpu.VMEM((2, chunk, hd), cv.dtype),
+            pltpu.VMEM((min(16, S), hd), ck.dtype),
+            pltpu.VMEM((min(16, S), hd), cv.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    ck_out, cv_out, out = pl.pallas_call(
+        functools.partial(_dense_attn_kernel, S=S, chunk=chunk, scale=scale,
+                          window=window),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+            jax.ShapeDtypeStruct(cv.shape, cv.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, g, hd), jnp.float32),
+        ],
+        input_output_aliases={4: 0, 5: 1},  # cache in -> out (in-place)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, q4, kn4, vn4, ck, cv)
+
+    return out.reshape(B, H, hd), ck_out, cv_out
