@@ -173,6 +173,35 @@ def main():
         failures += not ok
         print(f"{'OK ' if ok else 'BAD'} dense_attn window={window}: "
               f"write err {werr:.1e} attn err {aerr:.2e}", flush=True)
+
+    # in-kernel rope: kernel(pre-rope q/k, rope_theta) vs host-rope oracle
+    from squeezellm_tpu.models import common
+
+    lengths = np.asarray([900, 1, 0], np.int32)
+    q = rng.standard_normal((B, H, hd)).astype(np.float32)
+    kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    ck = rng.standard_normal((B, Hkv, S, hd)).astype(np.float32)
+    cv = rng.standard_normal((B, Hkv, S, hd)).astype(np.float32)
+    out_r, ck_r, _ = decode_attn.dense_decode_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(ck), jnp.asarray(cv), jnp.asarray(lengths),
+        rope_theta=10000.0)
+    pos = np.maximum(lengths - 1, 0)
+    cos, sin = common.rope_cos_sin(jnp.asarray(pos), hd, 10000.0)
+    qr = np.asarray(common.apply_rope(
+        jnp.asarray(q)[:, :, None, :], cos[:, None, :], sin[:, None, :]))
+    knr = np.asarray(common.apply_rope(
+        jnp.asarray(kn)[:, :, None, :], cos[:, None, :], sin[:, None, :]))
+    out_x, ck_x, _ = decode_attn.dense_decode_attention(
+        jnp.asarray(qr[:, :, 0]), jnp.asarray(knr[:, :, 0]), jnp.asarray(vn),
+        jnp.asarray(ck), jnp.asarray(cv), jnp.asarray(lengths))
+    oerr = np.abs(np.asarray(out_r) - np.asarray(out_x)).max()
+    kerr = np.abs(np.asarray(ck_r) - np.asarray(ck_x)).max()
+    ok = oerr < 5e-2 and kerr < 1e-4
+    failures += not ok
+    print(f"{'OK ' if ok else 'BAD'} dense_attn rope: out err {oerr:.2e} "
+          f"cache err {kerr:.2e}", flush=True)
     sys.exit(1 if failures else 0)
 
 

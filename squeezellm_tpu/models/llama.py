@@ -193,6 +193,35 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
     q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+
+    if (cache is not None and "pk" not in cache and s == 1
+            and backend.startswith("pallas")
+            and os.environ.get("SQUEEZELLM_FUSED_ATTN", "1") == "1"):
+        # dense-cache decode: fused rope + cache-write + chunked attention
+        # in one Pallas launch (ops/decode_attn.py) — replaces the rope/
+        # update/mask/repeat_kv/softmax chain AND reads only the valid
+        # cache prefix. q/k go in PRE-rope (the kernel rotates at
+        # position lengths-1). SQUEEZELLM_FUSED_ATTN=0 restores the XLA
+        # chain (A/B: pallas in-place aliasing through lax.scan carries
+        # can force cache copies — see ops/pallas_ops.py notes)
+        from squeezellm_tpu.ops import decode_attn
+
+        lengths = jnp.broadcast_to(
+            jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
+        out3, ck2, cv2 = decode_attn.dense_decode_attention(
+            q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+            cache["k"], cache["v"], lengths,
+            sliding_window=config.sliding_window,
+            rope_theta=config.rope_theta,
+            interpret=jax.default_backend() not in ("tpu",))
+        cache = {"k": ck2, "v": cv2}
+        out = out3[:, :, None, :].astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+        out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
+        if axis_name is not None:
+            out = jax.lax.psum(out, axis_name)
+        return out, cache
+
     q = common.apply_rope(q, cos, sin)
     k = common.apply_rope(k, cos, sin)
 
@@ -216,31 +245,6 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
             interpret=jax.default_backend() not in ("tpu",),
         )
         cache = dict(cache, pk=pk2, pv=pv2)
-        out = out3[:, :, None, :].astype(x.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
-        out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
-        if axis_name is not None:
-            out = jax.lax.psum(out, axis_name)
-        return out, cache
-
-    if (cache is not None and s == 1 and backend.startswith("pallas")
-            and os.environ.get("SQUEEZELLM_FUSED_ATTN", "1") == "1"):
-        # dense-cache decode: fused cache-write + chunked attention in one
-        # Pallas launch (ops/decode_attn.py) — replaces the update/mask/
-        # repeat_kv/softmax chain AND reads only the valid cache prefix.
-        # SQUEEZELLM_FUSED_ATTN=0 restores the XLA chain (A/B: pallas
-        # in-place aliasing through lax.scan carries can force cache
-        # copies — see ops/pallas_ops.py notes)
-        from squeezellm_tpu.ops import decode_attn
-
-        lengths = jnp.broadcast_to(
-            jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
-        out3, ck2, cv2 = decode_attn.dense_decode_attention(
-            q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
-            cache["k"], cache["v"], lengths,
-            sliding_window=config.sliding_window,
-            interpret=jax.default_backend() not in ("tpu",))
-        cache = {"k": ck2, "v": cv2}
         out = out3[:, :, None, :].astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
         out = common.apply_linear(specs["o"], params["o"], out, backend=backend)

@@ -52,14 +52,34 @@ def _pick_chunk(S: int, cap: int = 512) -> int:
     return S
 
 
+def _rope_rows(x, pos, theta: float):
+    """Rotate rows of x (r, hd) by RoPE angle at scalar position `pos`
+    (HF rotate-half convention, models/common.rope_cos_sin parity).
+    cos/sin are recomputed in-kernel from `theta` — a handful of VPU
+    transcendentals per grid step instead of ~12 XLA ops per layer per
+    token on the decode path (slice cos/sin at pos, broadcast, mul/add
+    for q and k)."""
+    r, hd = x.shape
+    d2 = hd // 2
+    i = jax.lax.broadcasted_iota(jnp.float32, (1, d2), 1)
+    inv_freq = jnp.exp(i * (-2.0 / hd) * jnp.log(jnp.float32(theta)))
+    ang = pos.astype(jnp.float32) * inv_freq  # (1, d2)
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=1)
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=1)
+    rot = jnp.concatenate([-x[:, d2:], x[:, :d2]], axis=1)
+    return x * cos + rot * sin
+
+
 def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
                        ck_ref, cv_ref, out_ref,
                        kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
-                       *, S: int, chunk: int, scale: float, window: int):
+                       *, S: int, chunk: int, scale: float, window: int,
+                       rope_theta):
     """One (slot b, kv-head h) grid step.
 
     len_ref: (B,) int32 valid tokens per slot INCLUDING the current one
-    q_ref:   (1, 1, g, hd) f32 — rope'd query heads of this kv group
+    q_ref:   (1, 1, g, hd) f32 — query heads of this kv group (pre-rope
+             when rope_theta is set, rope'd by the caller otherwise)
     kn/vn:   (1, 1, 1, hd) f32 — current token's k/v for this kv head
     ck/cv:   (B, Hkv, S, hd) dense cache, ANY memory space, aliased in->out
     out_ref: (1, 1, g, hd) f32
@@ -82,6 +102,10 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
     off2 = jax.lax.div(last, slab) * slab
     sub = last - off2
 
+    kn = kn_ref[0, 0].astype(jnp.float32)  # (1, hd)
+    if rope_theta is not None:
+        kn = _rope_rows(kn, last, rope_theta)
+
     @pl.when(n > 0)
     def _write():
         rk = pltpu.make_async_copy(
@@ -93,7 +117,7 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
         rk.wait()
         rv.wait()
         rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
-        pairk[:] = jnp.where(rows == sub, kn_ref[0, 0].astype(pairk.dtype),
+        pairk[:] = jnp.where(rows == sub, kn.astype(pairk.dtype),
                              pairk[:])
         pairv[:] = jnp.where(rows == sub, vn_ref[0, 0].astype(pairv.dtype),
                              pairv[:])
@@ -122,6 +146,8 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
         v_copy(c0, jax.lax.rem(c0, 2)).start()
 
     q = q_ref[0, 0].astype(jnp.float32)  # (g, hd)
+    if rope_theta is not None:
+        q = _rope_rows(q, last, rope_theta)
     g, hd = q.shape
 
     def body(p, carry):
@@ -160,14 +186,18 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
     out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("sliding_window", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sliding_window", "rope_theta",
+                                             "interpret"))
 def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
-                           sliding_window=None, interpret: bool = False):
+                           sliding_window=None, rope_theta=None,
+                           interpret: bool = False):
     """Fused cache-write + attention for one dense-cache decode step.
 
     Args:
-      q:       (B, H, hd) rope'd queries
-      k_new:   (B, Hkv, hd) current token's rope'd keys
+      q:       (B, H, hd) queries — PRE-rope when rope_theta is given
+               (the kernel rotates q and k_new at position lengths-1,
+               models/common.rope_cos_sin parity), rope'd otherwise
+      k_new:   (B, Hkv, hd) current token's keys (same rope contract)
       v_new:   (B, Hkv, hd) values
       ck/cv:   (B, Hkv, S, hd) dense KV cache (DONATED/aliased: the updated
                cache is returned)
@@ -223,7 +253,7 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
 
     ck_out, cv_out, out = pl.pallas_call(
         functools.partial(_dense_attn_kernel, S=S, chunk=chunk, scale=scale,
-                          window=window),
+                          window=window, rope_theta=rope_theta),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(ck.shape, ck.dtype),

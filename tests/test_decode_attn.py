@@ -63,6 +63,40 @@ def test_fused_dense_decode_attention_parity(g, window):
                                rtol=0, atol=0)
 
 
+@pytest.mark.parametrize("theta,lengths", [(10000.0, [37, 1, 0]),
+                                           (1e6, [64, 9, 3])])
+def test_fused_dense_decode_rope_parity(theta, lengths):
+    """rope_theta: kernel rotates PRE-rope q/k_new at lengths-1; must match
+    apply_rope (models/common.py HF rotate-half convention) + attention."""
+    rng = np.random.default_rng(2)
+    B, Hkv, S, hd, g = 3, 2, 64, 32, 2
+    H = g * Hkv
+    q = rng.normal(size=(B, H, hd)).astype(np.float32)
+    k_new = rng.normal(size=(B, Hkv, hd)).astype(np.float32)
+    v_new = rng.normal(size=(B, Hkv, hd)).astype(np.float32)
+    ck = rng.normal(size=(B, Hkv, S, hd)).astype(np.float32)
+    cv = rng.normal(size=(B, Hkv, S, hd)).astype(np.float32)
+    lengths = np.asarray(lengths, np.int32)
+
+    out, ck2, cv2 = decode_attn.dense_decode_attention(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(ck), jnp.asarray(cv), jnp.asarray(lengths),
+        rope_theta=theta, interpret=True)
+
+    # oracle: rope each slot's q/k at its own position, then the XLA chain
+    pos = np.maximum(lengths - 1, 0)
+    cos, sin = common.rope_cos_sin(jnp.asarray(pos), hd, theta)
+    qr = common.apply_rope(jnp.asarray(q)[:, :, None, :],
+                           cos[:, None, :], sin[:, None, :])[:, :, 0, :]
+    kr = common.apply_rope(jnp.asarray(k_new)[:, :, None, :],
+                           cos[:, None, :], sin[:, None, :])[:, :, 0, :]
+    want, wcache = _oracle(np.asarray(qr), np.asarray(kr), v_new, ck, cv,
+                           lengths)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ck2), np.asarray(wcache["k"]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_dense_decode_full_cache():
     """Length == S (last row write, no OOB chunk reads) and bf16 cache."""
     rng = np.random.default_rng(1)
