@@ -222,13 +222,11 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
             out = jax.lax.psum(out, axis_name)
         return out, cache
 
-    q = common.apply_rope(q, cos, sin)
-    k = common.apply_rope(k, cos, sin)
-
     if cache is not None and "pk" in cache:
-        # paged KV (serving): fused cache-write + page-table attention in
-        # one Pallas launch (ops/paged_attn.py). pos is the (B,) 0-based
-        # position of the current token; lengths include it.
+        # paged KV (serving): fused rope + cache-write + page-table
+        # attention in one Pallas launch (ops/paged_attn.py). pos is the
+        # (B,) 0-based position of the current token; lengths include it.
+        # q/k go in PRE-rope — the kernel rotates at lengths-1.
         assert s == 1, "paged cache is a decode-only path"
         assert config.sliding_window is None, (
             "paged attention has no sliding-window masking yet — use the "
@@ -242,6 +240,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
             q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
             cache["pk"], cache["pv"], cache["pt"], lengths,
             page_size=cache["pk"].shape[2],
+            rope_theta=config.rope_theta,
             interpret=jax.default_backend() not in ("tpu",),
         )
         cache = dict(cache, pk=pk2, pv=pv2)
@@ -251,6 +250,9 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         if axis_name is not None:
             out = jax.lax.psum(out, axis_name)
         return out, cache
+
+    q = common.apply_rope(q, cos, sin)
+    k = common.apply_rope(k, cos, sin)
 
     if cache is not None:
         if s == 1:

@@ -31,18 +31,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from squeezellm_tpu.ops.decode_attn import _rope_rows
+
 NEG_INF = -1e30
 
 
 def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
                        pk_in, pv_in, pk_ref, pv_ref, out_ref,
                        kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
-                       *, ps: int, maxp: int, scale: float):
+                       *, ps: int, maxp: int, scale: float, rope_theta):
     """One (slot b, kv-head h) grid step.
 
     pt_ref:  (B, maxp) int32 page table (scalar prefetch, SMEM)
     len_ref: (B,) int32 valid tokens per slot INCLUDING the current one
-    q_ref:   (1, 1, g, hd) f32 — rope'd query heads of this kv group
+    q_ref:   (1, 1, g, hd) f32 — query heads of this kv group (pre-rope
+             when rope_theta is set — rotated in-kernel at lengths-1,
+             see ops/decode_attn._rope_rows — rope'd by the caller
+             otherwise)
     kn/vn:   (1, 1, 1, hd) f32 — current token's k/v for this kv head
     pk/pv:   (P, Hkv, ps, hd) pool, ANY memory space, aliased in->out
     out_ref: (1, 1, g, hd) f32
@@ -65,6 +70,10 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
     off2 = jax.lax.div(loff, slab) * slab
     sub = loff - off2
 
+    kn = kn_ref[0, 0].astype(jnp.float32)  # (1, hd)
+    if rope_theta is not None:
+        kn = _rope_rows(kn, last, rope_theta)
+
     @pl.when(n > 0)
     def _write():
         rk = pltpu.make_async_copy(
@@ -76,7 +85,7 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
         rk.wait()
         rv.wait()
         rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
-        pairk[:] = jnp.where(rows == sub, kn_ref[0, 0].astype(pairk.dtype),
+        pairk[:] = jnp.where(rows == sub, kn.astype(pairk.dtype),
                              pairk[:])
         pairv[:] = jnp.where(rows == sub, vn_ref[0, 0].astype(pairv.dtype),
                              pairv[:])
@@ -103,6 +112,8 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
         v_copy(0, 0).start()
 
     q = q_ref[0, 0].astype(jnp.float32)  # (g, hd)
+    if rope_theta is not None:
+        q = _rope_rows(q, last, rope_theta)
     g, hd = q.shape
 
     def body(p, carry):
@@ -142,15 +153,17 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("page_size", "interpret"),
+    jax.jit, static_argnames=("page_size", "rope_theta", "interpret"),
 )
 def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
-                           lengths, *, page_size: int, interpret: bool = False):
+                           lengths, *, page_size: int, rope_theta=None,
+                           interpret: bool = False):
     """Fused cache-write + paged attention for one decode step.
 
     Args:
-      q:        (B, H, hd) f32/bf16 rope'd queries
-      k_new:    (B, Hkv, hd) current token's rope'd keys
+      q:        (B, H, hd) f32/bf16 queries — PRE-rope when rope_theta is
+                given (rotated in-kernel at lengths-1), rope'd otherwise
+      k_new:    (B, Hkv, hd) current token's keys (same rope contract)
       v_new:    (B, Hkv, hd) values
       pool_k/v: (P, Hkv, ps, hd) page pools (DONATED/aliased: updated pools
                 are returned)
@@ -168,7 +181,9 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
     scale = 1.0 / (hd ** 0.5)
 
     q4 = q.reshape(B, Hkv, g, hd).astype(jnp.float32)
-    kn4 = k_new.reshape(B, Hkv, 1, hd).astype(pool_k.dtype)
+    # k stays f32 into the kernel (rope rotates it there before the cast
+    # to pool dtype at the cache write); v is cast host-side as before
+    kn4 = k_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
     vn4 = v_new.reshape(B, Hkv, 1, hd).astype(pool_v.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -202,7 +217,8 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
     )
 
     pool_k_out, pool_v_out, out = pl.pallas_call(
-        functools.partial(_paged_attn_kernel, ps=ps, maxp=maxp, scale=scale),
+        functools.partial(_paged_attn_kernel, ps=ps, maxp=maxp, scale=scale,
+                          rope_theta=rope_theta),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),

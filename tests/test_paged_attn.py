@@ -100,3 +100,47 @@ def test_inactive_slot_zero_length():
     # inactive slot: finite output (0/eps), no write into page 0
     assert np.isfinite(np.asarray(out)[0]).all()
     np.testing.assert_allclose(np.asarray(pk2)[0], pool_k[0])
+
+
+def test_paged_attention_rope_parity():
+    """rope_theta: kernel(pre-rope q/k) == kernel(host-rope'd q/k, no
+    rope_theta) — write AND attention (models/common.py rope convention)."""
+    from squeezellm_tpu.models import common
+
+    rng = np.random.default_rng(3)
+    B, Hkv, hd, P, maxp, ps, g = 3, 2, 64, 8, 2, 32, 2
+    H = g * Hkv
+    lengths = np.asarray([1, ps + 5, 0], np.int32)
+    page_tables = np.arange(B * maxp, dtype=np.int32).reshape(B, maxp) + 1
+    page_tables[2] = 0  # inactive slot
+    pool_k = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    pool_v = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    q = rng.standard_normal((B, H, hd)).astype(np.float32)
+    k_new = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    v_new = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+
+    out_r, pk_r, pv_r = paged_attn.paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(page_tables), jnp.asarray(lengths),
+        page_size=ps, rope_theta=10000.0, interpret=True,
+    )
+
+    pos = np.maximum(lengths - 1, 0)
+    cos, sin = common.rope_cos_sin(jnp.asarray(pos), hd, 10000.0)
+    qr = common.apply_rope(jnp.asarray(q)[:, :, None, :],
+                           cos[:, None, :], sin[:, None, :])[:, :, 0, :]
+    kr = common.apply_rope(jnp.asarray(k_new)[:, :, None, :],
+                           cos[:, None, :], sin[:, None, :])[:, :, 0, :]
+    out_x, pk_x, pv_x = paged_attn.paged_decode_attention(
+        qr, kr, jnp.asarray(v_new),
+        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(page_tables), jnp.asarray(lengths),
+        page_size=ps, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_x),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pk_r), np.asarray(pk_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pv_r), np.asarray(pv_x),
+                               rtol=0, atol=0)
