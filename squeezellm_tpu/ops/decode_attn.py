@@ -87,7 +87,12 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
     """
     b = pl.program_id(0)
     h = pl.program_id(1)
-    n = len_ref[b]
+    # clamp: the dense serving engine advances pos for INACTIVE slots too
+    # inside a decode window (their stale pos rides along) — without the
+    # clamp a stale slot near max_seq would push the chunk loop past the
+    # cache array (OOB DMA). The XLA chain is naturally clamped by
+    # dynamic_update_slice; mirror that here.
+    n = jnp.minimum(len_ref[b], S)
     nchunks = jax.lax.div(n + chunk - 1, chunk)
     # sliding window: chunks wholly below kpos = n - window hold no
     # attended rows — start there instead of 0

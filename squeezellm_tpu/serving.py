@@ -18,6 +18,7 @@ are static, so the step never retraces:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -130,6 +131,25 @@ class ContinuousBatchEngine:
                 body, (token, pos, cache), None, length=k)
             return toks, cur, cache
 
+        def _decode_adv(params, token, pos, cache, temp, topk, topp, rids,
+                        sampled):
+            """One decode step with on-device token/pos advance, for the
+            chained window mode (SQUEEZELLM_DENSE_WINDOW=chained): the
+            window enqueues k of these back-to-back with cache donation
+            chaining call-to-call instead of a lax.scan carry — XLA can
+            refuse to alias a Pallas in-place cache update through a scan
+            carry and copy the cache every step (see
+            PagedContinuousBatchEngine.step_window, which this mirrors)."""
+            logits, nc = mod.decode_step(config, specs, params, token, pos,
+                                         cache, backend=backend, dtype=dtype)
+            if sampled:
+                nxt = sampling_mod.sample_tokens(
+                    logits[:, -1].astype(jnp.float32), temp, topk, topp,
+                    rids, pos, seed)
+            else:
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return nxt, pos + 1, nc
+
         def _spec_window(params, ctx, cur, pos, cache, draft_len, ngram):
             """One slot-batched speculative window: per-slot n-gram drafts
             from the device context buffer, ONE verify forward over
@@ -174,6 +194,9 @@ class ContinuousBatchEngine:
         self._decode = jax.jit(_decode, donate_argnums=(3,))
         self._decode_k = jax.jit(_decode_k, static_argnums=(8, 9),
                                  donate_argnums=(3,))
+        self._decode_adv = jax.jit(_decode_adv, static_argnums=(8,),
+                                   donate_argnums=(3,))
+        self._window_impl = os.environ.get("SQUEEZELLM_DENSE_WINDOW", "scan")
         self._spec_window_fn = jax.jit(_spec_window, static_argnums=(5, 6),
                                        donate_argnums=(4,))
         self._sample1 = jax.jit(
@@ -331,10 +354,22 @@ class ContinuousBatchEngine:
             return self.step()
         pos = jnp.asarray(self._pos, jnp.int32)
         sampled = bool((self._temp > 0).any())
-        toks, self._cur, self.cache = self._decode_k(
-            self.params, self._cur, pos, self.cache, *_sampler_args(self),
-            k, sampled)
-        toks_host = np.asarray(toks)  # (k, n_slots)
+        if self._window_impl == "chained":
+            cur, cache = self._cur, self.cache
+            toks = []
+            for _ in range(k):
+                nxt, pos, cache = self._decode_adv(
+                    self.params, cur, pos, cache, *_sampler_args(self),
+                    sampled)
+                cur = nxt[:, None]
+                toks.append(nxt)
+            self._cur, self.cache = cur, cache
+            toks_host = np.asarray(jnp.stack(toks))  # (k, n_slots)
+        else:
+            toks, self._cur, self.cache = self._decode_k(
+                self.params, self._cur, pos, self.cache,
+                *_sampler_args(self), k, sampled)
+            toks_host = np.asarray(toks)  # (k, n_slots)
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
             if not s.active:

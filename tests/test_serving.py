@@ -97,3 +97,21 @@ def test_windowed_run_matches_per_token_run():
         np.testing.assert_array_equal(np.asarray(r1[rid]),
                                       np.asarray(r8[rid]))
         assert len(r8[rid]) == 5
+
+
+def test_chained_window_matches_scan_window(monkeypatch):
+    """SQUEEZELLM_DENSE_WINDOW=chained (per-step dispatches, donation
+    chaining) must emit token-identical results to the scan window."""
+    config, specs, params = _small_model()
+    prompts = [[1, 2, 3], [7, 9], [11, 13, 17, 19], [23]]
+    want = serving.ContinuousBatchEngine(
+        "llama", config, specs, params, slots=2, backend="xla",
+    ).run(prompts, max_new_tokens=9, window=4)
+    monkeypatch.setenv("SQUEEZELLM_DENSE_WINDOW", "chained")
+    got = serving.ContinuousBatchEngine(
+        "llama", config, specs, params, slots=2, backend="xla",
+    ).run(prompts, max_new_tokens=9, window=4)
+    assert sorted(got) == sorted(want)
+    for rid in want:
+        np.testing.assert_array_equal(np.asarray(got[rid]),
+                                      np.asarray(want[rid]))
