@@ -71,7 +71,7 @@ def prefix_probe(config, specs, params, backend, on_tpu):
               f"{1000*t_step/max(n_step,1):.1f}ms", flush=True)
 
 
-def spec_probe(config, specs, params, backend, on_tpu, slots=8):
+def spec_probe(config, specs, params, backend, on_tpu, slots=8, paged=False):
     """Slot-batched speculative serving vs plain windowed serving.
 
     Accept rate (and the win/loss) is text-dependent, exactly as in
@@ -93,8 +93,13 @@ def spec_probe(config, specs, params, backend, on_tpu, slots=8):
                   cache_dtype=jnp.bfloat16, max_seq=256)
         if mode.startswith("spec"):
             kw["speculative"] = (8, 2)
-        eng = serving.ContinuousBatchEngine("llama", config, specs, params,
-                                            **kw)
+        if paged:
+            eng = serving.PagedContinuousBatchEngine(
+                "llama", config, specs, params, n_pages=slots * 2 + 4,
+                page_size=128, **kw)
+        else:
+            eng = serving.ContinuousBatchEngine(
+                "llama", config, specs, params, **kw)
         # warm BOTH workloads: prompt-length buckets differ, so each must
         # compile its prefill; max_new 16 compiles the k=16 scan for the
         # plain engine (and the fixed-shape spec window for the spec one)
@@ -129,7 +134,7 @@ def main():
         return
     if spec:
         spec_probe(config, specs, params, backend, on_tpu,
-                   slots=slots_list[0] if args else 8)
+                   slots=slots_list[0] if args else 8, paged=paged)
         return
 
     rng = np.random.default_rng(0)

@@ -174,6 +174,53 @@ def main():
         print(f"{'OK ' if ok else 'BAD'} dense_attn window={window}: "
               f"write err {werr:.1e} attn err {aerr:.2e}", flush=True)
 
+    # paged verify window (speculative): W-token write + causal window
+    # attention vs the numpy oracle, page-boundary crossing write
+    from squeezellm_tpu.ops import paged_attn
+
+    Bv, Hkvv, hdv, Pv, maxpv, psv, gv, Wv = 2, 2, 128, 10, 3, 128, 2, 4
+    Hv = gv * Hkvv
+    startv = np.asarray([126, 0], np.int32)  # crosses page 0 -> 1; fresh
+    ptv = np.zeros((Bv, maxpv), np.int32)
+    ptv[0] = [1, 2, 3]
+    ptv[1] = [4, 5, 6]
+    pkv = rng.standard_normal((Pv, Hkvv, psv, hdv)).astype(np.float32)
+    pvv = rng.standard_normal((Pv, Hkvv, psv, hdv)).astype(np.float32)
+    qv = rng.standard_normal((Bv, Hv, Wv, hdv)).astype(np.float32)
+    knv = rng.standard_normal((Bv, Hkvv, Wv, hdv)).astype(np.float32)
+    vnv = rng.standard_normal((Bv, Hkvv, Wv, hdv)).astype(np.float32)
+    outv, pk2v, pv2v = paged_attn.paged_verify_attention(
+        jnp.asarray(qv), jnp.asarray(knv), jnp.asarray(vnv),
+        jnp.asarray(pkv), jnp.asarray(pvv), jnp.asarray(ptv),
+        jnp.asarray(startv), page_size=psv)
+    outv, pk2v, pv2v = np.asarray(outv), np.asarray(pk2v), np.asarray(pv2v)
+    werr = 0.0
+    aerr = 0.0
+    for b in range(Bv):
+        for w in range(Wv):
+            posw = startv[b] + w
+            pid, off = ptv[b, posw // psv], posw % psv
+            werr = max(werr, np.abs(pk2v[pid, :, off] - knv[b, :, w]).max())
+        Sv = maxpv * psv
+        k_all = np.zeros((Hkvv, Sv, hdv))
+        v_all = np.zeros((Hkvv, Sv, hdv))
+        for p in range(maxpv):
+            k_all[:, p * psv:(p + 1) * psv] = pk2v[ptv[b, p]]
+            v_all[:, p * psv:(p + 1) * psv] = pv2v[ptv[b, p]]
+        for h in range(Hv):
+            kh = h // gv
+            for w in range(Wv):
+                nw = startv[b] + w + 1
+                lg = (k_all[kh, :nw] @ qv[b, h, w]) / np.sqrt(hdv)
+                pr = np.exp(lg - lg.max())
+                pr /= pr.sum()
+                aerr = max(aerr, np.abs(outv[b, h, w] - pr @ v_all[kh, :nw]
+                                        ).max())
+    ok = werr < 1e-6 and aerr < 5e-2
+    failures += not ok
+    print(f"{'OK ' if ok else 'BAD'} paged_verify: write err {werr:.1e} "
+          f"attn err {aerr:.2e}", flush=True)
+
     # in-kernel rope: kernel(pre-rope q/k, rope_theta) vs host-rope oracle
     from squeezellm_tpu.models import common
 

@@ -227,17 +227,20 @@ def cmd_serve_bench(args):
     from squeezellm_tpu import serving
 
     model_type, config, specs, params = _load_any(args.model)
+    spec = tuple(args.speculative) if args.speculative else None
     if args.paged:
         eng = serving.PagedContinuousBatchEngine(
             model_type, config, specs, params, slots=args.slots,
             backend=args.backend, max_seq=args.seqlen,
             page_size=args.page_size,
             n_pages=-(-args.seqlen // args.page_size) * args.slots,
+            speculative=spec,
         )
     else:
         eng = serving.ContinuousBatchEngine(
             model_type, config, specs, params, slots=args.slots,
             backend=args.backend, max_seq=args.seqlen,
+            speculative=spec,
         )
     rng = np.random.default_rng(args.seed)
     prompts = [
@@ -449,6 +452,10 @@ def main(argv=None):
     sb.add_argument("--paged", action="store_true",
                     help="paged KV pool + prefix sharing (ops/paged_attn.py)")
     sb.add_argument("--page-size", type=int, default=128)
+    sb.add_argument("--speculative", nargs=2, type=int, default=None,
+                    metavar=("DRAFT_LEN", "NGRAM"),
+                    help="slot-batched prompt-lookup speculation "
+                         "(greedy-exact; works with and without --paged)")
     sb.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas", "pallas-bf16"])
     sb.set_defaults(fn=cmd_serve_bench)

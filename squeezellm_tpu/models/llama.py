@@ -225,26 +225,36 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
     if cache is not None and "pk" in cache:
         # paged KV (serving): fused rope + cache-write + page-table
         # attention in one Pallas launch (ops/paged_attn.py). pos is the
-        # (B,) 0-based position of the current token; lengths include it.
-        # q/k go in PRE-rope — the kernel rotates at lengths-1.
-        assert s == 1, "paged cache is a decode-only path"
+        # (B,) 0-based position of the FIRST token here; s == 1 is the
+        # decode step, s > 1 the speculative verify window. q/k go in
+        # PRE-rope — the kernel rotates at each row's own position.
         assert config.sliding_window is None, (
             "paged attention has no sliding-window masking yet — use the "
             "dense-slot engine for Mistral-family models"
         )
         from squeezellm_tpu.ops import paged_attn
 
-        lengths = jnp.broadcast_to(
-            jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
-        out3, pk2, pv2 = paged_attn.paged_decode_attention(
-            q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
-            cache["pk"], cache["pv"], cache["pt"], lengths,
-            page_size=cache["pk"].shape[2],
-            rope_theta=config.rope_theta,
-            interpret=jax.default_backend() not in ("tpu",),
-        )
+        interp = jax.default_backend() not in ("tpu",)
+        if s == 1:
+            lengths = jnp.broadcast_to(
+                jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
+            out3, pk2, pv2 = paged_attn.paged_decode_attention(
+                q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                cache["pk"], cache["pv"], cache["pt"], lengths,
+                page_size=cache["pk"].shape[2],
+                rope_theta=config.rope_theta, interpret=interp,
+            )
+            out3 = out3[:, :, None, :]
+        else:
+            starts = jnp.broadcast_to(
+                jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32)
+            out3, pk2, pv2 = paged_attn.paged_verify_attention(
+                q, k, v, cache["pk"], cache["pv"], cache["pt"], starts,
+                page_size=cache["pk"].shape[2],
+                rope_theta=config.rope_theta, interpret=interp,
+            )
         cache = dict(cache, pk=pk2, pv=pv2)
-        out = out3[:, :, None, :].astype(x.dtype)
+        out = out3.astype(x.dtype)  # (B, H, s, hd)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
         out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
         if axis_name is not None:
@@ -383,9 +393,12 @@ def verify_window(config: LlamaConfig, specs, params, tokens, pos, cache, *,
     positions = pos[:, None] + jnp.arange(s)  # (B, s)
     cos, sin = common.rope_cos_sin(positions, config.head_dim,
                                    config.rope_theta, dtype)
-    max_seq = cache[0]["k"].shape[2]
-    mask = common.window_mask(s, max_seq, pos,
-                              sliding_window=config.sliding_window)
+    if "pk" in cache[0]:  # paged pool: masking happens inside the kernel
+        mask = None
+    else:
+        max_seq = cache[0]["k"].shape[2]
+        mask = common.window_mask(s, max_seq, pos,
+                                  sliding_window=config.sliding_window)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"],
                                             cache):

@@ -53,17 +53,17 @@ def _pick_chunk(S: int, cap: int = 512) -> int:
 
 
 def _rope_rows(x, pos, theta: float):
-    """Rotate rows of x (r, hd) by RoPE angle at scalar position `pos`
-    (HF rotate-half convention, models/common.rope_cos_sin parity).
-    cos/sin are recomputed in-kernel from `theta` — a handful of VPU
-    transcendentals per grid step instead of ~12 XLA ops per layer per
-    token on the decode path (slice cos/sin at pos, broadcast, mul/add
-    for q and k)."""
+    """Rotate rows of x (r, hd) by RoPE angle at position `pos` — a traced
+    scalar (all rows share it) or an (r, 1) per-row vector (HF rotate-half
+    convention, models/common.rope_cos_sin parity). cos/sin are recomputed
+    in-kernel from `theta` — a handful of VPU transcendentals per grid
+    step instead of ~12 XLA ops per layer per token on the decode path
+    (slice cos/sin at pos, broadcast, mul/add for q and k)."""
     r, hd = x.shape
     d2 = hd // 2
     i = jax.lax.broadcasted_iota(jnp.float32, (1, d2), 1)
     inv_freq = jnp.exp(i * (-2.0 / hd) * jnp.log(jnp.float32(theta)))
-    ang = pos.astype(jnp.float32) * inv_freq  # (1, d2)
+    ang = pos.astype(jnp.float32) * inv_freq  # (1|r, d2)
     cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=1)
     sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=1)
     rot = jnp.concatenate([-x[:, d2:], x[:, :d2]], axis=1)

@@ -233,3 +233,203 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
     )(page_tables, lengths, q4, kn4, vn4, pool_k, pool_v)
 
     return out.reshape(B, H, hd), pool_k_out, pool_v_out
+
+
+def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
+                         pk_in, pv_in, pk_ref, pv_ref, out_ref,
+                         kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
+                         *, ps: int, W: int, scale: float, rope_theta):
+    """One (slot b, kv-head h) grid step of the W-token verify window
+    (speculative decoding): write W k/v rows at positions
+    start..start+W-1 through the page table, then causal attention for
+    the W query rows of each q head over (prefix + window).
+
+    q_ref:  (1, 1, g*W, hd) — row r is query head r // W, window offset
+            r % W (pre-rope when rope_theta is set)
+    kn/vn:  (1, 1, W, hd) — window k/v rows for this kv head
+    start_ref: (B,) int32 — 0-based position of the FIRST window token;
+            < 0 marks an inactive slot (no write, zero output).
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    start = start_ref[b]
+    n_end = jnp.where(start < 0, 0, start + W)  # tokens incl. the window
+    npages = jax.lax.div(n_end + ps - 1, ps)
+    slab = min(16, ps)
+
+    kn = kn_ref[0, 0].astype(jnp.float32)  # (W, hd)
+    if rope_theta is not None:
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        kn = _rope_rows(kn, start + wrow, rope_theta)
+
+    # ---- write the window's k/v rows (start >= 0) ----------------------
+    # W is small (draft_len+1); each row is an aligned-slab RMW through
+    # the page table (rows may span a page boundary — each picks its own
+    # page). Grid steps are sequential per core; the page loop below
+    # waits on these, so reads see the writes.
+    @pl.when(start >= 0)
+    def _write():
+        for w in range(W):
+            posw = start + w
+            pid = pt_ref[b, jax.lax.div(posw, ps)]
+            off = jax.lax.rem(posw, ps)
+            off2 = jax.lax.div(off, slab) * slab
+            sub = off - off2
+            rk = pltpu.make_async_copy(
+                pk_ref.at[pid, h, pl.ds(off2, slab)], pairk, wsem.at[0])
+            rv = pltpu.make_async_copy(
+                pv_ref.at[pid, h, pl.ds(off2, slab)], pairv, wsem.at[1])
+            rk.start()
+            rv.start()
+            rk.wait()
+            rv.wait()
+            rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+            pairk[:] = jnp.where(rows == sub,
+                                 kn[w:w + 1].astype(pairk.dtype), pairk[:])
+            pairv[:] = jnp.where(rows == sub,
+                                 vn_ref[0, 0, w:w + 1].astype(pairv.dtype),
+                                 pairv[:])
+            wk = pltpu.make_async_copy(
+                pairk, pk_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[0])
+            wv = pltpu.make_async_copy(
+                pairv, pv_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[1])
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
+
+    def k_copy(p, slot):
+        return pltpu.make_async_copy(
+            pk_ref.at[pt_ref[b, p], h], kbuf.at[slot], ksem.at[slot])
+
+    def v_copy(p, slot):
+        return pltpu.make_async_copy(
+            pv_ref.at[pt_ref[b, p], h], vbuf.at[slot], vsem.at[slot])
+
+    @pl.when(npages > 0)
+    def _prologue():
+        k_copy(0, 0).start()
+        v_copy(0, 0).start()
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (g*W, hd)
+    R, hd = q.shape
+    rw = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0), W)
+    qpos = start + rw  # (R, 1) — each query row's own position
+    if rope_theta is not None:
+        q = _rope_rows(q, qpos, rope_theta)
+
+    def body(p, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < npages)
+        def _next():
+            k_copy(p + 1, 1 - slot).start()
+            v_copy(p + 1, 1 - slot).start()
+
+        k_copy(p, slot).wait()
+        v_copy(p, slot).wait()
+        k = kbuf[slot].astype(jnp.float32)  # (ps, hd)
+        v = vbuf[slot].astype(jnp.float32)
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (R, ps)
+        kpos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+        logits = jnp.where(kpos <= qpos, logits, NEG_INF)
+
+        m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m2)
+        pexp = jnp.exp(logits - m2)
+        l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
+        acc2 = acc * alpha + jnp.dot(pexp, v,
+                                     preferred_element_type=jnp.float32)
+        return m2, l2, acc2
+
+    init = (jnp.full((R, 1), NEG_INF, jnp.float32),
+            jnp.zeros((R, 1), jnp.float32),
+            jnp.zeros((R, hd), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(0, npages, body, init)
+    out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("page_size", "rope_theta", "interpret"),
+)
+def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
+                           start, *, page_size: int, rope_theta=None,
+                           interpret: bool = False):
+    """Fused W-token cache-write + causal paged attention (speculative
+    verify window — the s>1 generalization of paged_decode_attention).
+
+    Args:
+      q:        (B, H, W, hd) queries — PRE-rope when rope_theta is given
+      k_new:    (B, Hkv, W, hd) window keys (same rope contract)
+      v_new:    (B, Hkv, W, hd) values
+      pool_k/v: (P, Hkv, ps, hd) page pools (aliased in->out)
+      page_tables: (B, maxp) int32
+      start:    (B,) int32 — position of the first window token; < 0 =
+                inactive slot (no write, zero output). The slot's pages
+                must cover start+W rows (reserve draft_len+1 at admission).
+
+    Returns (attn_out (B, H, W, hd) f32, pool_k, pool_v).
+    """
+    B, H, W, hd = q.shape
+    Hkv = pool_k.shape[1]
+    ps = page_size
+    g = H // Hkv
+    scale = 1.0 / (hd ** 0.5)
+
+    # row order (head, window-offset): head r // W, offset r % W
+    q4 = q.reshape(B, Hkv, g * W, hd).astype(jnp.float32)
+    kn4 = k_new.reshape(B, Hkv, W, hd).astype(jnp.float32)
+    vn4 = v_new.reshape(B, Hkv, W, hd).astype(pool_v.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g * W, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, g * W, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ps, hd), pool_k.dtype),
+            pltpu.VMEM((2, ps, hd), pool_v.dtype),
+            pltpu.VMEM((min(16, ps), hd), pool_k.dtype),
+            pltpu.VMEM((min(16, ps), hd), pool_v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    pool_k_out, pool_v_out, out = pl.pallas_call(
+        functools.partial(_paged_verify_kernel, ps=ps, W=W, scale=scale,
+                          rope_theta=rope_theta),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, g * W, hd), jnp.float32),
+        ],
+        input_output_aliases={5: 0, 6: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_tables, start, q4, kn4, vn4, pool_k, pool_v)
+
+    return out.reshape(B, H, W, hd), pool_k_out, pool_v_out

@@ -72,6 +72,49 @@ def _sampler_args(eng):
             jnp.asarray(eng._topp), jnp.asarray(eng._rids))
 
 
+def _prompt_lookup_draft(ctx, pos, K: int, ngram: int):
+    """Per-slot prompt-lookup drafts: find the latest earlier occurrence
+    of each slot's trailing `ngram` in its device context buffer and
+    propose the K tokens that followed it. Garbage drafts are safe —
+    acceptance is greedy-exact (see _accept_drafts)."""
+    max_ctx = ctx.shape[1]
+    iota = jnp.arange(max_ctx)
+
+    def draft_one(ctx_b, pos_b):
+        key = jax.lax.dynamic_slice(
+            ctx_b, (jnp.maximum(pos_b - ngram + 1, 0),), (ngram,))
+        stacked = jnp.stack(
+            [jnp.roll(ctx_b, -j) for j in range(ngram)], axis=1)
+        hits = (stacked == key[None, :]).all(axis=1) & (
+            iota <= pos_b - ngram)
+        istar = jnp.max(jnp.where(hits, iota, -1))
+        dstart = jnp.clip(istar + ngram, 0, max_ctx - K)
+        return jax.lax.dynamic_slice(ctx_b, (dstart,), (K,))
+
+    return jax.vmap(draft_one)(ctx, pos)  # (B, K)
+
+
+def _accept_drafts(logits, draft, ctx, pos):
+    """Greedy acceptance over a verify window's logits (B, K+1, V):
+    keep draft tokens while they EQUAL the greedy token, append the
+    greedy bonus token, write the emitted run into the context buffer.
+    Returns (emit (B, K+1), n_acc (B,), cur2 (B, 1), ctx)."""
+    K = draft.shape[1]
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    match = (draft == greedy[:, :K]).astype(jnp.int32)
+    n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,)
+    cand = jnp.concatenate(
+        [draft, jnp.zeros((draft.shape[0], 1), jnp.int32)], axis=1)
+    bonus = jnp.take_along_axis(greedy, n_acc[:, None], axis=1)
+    emit = jnp.where(jnp.arange(K + 1)[None, :] < n_acc[:, None],
+                     cand, bonus)                        # (B, K+1)
+    ctx = jax.vmap(
+        lambda cb, eb, pb: jax.lax.dynamic_update_slice(
+            cb, eb, (pb + 1,)))(ctx, emit, pos)
+    cur2 = jnp.take_along_axis(emit, n_acc[:, None], axis=1)
+    return emit, n_acc, cur2, ctx
+
+
 def _slot_finished(s: _Slot, tok: int) -> bool:
     return s.generated >= s.max_new or tok in s.stop
 
@@ -156,38 +199,12 @@ class ContinuousBatchEngine:
             (draft_len+1) positions for every slot, greedy acceptance.
             Exactness-safe with stale/garbage drafts: a draft token is
             only kept when it EQUALS the greedy token."""
-            K = draft_len
-            max_ctx = ctx.shape[1]
-            iota = jnp.arange(max_ctx)
-
-            def draft_one(ctx_b, pos_b):
-                key = jax.lax.dynamic_slice(
-                    ctx_b, (jnp.maximum(pos_b - ngram + 1, 0),), (ngram,))
-                stacked = jnp.stack(
-                    [jnp.roll(ctx_b, -j) for j in range(ngram)], axis=1)
-                hits = (stacked == key[None, :]).all(axis=1) & (
-                    iota <= pos_b - ngram)
-                istar = jnp.max(jnp.where(hits, iota, -1))
-                dstart = jnp.clip(istar + ngram, 0, max_ctx - K)
-                return jax.lax.dynamic_slice(ctx_b, (dstart,), (K,))
-
-            draft = jax.vmap(draft_one)(ctx, pos)          # (B, K)
+            draft = _prompt_lookup_draft(ctx, pos, draft_len, ngram)
             window = jnp.concatenate([cur, draft], axis=1)  # (B, K+1)
             logits, cache = mod.verify_window(
                 config, specs, params, window, pos, cache, backend=backend,
                 dtype=dtype)
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            match = (draft == greedy[:, :K]).astype(jnp.int32)
-            n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,)
-            cand = jnp.concatenate(
-                [draft, jnp.zeros((draft.shape[0], 1), jnp.int32)], axis=1)
-            bonus = jnp.take_along_axis(greedy, n_acc[:, None], axis=1)
-            emit = jnp.where(jnp.arange(K + 1)[None, :] < n_acc[:, None],
-                             cand, bonus)                   # (B, K+1)
-            ctx = jax.vmap(
-                lambda cb, eb, pb: jax.lax.dynamic_update_slice(
-                    cb, eb, (pb + 1,)))(ctx, emit, pos)
-            cur2 = jnp.take_along_axis(emit, n_acc[:, None], axis=1)
+            emit, n_acc, cur2, ctx = _accept_drafts(logits, draft, ctx, pos)
             return emit, n_acc, cur2, ctx, cache
 
         self._prefill = jax.jit(_prefill)
@@ -566,7 +583,8 @@ class PagedContinuousBatchEngine:
                  slots: int = 8, n_pages: int = 256, page_size: int = 128,
                  backend: str = "auto", dtype=jnp.float32,
                  cache_dtype=jnp.bfloat16, max_seq: Optional[int] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 speculative: Optional[Tuple[int, int]] = None):
         from squeezellm_tpu.models import fuse as fuse_mod
 
         specs, params = fuse_mod.attach_decode_luts(specs, params)
@@ -575,6 +593,10 @@ class PagedContinuousBatchEngine:
         self.params = params
         self.n_slots = slots
         self.max_seq = max_seq or config.max_seq
+        # (draft_len, ngram): prompt-lookup speculation over the paged
+        # pool — the verify window runs through the W-token paged kernel
+        # (ops/paged_attn.paged_verify_attention)
+        self.speculative = speculative
         _init_sampler_state(self, slots, seed)
         self.ps = page_size
         self.maxp = -(-self.max_seq // page_size)
@@ -618,6 +640,25 @@ class PagedContinuousBatchEngine:
             p2 = jnp.where(pos < 0, pos, pos + 1)
             return nxt, p2, nc
 
+        def _spec_window(params, ctx, cur, pos, caches, pt, draft_len,
+                         ngram):
+            """Slot-batched speculative window over the paged pool: the
+            W=draft_len+1 verify forward runs through the paged verify
+            kernel (page-table cache writes + causal window attention in
+            one launch per layer). Inactive slots (pos < 0) write nothing
+            in-kernel; their emitted rows are skipped host-side."""
+            draft = _prompt_lookup_draft(ctx, pos, draft_len, ngram)
+            window = jnp.concatenate([cur, draft], axis=1)  # (B, K+1)
+            c2 = [dict(c, pt=pt) for c in caches]
+            logits, nc = mod.verify_window(config, specs, params, window,
+                                           pos, c2, backend=backend,
+                                           dtype=dtype)
+            nc = [{k: v for k, v in c.items() if k != "pt"} for c in nc]
+            emit, n_acc, cur2, ctx = _accept_drafts(logits, draft, ctx, pos)
+            return emit, n_acc, cur2, ctx, nc
+
+        self._spec_window_fn = jax.jit(_spec_window, static_argnums=(6, 7),
+                                       donate_argnums=(4,))
         self._prefill = jax.jit(_prefill)
         self._decode = jax.jit(_decode, donate_argnums=(3,))
         self._decode_adv = jax.jit(_decode_adv, static_argnums=(9,),
@@ -703,6 +744,10 @@ class PagedContinuousBatchEngine:
         # page table into pages that may already belong to another slot.
         self._pos = np.full(slots, -1, np.int64)
         self._pt = np.zeros((slots, self.maxp), np.int32)
+        # device token history for speculative drafting (see the dense
+        # engine: stale rows only lower the accept rate)
+        self._ctx = (jnp.zeros((slots, self.max_seq), jnp.int32)
+                     if speculative else None)
 
     def free_slots(self) -> int:
         return sum(not s.active for s in self._slots)
@@ -721,8 +766,13 @@ class PagedContinuousBatchEngine:
             raise RuntimeError("no free slot")
         prompt = [int(t) for t in np.asarray(prompt_tokens).reshape(-1)]
         plen = len(prompt)
-        if plen + max_new_tokens > self.max_seq:
-            raise ValueError("prompt + max_new_tokens exceeds max_seq")
+        # speculative verify windows write draft_len+1 rows past the last
+        # real token: those rows must stay inside the slot's own pages
+        reserve = (self.speculative[0] + 1) if self.speculative else 0
+        if plen + max_new_tokens + reserve > self.max_seq:
+            raise ValueError("prompt + max_new_tokens exceeds max_seq"
+                             + (" (incl. speculative window reserve)"
+                                if reserve else ""))
 
         def _bucket_pow2(pids):
             # pad by REPEATING the last pid: the duplicate scatter rewrites
@@ -740,9 +790,9 @@ class PagedContinuousBatchEngine:
         for pid in shared_pids:
             self.pool.retain(pid)
 
-        # pages covering [start, plen + max_new_tokens); roll back every
-        # refcount if the pool runs out mid-allocation
-        total_pages = -(-(plen + max_new_tokens) // self.ps)
+        # pages covering [start, plen + max_new_tokens + reserve); roll
+        # back every refcount if the pool runs out mid-allocation
+        total_pages = -(-(plen + max_new_tokens + reserve) // self.ps)
         new_pids: List[int] = []
         try:
             for _ in range(total_pages - n_shared):
@@ -789,6 +839,10 @@ class PagedContinuousBatchEngine:
         self._pt[idx] = 0
         self._pt[idx, : len(pids)] = pids
         self._cur = self._cur.at[idx, 0].set(int(prompt[-1]))
+        if self._ctx is not None:
+            row = np.zeros(self.max_seq, np.int32)
+            row[:plen] = prompt
+            self._ctx = self._ctx.at[idx].set(jnp.asarray(row))
         self._pos[idx] = plen - 1
         rid = self._next_id
         self._next_id += 1
@@ -888,6 +942,50 @@ class PagedContinuousBatchEngine:
                 self._release(i)
         return out
 
+    def step_spec_window(self) -> Dict[int, Any]:
+        """One slot-batched speculative window over the paged pool
+        (engine constructed with ``speculative=(draft_len, ngram)``).
+        Greedy-only — run() falls back to step_window() while any active
+        slot samples. See ContinuousBatchEngine.step_spec_window; the
+        bookkeeping is identical, plus the page-pool write-back."""
+        assert self.speculative, "engine not constructed with speculative="
+        active = [s for s in self._slots if s.active]
+        if not active:
+            return {}
+        draft_len, ngram = self.speculative
+        pos = jnp.asarray(self._pos, jnp.int32)
+        pt = jnp.asarray(self._pt)
+        emit, n_acc, self._cur, self._ctx, caches = self._spec_window_fn(
+            self.params, self._ctx, self._cur, pos, self._layer_caches(),
+            pt, draft_len, ngram)
+        for li, c in enumerate(caches):
+            self.pool.pools[li] = {"pk": c["pk"], "pv": c["pv"]}
+        emit_h = np.asarray(emit)
+        nacc_h = np.asarray(n_acc)
+        out: Dict[int, Any] = {}
+        for i, s in enumerate(self._slots):
+            if not s.active:
+                continue
+            m = int(nacc_h[i]) + 1
+            new: List[int] = []
+            done = False
+            for t in range(m):
+                tok = int(emit_h[i, t])
+                s.tokens.append(tok)
+                new.append(tok)
+                s.generated += 1
+                s.pos += 1
+                done = _slot_finished(s, tok)
+                if done:
+                    break
+            self._pos[i] = s.pos
+            out[s.request_id] = {"token": s.tokens[-1], "new_tokens": new,
+                                 "done": done}
+            if done:
+                out[s.request_id]["tokens"] = s.tokens
+                self._release(i)
+        return out
+
     def cancel(self, request_id: int) -> bool:
         """Abort an in-flight request: frees its slot AND its pages
         (refcounts released; registered prefix pages stay cached)."""
@@ -918,7 +1016,11 @@ class PagedContinuousBatchEngine:
             while pending and self.free_slots():
                 self.add_request(pending.pop(0), max_new_tokens,
                                  sampling=sampling, stop_tokens=stop_tokens)
-            res = (self.step_window(window) if window > 1 else self.step())
+            if self.speculative and not bool((self._temp > 0).any()):
+                res = self.step_spec_window()
+            else:
+                res = (self.step_window(window) if window > 1
+                       else self.step())
             for rid, r in res.items():
                 if on_token is not None:
                     on_token(rid, r["new_tokens"], r["done"])

@@ -144,3 +144,98 @@ def test_paged_attention_rope_parity():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pv_r), np.asarray(pv_x),
                                rtol=0, atol=0)
+
+
+def test_paged_verify_window_matches_oracle():
+    """W-token verify kernel: writes all window rows through the page
+    table (across a page boundary) and computes causal attention for
+    every window position; inactive slots untouched."""
+    rng = np.random.default_rng(4)
+    B, Hkv, hd, P, maxp, ps, g, W = 3, 2, 64, 10, 3, 32, 2, 4
+    H = g * Hkv
+    # slot 0 window crosses a page boundary (start 30, W 4); slot 1 fresh
+    # at 0; slot 2 inactive
+    start = np.asarray([30, 0, -1], np.int32)
+    page_tables = np.zeros((B, maxp), np.int32)
+    page_tables[0] = [1, 2, 3]
+    page_tables[1] = [4, 5, 6]
+    pool_k = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    pool_v = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    q = rng.standard_normal((B, H, W, hd)).astype(np.float32)
+    k_new = rng.standard_normal((B, Hkv, W, hd)).astype(np.float32)
+    v_new = rng.standard_normal((B, Hkv, W, hd)).astype(np.float32)
+
+    out, pk2, pv2 = paged_attn.paged_verify_attention(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(page_tables), jnp.asarray(start),
+        page_size=ps, interpret=True,
+    )
+    out, pk2, pv2 = np.asarray(out), np.asarray(pk2), np.asarray(pv2)
+
+    # inactive slot wrote nothing, emitted zeros
+    np.testing.assert_array_equal(pk2[page_tables[2]], pool_k[page_tables[2]])
+    assert np.abs(out[2]).max() == 0.0
+
+    for b in range(2):
+        # window rows landed at start..start+W-1 through the page table
+        for w in range(W):
+            posw = start[b] + w
+            pid, off = page_tables[b, posw // ps], posw % ps
+            np.testing.assert_allclose(pk2[pid, :, off], k_new[b, :, w],
+                                       rtol=1e-6)
+            np.testing.assert_allclose(pv2[pid, :, off], v_new[b, :, w],
+                                       rtol=1e-6)
+        # causal attention over prefix + window (post-write pool contents)
+        S = maxp * ps
+        k_all = np.zeros((Hkv, S, hd)); v_all = np.zeros((Hkv, S, hd))
+        for p in range(maxp):
+            k_all[:, p * ps:(p + 1) * ps] = pk2[page_tables[b, p]]
+            v_all[:, p * ps:(p + 1) * ps] = pv2[page_tables[b, p]]
+        for h in range(H):
+            kh = h // g
+            for w in range(W):
+                n = start[b] + w + 1
+                lg = (k_all[kh, :n] @ q[b, h, w]) / np.sqrt(hd)
+                pr = np.exp(lg - lg.max()); pr /= pr.sum()
+                np.testing.assert_allclose(
+                    out[b, h, w], pr @ v_all[kh, :n], rtol=3e-5, atol=3e-5,
+                    err_msg=f"b={b} h={h} w={w}")
+
+
+def test_paged_verify_window_rope_parity():
+    """rope_theta: verify kernel rotates each window row at its own
+    position — must match host-side apply_rope at positions start+w."""
+    from squeezellm_tpu.models import common
+
+    rng = np.random.default_rng(5)
+    B, Hkv, hd, P, maxp, ps, g, W = 2, 2, 64, 8, 2, 32, 2, 3
+    H = g * Hkv
+    start = np.asarray([13, 0], np.int32)
+    page_tables = np.arange(B * maxp, dtype=np.int32).reshape(B, maxp) + 1
+    pool_k = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    pool_v = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    q = rng.standard_normal((B, H, W, hd)).astype(np.float32)
+    k_new = rng.standard_normal((B, Hkv, W, hd)).astype(np.float32)
+    v_new = rng.standard_normal((B, Hkv, W, hd)).astype(np.float32)
+
+    out_r, pk_r, pv_r = paged_attn.paged_verify_attention(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(page_tables), jnp.asarray(start),
+        page_size=ps, rope_theta=10000.0, interpret=True,
+    )
+    positions = start[:, None] + np.arange(W)  # (B, W)
+    cos, sin = common.rope_cos_sin(jnp.asarray(positions), hd, 10000.0)
+    qr = common.apply_rope(jnp.asarray(q), cos, sin)
+    kr = common.apply_rope(jnp.asarray(k_new), cos, sin)
+    out_x, pk_x, pv_x = paged_attn.paged_verify_attention(
+        qr, kr, jnp.asarray(v_new),
+        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(page_tables), jnp.asarray(start),
+        page_size=ps, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_x),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pk_r), np.asarray(pk_x),
+                               rtol=1e-5, atol=1e-5)
