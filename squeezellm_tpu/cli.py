@@ -297,17 +297,20 @@ def cmd_serve(args):
     from squeezellm_tpu import serving
 
     model_type, config, specs, params = _load_any(args.model)
+    spec = tuple(args.speculative) if args.speculative else None
     if args.paged:
         eng = serving.PagedContinuousBatchEngine(
             model_type, config, specs, params, slots=args.slots,
             backend=args.backend, max_seq=args.seqlen,
             page_size=args.page_size,
             n_pages=-(-args.seqlen // args.page_size) * args.slots,
+            speculative=spec,
         )
     else:
         eng = serving.ContinuousBatchEngine(
             model_type, config, specs, params, slots=args.slots,
             backend=args.backend, max_seq=args.seqlen,
+            speculative=spec,
         )
     httpd = server_mod.serve(eng, host=args.host, port=args.port,
                              window=args.window)
@@ -470,6 +473,8 @@ def main(argv=None):
     sv.add_argument("--seqlen", type=int, default=2048)
     sv.add_argument("--paged", action="store_true")
     sv.add_argument("--page-size", type=int, default=128)
+    sv.add_argument("--speculative", nargs=2, type=int, default=None,
+                    metavar=("DRAFT_LEN", "NGRAM"))
     sv.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas", "pallas-bf16"])
     sv.set_defaults(fn=cmd_serve)

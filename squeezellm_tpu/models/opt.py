@@ -185,21 +185,30 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
     v = v.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
 
     if cache is not None and "pk" in cache:
-        # paged KV (serving): see models/llama.py — same fused kernel; OPT
-        # has no rope and no GQA (g = 1 group per head)
-        assert s == 1, "paged cache is a decode-only path"
+        # paged KV (serving): see models/llama.py — same fused kernels
+        # (s == 1 decode, s > 1 speculative verify window); OPT has no
+        # rope (rope_theta=None) and no GQA (g = 1 group per head)
         from squeezellm_tpu.ops import paged_attn
 
-        lengths = jnp.broadcast_to(
-            jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
-        out3, pk2, pv2 = paged_attn.paged_decode_attention(
-            q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
-            cache["pk"], cache["pv"], cache["pt"], lengths,
-            page_size=cache["pk"].shape[2],
-            interpret=jax.default_backend() not in ("tpu",),
-        )
+        interp = jax.default_backend() not in ("tpu",)
+        if s == 1:
+            lengths = jnp.broadcast_to(
+                jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
+            out3, pk2, pv2 = paged_attn.paged_decode_attention(
+                q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                cache["pk"], cache["pv"], cache["pt"], lengths,
+                page_size=cache["pk"].shape[2], interpret=interp,
+            )
+            out3 = out3[:, :, None, :]
+        else:
+            starts = jnp.broadcast_to(
+                jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32)
+            out3, pk2, pv2 = paged_attn.paged_verify_attention(
+                q, k, v, cache["pk"], cache["pv"], cache["pt"], starts,
+                page_size=cache["pk"].shape[2], interpret=interp,
+            )
         cache = dict(cache, pk=pk2, pv=pv2)
-        out = out3[:, :, None, :].astype(x.dtype)
+        out = out3.astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
         out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
         if axis_name is not None:
@@ -323,8 +332,11 @@ def verify_window(config: OPTConfig, specs, params, tokens, pos, cache, *,
     x = params["embed"][tokens].astype(dtype)
     positions = pos[:, None] + jnp.arange(s) + _POS_OFFSET  # (B, s)
     x = x + params["embed_pos"][positions].astype(dtype)
-    max_seq = cache[0]["k"].shape[2]
-    mask = common.window_mask(s, max_seq, pos)
+    if "pk" in cache[0]:  # paged pool: masking happens inside the kernel
+        mask = None
+    else:
+        max_seq = cache[0]["k"].shape[2]
+        mask = common.window_mask(s, max_seq, pos)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"],
                                             cache):

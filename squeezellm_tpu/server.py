@@ -118,8 +118,14 @@ class ServingLoop:
                 except queue.Empty:
                     continue
                 continue
-            res = (self.engine.step_window(self.window) if self.window > 1
-                   else self.engine.step())
+            if (getattr(self.engine, "speculative", None)
+                    and not bool((self.engine._temp > 0).any())):
+                # slot-batched prompt-lookup speculation (greedy-exact);
+                # falls back to plain windows while any slot samples
+                res = self.engine.step_spec_window()
+            else:
+                res = (self.engine.step_window(self.window)
+                       if self.window > 1 else self.engine.step())
             for rid, r in res.items():
                 req = self._live.get(rid)
                 if req is None:

@@ -76,3 +76,29 @@ def test_paged_speculative_stop_tokens_and_page_release():
     # every slot released -> all refcounts dropped to registered-only
     assert all(not s.active for s in eng2._slots)
     assert eng2.free_slots() == 2
+
+
+def test_opt_paged_speculative_matches_plain_paged():
+    """OPT (no rope, learned positions): paged speculation token-exact."""
+    from squeezellm_tpu.models import opt
+
+    config = opt.OPTConfig(vocab_size=96, hidden_size=64, ffn_dim=128,
+                           n_layers=2, n_heads=4, max_seq=96)
+    dense = opt.random_dense_params(config, jax.random.PRNGKey(0))
+    specs, params = pipeline.quantize_model("opt", config, dense, bits=4)
+    params = jax.tree.map(jnp.asarray, params)
+    rng = np.random.default_rng(2)
+    phrase = rng.integers(0, config.vocab_size, 4).tolist()
+    prompts = [phrase * 4, rng.integers(0, 96, 9).tolist()]
+
+    def engine(**kw):
+        return serving.PagedContinuousBatchEngine(
+            "opt", config, specs, params, slots=2, n_pages=24, page_size=16,
+            backend="xla", **kw)
+
+    want = engine().run(prompts, max_new_tokens=10, window=4)
+    got = engine(speculative=(4, 2)).run(prompts, max_new_tokens=10)
+    for rid in want:
+        np.testing.assert_array_equal(np.asarray(got[rid]),
+                                      np.asarray(want[rid]),
+                                      err_msg=f"request {rid}")

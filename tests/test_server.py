@@ -135,3 +135,36 @@ def test_bad_request(httpd):
     status, _ = _post(httpd, "/v1/completions",
                       {"prompt_tokens": [1] * 70, "max_tokens": 4})
     assert status in (400, 429)  # prompt exceeds max_seq
+
+
+def test_speculative_paged_server_matches_greedy():
+    """HTTP loop takes step_spec_window when the engine is speculative;
+    results must equal the plain engine's greedy output."""
+    config = llama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        n_layers=2, n_heads=4, n_kv_heads=2, max_seq=96,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(0))
+    specs, params = pipeline.quantize_model("llama", config, dense, bits=4)
+    params = jax.tree.map(jnp.asarray, params)
+
+    plain = serving.PagedContinuousBatchEngine(
+        "llama", config, specs, params, slots=2, n_pages=24, page_size=16,
+        backend="xla")
+    want = plain.run([[1, 2, 3, 4, 5]], max_new_tokens=8, window=4)
+    (want_toks,) = want.values()
+
+    eng = serving.PagedContinuousBatchEngine(
+        "llama", config, specs, params, slots=2, n_pages=24, page_size=16,
+        backend="xla", speculative=(3, 2))
+    srv = server_mod.serve(eng, host="127.0.0.1", port=0, window=4)
+    try:
+        status, data = _post(srv, "/v1/completions",
+                             {"prompt_tokens": [1, 2, 3, 4, 5],
+                              "max_tokens": 8})
+        out = json.loads(data)
+        assert status == 200
+        assert out["tokens"] == [int(t) for t in want_toks]
+    finally:
+        srv.serving_loop.shutdown()
+        srv.shutdown()
