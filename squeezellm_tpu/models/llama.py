@@ -228,10 +228,8 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         # (B,) 0-based position of the FIRST token here; s == 1 is the
         # decode step, s > 1 the speculative verify window. q/k go in
         # PRE-rope — the kernel rotates at each row's own position.
-        assert config.sliding_window is None, (
-            "paged attention has no sliding-window masking yet — use the "
-            "dense-slot engine for Mistral-family models"
-        )
+        # Sliding-window models (Mistral) mask in-kernel and skip pages
+        # wholly below the window.
         from squeezellm_tpu.ops import paged_attn
 
         interp = jax.default_backend() not in ("tpu",)
@@ -242,7 +240,8 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                 q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
                 cache["pk"], cache["pv"], cache["pt"], lengths,
                 page_size=cache["pk"].shape[2],
-                rope_theta=config.rope_theta, interpret=interp,
+                rope_theta=config.rope_theta,
+                sliding_window=config.sliding_window, interpret=interp,
             )
             out3 = out3[:, :, None, :]
         else:
@@ -251,7 +250,8 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
             out3, pk2, pv2 = paged_attn.paged_verify_attention(
                 q, k, v, cache["pk"], cache["pv"], cache["pt"], starts,
                 page_size=cache["pk"].shape[2],
-                rope_theta=config.rope_theta, interpret=interp,
+                rope_theta=config.rope_theta,
+                sliding_window=config.sliding_window, interpret=interp,
             )
         cache = dict(cache, pk=pk2, pv=pv2)
         out = out3.astype(x.dtype)  # (B, H, s, hd)

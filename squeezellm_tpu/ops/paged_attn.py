@@ -39,7 +39,8 @@ NEG_INF = -1e30
 def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
                        pk_in, pv_in, pk_ref, pv_ref, out_ref,
                        kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
-                       *, ps: int, maxp: int, scale: float, rope_theta):
+                       *, ps: int, maxp: int, scale: float, rope_theta,
+                       window: int):
     """One (slot b, kv-head h) grid step.
 
     pt_ref:  (B, maxp) int32 page table (scalar prefetch, SMEM)
@@ -57,6 +58,10 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
     h = pl.program_id(1)
     n = len_ref[b]
     npages = jax.lax.div(n + ps - 1, ps)
+    # sliding window (Mistral): pages wholly below kpos = n - window hold
+    # no attended rows — start the page loop there instead of 0
+    lo = jnp.maximum(n - window, 0)
+    p0 = jax.lax.div(lo, ps)
 
     # ---- write the current token's k/v into its page slot (n >= 1) ----
     # Pool tiling constrains token-dim DMA slices (8 rows f32 / 16 bf16),
@@ -106,10 +111,10 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
         return pltpu.make_async_copy(
             pv_ref.at[pt_ref[b, p], h], vbuf.at[slot], vsem.at[slot])
 
-    @pl.when(npages > 0)
+    @pl.when(p0 < npages)
     def _prologue():
-        k_copy(0, 0).start()
-        v_copy(0, 0).start()
+        k_copy(p0, jax.lax.rem(p0, 2)).start()
+        v_copy(p0, jax.lax.rem(p0, 2)).start()
 
     q = q_ref[0, 0].astype(jnp.float32)  # (g, hd)
     if rope_theta is not None:
@@ -135,7 +140,7 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
             preferred_element_type=jnp.float32,
         ) * scale  # (g, ps)
         pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-        logits = jnp.where(pos < n, logits, NEG_INF)
+        logits = jnp.where((pos < n) & (pos >= lo), logits, NEG_INF)
 
         m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m2)
@@ -148,16 +153,17 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
     init = (jnp.full((g, 1), NEG_INF, jnp.float32),
             jnp.zeros((g, 1), jnp.float32),
             jnp.zeros((g, hd), jnp.float32))
-    m, l, acc = jax.lax.fori_loop(0, npages, body, init)
+    m, l, acc = jax.lax.fori_loop(p0, npages, body, init)
     out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("page_size", "rope_theta", "interpret"),
+    jax.jit, static_argnames=("page_size", "rope_theta", "sliding_window",
+                              "interpret"),
 )
 def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
                            lengths, *, page_size: int, rope_theta=None,
-                           interpret: bool = False):
+                           sliding_window=None, interpret: bool = False):
     """Fused cache-write + paged attention for one decode step.
 
     Args:
@@ -218,7 +224,9 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
 
     pool_k_out, pool_v_out, out = pl.pallas_call(
         functools.partial(_paged_attn_kernel, ps=ps, maxp=maxp, scale=scale,
-                          rope_theta=rope_theta),
+                          rope_theta=rope_theta,
+                          window=(maxp * ps + 1 if sliding_window is None
+                                  else int(sliding_window))),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
@@ -238,7 +246,8 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
 def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
                          pk_in, pv_in, pk_ref, pv_ref, out_ref,
                          kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
-                         *, ps: int, W: int, scale: float, rope_theta):
+                         *, ps: int, W: int, scale: float, rope_theta,
+                         window: int):
     """One (slot b, kv-head h) grid step of the W-token verify window
     (speculative decoding): write W k/v rows at positions
     start..start+W-1 through the page table, then causal attention for
@@ -255,6 +264,10 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
     start = start_ref[b]
     n_end = jnp.where(start < 0, 0, start + W)  # tokens incl. the window
     npages = jax.lax.div(n_end + ps - 1, ps)
+    # sliding window: the EARLIEST attended position over the whole
+    # window belongs to row w=0 → start the page loop there
+    lo0 = jnp.maximum(start + 1 - window, 0)
+    p0 = jax.lax.div(lo0, ps)
     slab = min(16, ps)
 
     kn = kn_ref[0, 0].astype(jnp.float32)  # (W, hd)
@@ -306,10 +319,10 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
         return pltpu.make_async_copy(
             pv_ref.at[pt_ref[b, p], h], vbuf.at[slot], vsem.at[slot])
 
-    @pl.when(npages > 0)
+    @pl.when(p0 < npages)
     def _prologue():
-        k_copy(0, 0).start()
-        v_copy(0, 0).start()
+        k_copy(p0, jax.lax.rem(p0, 2)).start()
+        v_copy(p0, jax.lax.rem(p0, 2)).start()
 
     q = q_ref[0, 0].astype(jnp.float32)  # (g*W, hd)
     R, hd = q.shape
@@ -337,7 +350,8 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
             preferred_element_type=jnp.float32,
         ) * scale  # (R, ps)
         kpos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-        logits = jnp.where(kpos <= qpos, logits, NEG_INF)
+        logits = jnp.where((kpos <= qpos) & (kpos > qpos - window),
+                           logits, NEG_INF)
 
         m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m2)
@@ -350,16 +364,17 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
     init = (jnp.full((R, 1), NEG_INF, jnp.float32),
             jnp.zeros((R, 1), jnp.float32),
             jnp.zeros((R, hd), jnp.float32))
-    m, l, acc = jax.lax.fori_loop(0, npages, body, init)
+    m, l, acc = jax.lax.fori_loop(p0, npages, body, init)
     out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("page_size", "rope_theta", "interpret"),
+    jax.jit, static_argnames=("page_size", "rope_theta", "sliding_window",
+                              "interpret"),
 )
 def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
                            start, *, page_size: int, rope_theta=None,
-                           interpret: bool = False):
+                           sliding_window=None, interpret: bool = False):
     """Fused W-token cache-write + causal paged attention (speculative
     verify window — the s>1 generalization of paged_decode_attention).
 
@@ -378,6 +393,7 @@ def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
     B, H, W, hd = q.shape
     Hkv = pool_k.shape[1]
     ps = page_size
+    maxp = page_tables.shape[1]
     g = H // Hkv
     scale = 1.0 / (hd ** 0.5)
 
@@ -418,7 +434,9 @@ def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
 
     pool_k_out, pool_v_out, out = pl.pallas_call(
         functools.partial(_paged_verify_kernel, ps=ps, W=W, scale=scale,
-                          rope_theta=rope_theta),
+                          rope_theta=rope_theta,
+                          window=(maxp * ps + W + 1 if sliding_window is None
+                                  else int(sliding_window))),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),

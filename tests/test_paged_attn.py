@@ -239,3 +239,72 @@ def test_paged_verify_window_rope_parity():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(pk_r), np.asarray(pk_x),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_paged_attention_sliding_window():
+    """sliding_window: decode + verify kernels mask positions below the
+    window and skip whole pages; parity vs the dense masked oracle."""
+    from squeezellm_tpu.models import common
+
+    rng = np.random.default_rng(6)
+    B, Hkv, hd, P, maxp, ps, g, win = 2, 2, 64, 10, 4, 16, 2, 24
+    H = g * Hkv
+    lengths = np.asarray([61, 9], np.int32)  # 61 > win: pages 0-1 skipped
+    page_tables = np.arange(B * maxp, dtype=np.int32).reshape(B, maxp) + 1
+    pool_k = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    pool_v = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    q = rng.standard_normal((B, H, hd)).astype(np.float32)
+    k_new = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    v_new = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+
+    out, pk2, pv2 = paged_attn.paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(page_tables), jnp.asarray(lengths),
+        page_size=ps, sliding_window=win, interpret=True,
+    )
+    out, pk2, pv2 = np.asarray(out), np.asarray(pk2), np.asarray(pv2)
+    S = maxp * ps
+    for b in range(B):
+        n = int(lengths[b])
+        lo = max(0, n - win)
+        k_all = np.zeros((Hkv, S, hd)); v_all = np.zeros((Hkv, S, hd))
+        for p in range(maxp):
+            k_all[:, p * ps:(p + 1) * ps] = pk2[page_tables[b, p]]
+            v_all[:, p * ps:(p + 1) * ps] = pv2[page_tables[b, p]]
+        for h in range(H):
+            kh = h // g
+            lg = (k_all[kh, lo:n] @ q[b, h]) / np.sqrt(hd)
+            pr = np.exp(lg - lg.max()); pr /= pr.sum()
+            np.testing.assert_allclose(out[b, h], pr @ v_all[kh, lo:n],
+                                       rtol=3e-5, atol=3e-5,
+                                       err_msg=f"b={b} h={h}")
+
+    # verify window with sliding window: per-row mask
+    W = 3
+    start = np.asarray([58, 2], np.int32)
+    qw = rng.standard_normal((B, H, W, hd)).astype(np.float32)
+    knw = rng.standard_normal((B, Hkv, W, hd)).astype(np.float32)
+    vnw = rng.standard_normal((B, Hkv, W, hd)).astype(np.float32)
+    outw, pk3, pv3 = paged_attn.paged_verify_attention(
+        jnp.asarray(qw), jnp.asarray(knw), jnp.asarray(vnw),
+        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(page_tables), jnp.asarray(start),
+        page_size=ps, sliding_window=win, interpret=True,
+    )
+    outw, pk3, pv3 = np.asarray(outw), np.asarray(pk3), np.asarray(pv3)
+    for b in range(B):
+        k_all = np.zeros((Hkv, S, hd)); v_all = np.zeros((Hkv, S, hd))
+        for p in range(maxp):
+            k_all[:, p * ps:(p + 1) * ps] = pk3[page_tables[b, p]]
+            v_all[:, p * ps:(p + 1) * ps] = pv3[page_tables[b, p]]
+        for h in range(H):
+            kh = h // g
+            for w in range(W):
+                qp = int(start[b]) + w
+                lo = max(0, qp + 1 - win)
+                lg = (k_all[kh, lo:qp + 1] @ qw[b, h, w]) / np.sqrt(hd)
+                pr = np.exp(lg - lg.max()); pr /= pr.sum()
+                np.testing.assert_allclose(
+                    outw[b, h, w], pr @ v_all[kh, lo:qp + 1],
+                    rtol=3e-5, atol=3e-5, err_msg=f"b={b} h={h} w={w}")

@@ -211,3 +211,58 @@ def test_admission_pool_exhaustion_rolls_back():
     with pytest.raises(RuntimeError):
         cb.add_request(list(range(2, 2 + 2 * PS)), 3 * PS)  # needs > pool
     assert len(cb.pool._free) == free_before  # nothing leaked
+
+
+def test_paged_sliding_window_matches_dense_engine():
+    """Mistral-style sliding window over the paged pool: token-exact vs
+    the dense-slot engine (same window semantics, kernel-side masking)."""
+    config = llama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        n_layers=2, n_heads=4, n_kv_heads=2, max_seq=96,
+        sliding_window=24,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(0))
+    specs, params = pipeline.quantize_model("llama", config, dense, bits=4)
+    params = jax.tree.map(jnp.asarray, params)
+    rng = np.random.default_rng(7)
+    # prompts + generations long enough that the window actually clips
+    prompts = [rng.integers(0, 128, 40).tolist(),
+               rng.integers(0, 128, 7).tolist()]
+    want = serving.ContinuousBatchEngine(
+        "llama", config, specs, params, slots=2, backend="xla",
+    ).run(prompts, max_new_tokens=12, window=4)
+    got = serving.PagedContinuousBatchEngine(
+        "llama", config, specs, params, slots=2, n_pages=24, page_size=16,
+        backend="xla",
+    ).run(prompts, max_new_tokens=12, window=4)
+    for rid in want:
+        np.testing.assert_array_equal(np.asarray(got[rid]),
+                                      np.asarray(want[rid]),
+                                      err_msg=f"request {rid}")
+
+
+def test_paged_sliding_window_speculative():
+    """Sliding window + paged speculation: still token-exact."""
+    config = llama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        n_layers=2, n_heads=4, n_kv_heads=2, max_seq=96,
+        sliding_window=24,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(0))
+    specs, params = pipeline.quantize_model("llama", config, dense, bits=4)
+    params = jax.tree.map(jnp.asarray, params)
+    rng = np.random.default_rng(8)
+    phrase = rng.integers(0, 128, 5).tolist()
+    prompts = [phrase * 6, rng.integers(0, 128, 9).tolist()]
+    plain = serving.PagedContinuousBatchEngine(
+        "llama", config, specs, params, slots=2, n_pages=24, page_size=16,
+        backend="xla",
+    ).run(prompts, max_new_tokens=10, window=4)
+    got = serving.PagedContinuousBatchEngine(
+        "llama", config, specs, params, slots=2, n_pages=24, page_size=16,
+        backend="xla", speculative=(4, 2),
+    ).run(prompts, max_new_tokens=10)
+    for rid in plain:
+        np.testing.assert_array_equal(np.asarray(got[rid]),
+                                      np.asarray(plain[rid]),
+                                      err_msg=f"request {rid}")
