@@ -78,6 +78,30 @@ def probe(variant, steps, n_layers=32, batch=1):
     from bench import put_dedup
     from squeezellm_tpu.models import common, llama
 
+    if "-eng" in variant:
+        # engine.benchmark protocol: chained per-step dispatches with a
+        # host-fetch fence per 32-token window (what bench.py records) —
+        # use to A/B kernels whose in-place cache aliasing a lax.scan
+        # carry may not honor (ops/decode_attn.py)
+        from squeezellm_tpu import engine as engine_mod
+
+        config, specs, params, backend, dtype = build(
+            variant.replace("-eng", ""), n_layers)
+        params = put_dedup(params)
+        eng = engine_mod.Engine(
+            "llama", config, specs, params, backend=backend, dtype=dtype,
+            cache_dtype=jnp.bfloat16, fuse=False)
+        ids = (np.arange(steps, dtype=np.int32)[None] * 7919) % config.vocab_size
+        t0 = time.perf_counter()
+        stats = eng.benchmark(ids, check=False, warmup=3,
+                              max_seq=max(128, -(-steps // 128) * 128))
+        wall = time.perf_counter() - t0
+        print(f"{variant:16s} b=1   wall {wall:6.1f}s | "
+              f"{1e3 * stats['median_latency_s']:8.2f} ms/step "
+              f"({stats['tokens_per_s']:7.1f} tok/s engine-protocol)",
+              flush=True)
+        return
+
     config, specs, params, backend, dtype = build(variant, n_layers)
     if "win" in variant:  # window cache to the decoded length (bench protocol)
         import dataclasses
