@@ -228,7 +228,15 @@ def cmd_serve_bench(args):
 
     model_type, config, specs, params = _load_any(args.model)
     spec = tuple(args.speculative) if args.speculative else None
-    if args.paged:
+    if args.tp and args.tp > 1:
+        if args.paged or spec:
+            raise SystemExit("--tp composes with the dense-slot engine only "
+                             "(paged/speculative TP: not yet wired)")
+        eng = serving.TPContinuousBatchEngine(
+            model_type, config, specs, params, tp=args.tp, slots=args.slots,
+            backend=args.backend, max_seq=args.seqlen,
+        )
+    elif args.paged:
         eng = serving.PagedContinuousBatchEngine(
             model_type, config, specs, params, slots=args.slots,
             backend=args.backend, max_seq=args.seqlen,
@@ -459,6 +467,9 @@ def main(argv=None):
                     metavar=("DRAFT_LEN", "NGRAM"),
                     help="slot-batched prompt-lookup speculation "
                          "(greedy-exact; works with and without --paged)")
+    sb.add_argument("--tp", type=int, default=0,
+                    help="tensor-parallel serving over a tp-device mesh "
+                         "(shard_map Megatron TP; dense-slot engine)")
     sb.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas", "pallas-bf16"])
     sb.set_defaults(fn=cmd_serve_bench)

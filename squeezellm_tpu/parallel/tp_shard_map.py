@@ -386,3 +386,55 @@ def make_tp_step_fns(model_type: str, config, local_specs, pspecs, mesh: Mesh,
 
     return (jax.jit(prefill, donate_argnums=(2,)),
             jax.jit(decode, donate_argnums=(3,)))
+
+
+def make_tp_serving_fns(model_type: str, config, local_specs, pspecs,
+                        mesh: Mesh, *, backend: str = "auto",
+                        dtype=jnp.float32, seed: int = 0):
+    """Jitted shard_map functions for the TP continuous-batching engine
+    (serving.TPContinuousBatchEngine):
+
+    prefill(params, tokens (B,S), cache) -> (logits (B,S?,V), cache)
+    decode_adv[sampled](params, token (B,1), pos (B,), cache,
+                        temp, topk, topp, rids) -> (nxt (B,), pos+1, cache)
+
+    decode_adv advances token/pos ON DEVICE so windows chain k dispatches
+    back-to-back with cache donation (the dense engine's chained-window
+    pattern); `sampled` selects the greedy or per-slot-sampling trace.
+    """
+    from squeezellm_tpu import sampling as sampling_mod
+
+    mod = registry.get_model_module(model_type)
+    cspec = cache_pspecs(config.n_layers)
+    rep = P(None)
+    rep3 = P(None, None, None)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pspecs, P(None, None), cspec),
+             out_specs=(rep3, cspec), check_vma=False)
+    def prefill(params, tokens, cache):
+        p = _unstack(params, pspecs)
+        return mod.prefill(config, local_specs, p, tokens, cache,
+                           backend=backend, dtype=dtype, axis_name=AXIS)
+
+    def _adv(sampled):
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(pspecs, P(None, None), rep, cspec,
+                           rep, rep, rep, rep),
+                 out_specs=(rep, rep, cspec), check_vma=False)
+        def decode_adv(params, token, pos, cache, temp, topk, topp, rids):
+            p = _unstack(params, pspecs)
+            logits, nc = mod.decode_step(config, local_specs, p, token, pos,
+                                         cache, backend=backend, dtype=dtype,
+                                         axis_name=AXIS)
+            if sampled:
+                nxt = sampling_mod.sample_tokens(
+                    logits[:, -1].astype(jnp.float32), temp, topk, topp,
+                    rids, pos, seed)
+            else:
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return nxt, pos + 1, nc
+
+        return jax.jit(decode_adv, donate_argnums=(3,))
+
+    return jax.jit(prefill), {False: _adv(False), True: _adv(True)}

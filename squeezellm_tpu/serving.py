@@ -18,6 +18,7 @@ are static, so the step never retraces:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -481,6 +482,100 @@ class ContinuousBatchEngine:
                 if r["done"]:
                     results[rid] = r["tokens"]
         return results
+
+
+class TPContinuousBatchEngine(ContinuousBatchEngine):
+    """Tensor-parallel continuous batching: the dense-slot engine with
+    every weight pass sharded over a `tp`-device mesh (Megatron-style
+    column/row-parallel quantized linears, KV heads sharded, 2 psums per
+    layer — parallel/tp_shard_map.py). Bookkeeping, windows, sampling,
+    stop tokens, and cancellation are inherited; only the jitted step
+    functions differ (shard_map with per-shard Pallas kernels on TPU).
+
+    Decode windows always use the chained-dispatch form (the scan body
+    would trace the shard_map per step anyway, and donation chains keep
+    the sharded cache in place).
+    """
+
+    def __init__(self, model_type: str, config, specs, params, *,
+                 tp: int, slots: int = 8, backend: str = "auto",
+                 dtype=jnp.float32, cache_dtype=jnp.float32,
+                 max_seq: Optional[int] = None, seed: int = 0,
+                 devices=None, build_spmv: bool = False):
+        from squeezellm_tpu.parallel import tp_shard_map as tpm
+
+        self.model_type = model_type
+        self.config = config
+        self.n_slots = slots
+        self.max_seq = max_seq or config.max_seq
+        self.speculative = None  # TP speculation: not yet wired
+        _init_sampler_state(self, slots, seed)
+
+        self.mesh = tpm.make_tp_mesh(tp, devices)
+        lspecs, sparams, pspecs = tpm.shard_model_params(
+            model_type, config, specs, params, tp, build_spmv=build_spmv)
+        self.specs = lspecs
+        self.params = tpm.put_params(sparams, pspecs, self.mesh)
+        self._prefill, self._adv_fns = tpm.make_tp_serving_fns(
+            model_type, config, lspecs, pspecs, self.mesh,
+            backend=backend, dtype=dtype, seed=seed)
+
+        cspec = tpm.cache_pspecs(config.n_layers)
+
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(cspec, cspec, tpm.P()), out_specs=cspec,
+            check_vma=False)
+        def _insert(cache, one_cache, slot):
+            return jax.tree.map(
+                lambda c, o: jax.lax.dynamic_update_slice(
+                    c, o.astype(c.dtype), (slot, 0, 0, 0)),
+                cache, one_cache)
+
+        self._insert = jax.jit(_insert, donate_argnums=(0,))
+        self.cache = tpm.init_tp_cache(config, self.mesh, batch=slots,
+                                       max_seq=self.max_seq,
+                                       dtype=cache_dtype)
+        self._slots = [_Slot() for _ in range(slots)]
+        self._next_id = 0
+        self._cur = jnp.zeros((slots, 1), jnp.int32)
+        self._pos = np.zeros(slots, np.int64)
+        self._ctx = None
+        self._window_impl = "chained"
+
+    def _decode_adv(self, params, token, pos, cache, temp, topk, topp,
+                    rids, sampled):
+        return self._adv_fns[bool(sampled)](params, token, pos, cache,
+                                            temp, topk, topp, rids)
+
+    def step(self) -> Dict[int, Any]:
+        """One batched TP decode step (greedy or per-slot sampled)."""
+        if not any(s.active for s in self._slots):
+            return {}
+        pos = jnp.asarray(self._pos, jnp.int32)
+        sampled = bool((self._temp > 0).any())
+        nxt, _, self.cache = self._decode_adv(
+            self.params, self._cur, pos, self.cache,
+            *_sampler_args(self), sampled)
+        nxt_host = np.asarray(nxt)
+        self._cur = nxt[:, None]
+        out: Dict[int, Any] = {}
+        for i, s in enumerate(self._slots):
+            if not s.active:
+                continue
+            tok = int(nxt_host[i])
+            s.tokens.append(tok)
+            s.generated += 1
+            s.pos += 1
+            self._pos[i] = s.pos
+            done = _slot_finished(s, tok)
+            out[s.request_id] = {"token": tok, "new_tokens": [tok],
+                                 "done": done}
+            if done:
+                out[s.request_id]["tokens"] = s.tokens
+                _clear_slot_sampling(self, i)
+                self._slots[i] = _Slot()
+        return out
 
 
 # ---------------------------------------------------------------------------

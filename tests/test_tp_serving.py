@@ -1,0 +1,66 @@
+"""Tensor-parallel continuous batching (8-virtual-device CPU mesh):
+must reproduce the single-device engine token-exactly — staggered joins,
+windows, per-request sampling, stop tokens."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from squeezellm_tpu import serving
+from squeezellm_tpu.models import llama
+from squeezellm_tpu.quantize import pipeline
+from squeezellm_tpu.sampling import SamplingParams
+
+
+def _model(tp=4):
+    config = llama.LlamaConfig(
+        vocab_size=64 * tp, hidden_size=16 * tp, intermediate_size=32 * tp,
+        n_layers=2, n_heads=tp, n_kv_heads=tp, max_seq=64,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(0))
+    specs, params = pipeline.quantize_model("llama", config, dense, bits=4)
+    return config, specs, params
+
+
+def test_tp_serving_matches_single_device():
+    config, specs, params = _model()
+    prompts = [[1, 2, 3], [7, 9], [11, 13, 17, 19], [23]]
+    jp = jax.tree.map(jnp.asarray, params)
+    want = serving.ContinuousBatchEngine(
+        "llama", config, specs, jp, slots=2, backend="xla",
+    ).run(prompts, max_new_tokens=9, window=4)
+    got = serving.TPContinuousBatchEngine(
+        "llama", config, specs, params, tp=4, slots=2, backend="xla",
+    ).run(prompts, max_new_tokens=9, window=4)
+    assert sorted(got) == sorted(want)
+    for rid in want:
+        np.testing.assert_array_equal(np.asarray(got[rid]),
+                                      np.asarray(want[rid]),
+                                      err_msg=f"request {rid}")
+
+
+def test_tp_serving_sampling_and_stop():
+    config, specs, params = _model()
+    jp = jax.tree.map(jnp.asarray, params)
+    sp = SamplingParams(temperature=0.8, top_k=20)
+    prompts = [[1, 2, 3], [5, 6]]
+    want = serving.ContinuousBatchEngine(
+        "llama", config, specs, jp, slots=2, backend="xla", seed=11,
+    ).run(prompts, max_new_tokens=6, window=4, sampling=sp)
+    got = serving.TPContinuousBatchEngine(
+        "llama", config, specs, params, tp=4, slots=2, backend="xla",
+        seed=11,
+    ).run(prompts, max_new_tokens=6, window=4, sampling=sp)
+    for rid in want:
+        np.testing.assert_array_equal(np.asarray(got[rid]),
+                                      np.asarray(want[rid]),
+                                      err_msg=f"request {rid}")
+
+    stop = int(want[0][0])
+    res = serving.TPContinuousBatchEngine(
+        "llama", config, specs, params, tp=4, slots=2, backend="xla",
+        seed=11,
+    ).run(prompts, max_new_tokens=6, window=4, sampling=sp,
+          stop_tokens=[stop])
+    assert res[0][-1] == stop
