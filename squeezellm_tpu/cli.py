@@ -229,12 +229,12 @@ def cmd_serve_bench(args):
     model_type, config, specs, params = _load_any(args.model)
     spec = tuple(args.speculative) if args.speculative else None
     if args.tp and args.tp > 1:
-        if args.paged or spec:
+        if args.paged:
             raise SystemExit("--tp composes with the dense-slot engine only "
-                             "(paged/speculative TP: not yet wired)")
+                             "(paged TP: not yet wired)")
         eng = serving.TPContinuousBatchEngine(
             model_type, config, specs, params, tp=args.tp, slots=args.slots,
-            backend=args.backend, max_seq=args.seqlen,
+            backend=args.backend, max_seq=args.seqlen, speculative=spec,
         )
     elif args.paged:
         eng = serving.PagedContinuousBatchEngine(

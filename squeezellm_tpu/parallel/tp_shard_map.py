@@ -438,3 +438,33 @@ def make_tp_serving_fns(model_type: str, config, local_specs, pspecs,
         return jax.jit(decode_adv, donate_argnums=(3,))
 
     return jax.jit(prefill), {False: _adv(False), True: _adv(True)}
+
+
+def make_tp_spec_window_fn(model_type: str, config, local_specs, pspecs,
+                           mesh: Mesh, draft_len: int, ngram: int, *,
+                           backend: str = "auto", dtype=jnp.float32):
+    """Slot-batched prompt-lookup speculative window under shard_map TP:
+    drafts/acceptance run replicated, the verify forward is the sharded
+    verify_window (serving._prompt_lookup_draft/_accept_drafts parity)."""
+    from squeezellm_tpu import serving as serving_mod
+
+    mod = registry.get_model_module(model_type)
+    cspec = cache_pspecs(config.n_layers)
+    rep = P(None)
+    rep2 = P(None, None)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pspecs, rep2, rep2, rep, cspec),
+             out_specs=(rep2, rep, rep2, rep2, cspec), check_vma=False)
+    def spec_window(params, ctx, cur, pos, cache):
+        p = _unstack(params, pspecs)
+        draft = serving_mod._prompt_lookup_draft(ctx, pos, draft_len, ngram)
+        window = jnp.concatenate([cur, draft], axis=1)
+        logits, cache = mod.verify_window(config, local_specs, p, window,
+                                          pos, cache, backend=backend,
+                                          dtype=dtype, axis_name=AXIS)
+        emit, n_acc, cur2, ctx = serving_mod._accept_drafts(
+            logits, draft, ctx, pos)
+        return emit, n_acc, cur2, ctx, cache
+
+    return jax.jit(spec_window, donate_argnums=(4,))

@@ -501,14 +501,15 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
                  tp: int, slots: int = 8, backend: str = "auto",
                  dtype=jnp.float32, cache_dtype=jnp.float32,
                  max_seq: Optional[int] = None, seed: int = 0,
-                 devices=None, build_spmv: bool = False):
+                 devices=None, build_spmv: bool = False,
+                 speculative: Optional[Tuple[int, int]] = None):
         from squeezellm_tpu.parallel import tp_shard_map as tpm
 
         self.model_type = model_type
         self.config = config
         self.n_slots = slots
         self.max_seq = max_seq or config.max_seq
-        self.speculative = None  # TP speculation: not yet wired
+        self.speculative = speculative
         _init_sampler_state(self, slots, seed)
 
         self.mesh = tpm.make_tp_mesh(tp, devices)
@@ -519,6 +520,10 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
         self._prefill, self._adv_fns = tpm.make_tp_serving_fns(
             model_type, config, lspecs, pspecs, self.mesh,
             backend=backend, dtype=dtype, seed=seed)
+        if speculative:
+            self._tp_spec_fn = tpm.make_tp_spec_window_fn(
+                model_type, config, lspecs, pspecs, self.mesh,
+                speculative[0], speculative[1], backend=backend, dtype=dtype)
 
         cspec = tpm.cache_pspecs(config.n_layers)
 
@@ -540,13 +545,20 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
         self._next_id = 0
         self._cur = jnp.zeros((slots, 1), jnp.int32)
         self._pos = np.zeros(slots, np.int64)
-        self._ctx = None
+        self._ctx = (jnp.zeros((slots, self.max_seq), jnp.int32)
+                     if speculative else None)
         self._window_impl = "chained"
 
     def _decode_adv(self, params, token, pos, cache, temp, topk, topp,
                     rids, sampled):
         return self._adv_fns[bool(sampled)](params, token, pos, cache,
                                             temp, topk, topp, rids)
+
+    def _spec_window_fn(self, params, ctx, cur, pos, cache, draft_len,
+                        ngram):
+        # draft_len/ngram were fixed at construction (shard_map closures
+        # cannot take statics); the base step_spec_window passes them too
+        return self._tp_spec_fn(params, ctx, cur, pos, cache)
 
     def step(self) -> Dict[int, Any]:
         """One batched TP decode step (greedy or per-slot sampled)."""

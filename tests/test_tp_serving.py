@@ -64,3 +64,22 @@ def test_tp_serving_sampling_and_stop():
     ).run(prompts, max_new_tokens=6, window=4, sampling=sp,
           stop_tokens=[stop])
     assert res[0][-1] == stop
+
+
+def test_tp_speculative_matches_plain():
+    """TP + slot-batched speculation: token-exact vs the plain TP engine."""
+    config, specs, params = _model()
+    rng = np.random.default_rng(4)
+    phrase = rng.integers(0, config.vocab_size, 5).tolist()
+    prompts = [phrase * 5, rng.integers(0, config.vocab_size, 8).tolist()]
+    want = serving.TPContinuousBatchEngine(
+        "llama", config, specs, params, tp=4, slots=2, backend="xla",
+    ).run(prompts, max_new_tokens=10, window=4)
+    got = serving.TPContinuousBatchEngine(
+        "llama", config, specs, params, tp=4, slots=2, backend="xla",
+        speculative=(4, 2),
+    ).run(prompts, max_new_tokens=10)
+    for rid in want:
+        np.testing.assert_array_equal(np.asarray(got[rid]),
+                                      np.asarray(want[rid]),
+                                      err_msg=f"request {rid}")
