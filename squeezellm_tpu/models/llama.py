@@ -196,6 +196,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
 
     if (cache is not None and "pk" not in cache and s == 1
             and backend.startswith("pallas")
+            and cache["k"].shape[2] % 16 == 0  # tile-aligned chunking
             and os.environ.get("SQUEEZELLM_FUSED_ATTN", "1") == "1"):
         # dense-cache decode: fused rope + cache-write + chunked attention
         # in one Pallas launch (ops/decode_attn.py) — replaces the rope/
@@ -203,7 +204,10 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         # cache prefix. q/k go in PRE-rope (the kernel rotates at
         # position lengths-1). SQUEEZELLM_FUSED_ATTN=0 restores the XLA
         # chain (A/B: pallas in-place aliasing through lax.scan carries
-        # can force cache copies — see ops/pallas_ops.py notes)
+        # can force cache copies — see ops/pallas_ops.py notes). NOTE:
+        # the env var is read at TRACE time — set it before the first
+        # jit of a decode step (A/B probes run fresh processes); it is
+        # not part of the jit cache key.
         from squeezellm_tpu.ops import decode_attn
 
         lengths = jnp.broadcast_to(

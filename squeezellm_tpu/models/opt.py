@@ -216,6 +216,7 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
         return out, cache
 
     if (cache is not None and s == 1 and backend.startswith("pallas")
+            and cache["k"].shape[2] % 16 == 0  # tile-aligned chunking
             and os.environ.get("SQUEEZELLM_FUSED_ATTN", "1") == "1"):
         # dense-cache decode: fused cache-write + chunked attention
         # (ops/decode_attn.py; see models/llama.py — OPT has no GQA)

@@ -42,14 +42,21 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _pick_chunk(S: int, cap: int = 512) -> int:
-    """Largest divisor of S that is <= cap (S itself for small caches)."""
+def _pick_chunk(S: int, cap: int = 512):
+    """Largest divisor of S that is <= cap and DMA-tile-aligned (multiple
+    of 16 rows — the bf16 tile height; f32 needs 8, 16 covers both).
+    Returns None when no aligned chunking exists (S not a multiple of
+    16): chunk-loop DMAs would start at misaligned token offsets and the
+    16-row write slab would overrun the cache — callers must fall back
+    to the XLA chain (see models/llama.py fused-branch gate)."""
+    if S % 16 != 0:
+        return None
     if S <= cap:
         return S
-    for c in range(cap, 0, -1):
+    for c in range(cap - cap % 16, 0, -16):
         if S % c == 0:
             return c
-    return S
+    return 16
 
 
 def _rope_rows(x, pos, theta: float):
@@ -219,6 +226,11 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
     g = H // Hkv
     assert g * Hkv == H, (H, Hkv)
     chunk = _pick_chunk(S)
+    if chunk is None:
+        raise ValueError(
+            f"max_seq={S} is not a multiple of 16 — no tile-aligned "
+            "chunking exists; use the XLA attention chain for this cache "
+            "(the model-level fused-branch gate should have caught this)")
     scale = 1.0 / (hd ** 0.5)
     window = S + 1 if sliding_window is None else int(sliding_window)
 

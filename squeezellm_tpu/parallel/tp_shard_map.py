@@ -191,6 +191,8 @@ def shard_linear(
 
     q = lspec.quant
     bits = q.bits
+    from squeezellm_tpu.ops.quant_linear import transposed_lut
+
     if col:
         out_l = o // tp
         new_p["qweight"] = np.stack(
@@ -199,6 +201,11 @@ def shard_linear(
         new_p["lut"] = np.stack(np.split(np.asarray(params["lut"]), tp, axis=0))
         pspecs["qweight"] = _stack_spec(new_p["qweight"])
         pspecs["lut"] = _stack_spec(new_p["lut"])
+        # per-shard gather-layout LUTs: same decode fast path the
+        # single-device engines get from fuse.attach_decode_luts
+        new_p["lut_t"] = np.stack([transposed_lut(s, bits)
+                                   for s in new_p["lut"]])
+        pspecs["lut_t"] = _stack_spec(new_p["lut_t"])
         in_l = i
     else:
         in_l = i // tp
@@ -211,6 +218,8 @@ def shard_linear(
         pspecs["qweight"] = _stack_spec(new_p["qweight"])
         new_p["lut"] = np.asarray(params["lut"])  # replicated
         pspecs["lut"] = _repl_spec(new_p["lut"])
+        new_p["lut_t"] = transposed_lut(new_p["lut"], bits)
+        pspecs["lut_t"] = _repl_spec(new_p["lut_t"])
         out_l = o
 
     nnz_max = 0

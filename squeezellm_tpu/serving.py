@@ -116,6 +116,24 @@ def _accept_drafts(logits, draft, ctx, pos):
     return emit, n_acc, cur2, ctx
 
 
+def _emit_tokens(s: _Slot, toks) -> Tuple[List[int], bool]:
+    """Append a window's candidate tokens to an active slot, stopping at
+    a stop token or the max_new budget (the shared bookkeeping core of
+    every step/step_window/step_spec_window). Returns (emitted, done)."""
+    new: List[int] = []
+    done = False
+    for tok in toks:
+        tok = int(tok)
+        s.tokens.append(tok)
+        new.append(tok)
+        s.generated += 1
+        s.pos += 1
+        done = _slot_finished(s, tok)
+        if done:
+            break
+    return new, done
+
+
 def _slot_finished(s: _Slot, tok: int) -> bool:
     return s.generated >= s.max_new or tok in s.stop
 
@@ -338,13 +356,9 @@ class ContinuousBatchEngine:
         for i, s in enumerate(self._slots):
             if not s.active:
                 continue
-            tok = int(nxt_host[i])
-            s.tokens.append(tok)
-            s.generated += 1
-            s.pos += 1
+            new, done = _emit_tokens(s, [nxt_host[i]])
             self._pos[i] = s.pos
-            done = _slot_finished(s, tok)
-            out[s.request_id] = {"token": tok, "new_tokens": [tok],
+            out[s.request_id] = {"token": new[-1], "new_tokens": new,
                                  "done": done}
             if done:
                 out[s.request_id]["tokens"] = s.tokens
@@ -374,11 +388,11 @@ class ContinuousBatchEngine:
         sampled = bool((self._temp > 0).any())
         if self._window_impl == "chained":
             cur, cache = self._cur, self.cache
+            sargs = _sampler_args(self)  # hoisted: one upload per window
             toks = []
             for _ in range(k):
                 nxt, pos, cache = self._decode_adv(
-                    self.params, cur, pos, cache, *_sampler_args(self),
-                    sampled)
+                    self.params, cur, pos, cache, *sargs, sampled)
                 cur = nxt[:, None]
                 toks.append(nxt)
             self._cur, self.cache = cur, cache
@@ -392,19 +406,9 @@ class ContinuousBatchEngine:
         for i, s in enumerate(self._slots):
             if not s.active:
                 continue
-            new: List[int] = []
-            done = False
-            for t in range(k):
-                tok = int(toks_host[t, i])
-                s.tokens.append(tok)
-                new.append(tok)
-                s.generated += 1
-                s.pos += 1
-                done = _slot_finished(s, tok)
-                if done:
-                    break
+            new, done = _emit_tokens(s, toks_host[:k, i])
             self._pos[i] = s.pos
-            out[s.request_id] = {"token": s.tokens[-1], "new_tokens": new,
+            out[s.request_id] = {"token": new[-1], "new_tokens": new,
                                  "done": done}
             if done:
                 out[s.request_id]["tokens"] = s.tokens
@@ -435,19 +439,9 @@ class ContinuousBatchEngine:
             if not s.active:
                 continue
             m = int(nacc_h[i]) + 1
-            new: List[int] = []
-            done = False
-            for t in range(m):
-                tok = int(emit_h[i, t])
-                s.tokens.append(tok)
-                new.append(tok)
-                s.generated += 1
-                s.pos += 1
-                done = _slot_finished(s, tok)
-                if done:
-                    break
+            new, done = _emit_tokens(s, emit_h[i, :m])
             self._pos[i] = s.pos
-            out[s.request_id] = {"token": s.tokens[-1], "new_tokens": new,
+            out[s.request_id] = {"token": new[-1], "new_tokens": new,
                                  "done": done}
             if done:
                 out[s.request_id]["tokens"] = s.tokens
@@ -501,7 +495,7 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
                  tp: int, slots: int = 8, backend: str = "auto",
                  dtype=jnp.float32, cache_dtype=jnp.float32,
                  max_seq: Optional[int] = None, seed: int = 0,
-                 devices=None, build_spmv: bool = False,
+                 devices=None, build_spmv: bool = True,
                  speculative: Optional[Tuple[int, int]] = None):
         from squeezellm_tpu.parallel import tp_shard_map as tpm
 
@@ -575,13 +569,9 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
         for i, s in enumerate(self._slots):
             if not s.active:
                 continue
-            tok = int(nxt_host[i])
-            s.tokens.append(tok)
-            s.generated += 1
-            s.pos += 1
+            new, done = _emit_tokens(s, [nxt_host[i]])
             self._pos[i] = s.pos
-            done = _slot_finished(s, tok)
-            out[s.request_id] = {"token": tok, "new_tokens": [tok],
+            out[s.request_id] = {"token": new[-1], "new_tokens": new,
                                  "done": done}
             if done:
                 out[s.request_id]["tokens"] = s.tokens
@@ -978,13 +968,9 @@ class PagedContinuousBatchEngine:
         for i, s in enumerate(self._slots):
             if not s.active:
                 continue
-            tok = int(nxt_host[i])
-            s.tokens.append(tok)
-            s.generated += 1
-            s.pos += 1
+            new, done = _emit_tokens(s, [nxt_host[i]])
             self._pos[i] = s.pos
-            done = _slot_finished(s, tok)
-            out[s.request_id] = {"token": tok, "new_tokens": [tok],
+            out[s.request_id] = {"token": new[-1], "new_tokens": new,
                                  "done": done}
             if done:
                 out[s.request_id]["tokens"] = s.tokens
@@ -1030,19 +1016,9 @@ class PagedContinuousBatchEngine:
         for i, s in enumerate(self._slots):
             if not s.active:
                 continue
-            new: List[int] = []
-            done = False
-            for t in range(k):
-                tok = int(toks_host[t, i])
-                s.tokens.append(tok)
-                new.append(tok)
-                s.generated += 1
-                s.pos += 1
-                done = _slot_finished(s, tok)
-                if done:
-                    break
+            new, done = _emit_tokens(s, toks_host[:k, i])
             self._pos[i] = s.pos
-            out[s.request_id] = {"token": s.tokens[-1], "new_tokens": new,
+            out[s.request_id] = {"token": new[-1], "new_tokens": new,
                                  "done": done}
             if done:
                 out[s.request_id]["tokens"] = s.tokens
@@ -1074,19 +1050,9 @@ class PagedContinuousBatchEngine:
             if not s.active:
                 continue
             m = int(nacc_h[i]) + 1
-            new: List[int] = []
-            done = False
-            for t in range(m):
-                tok = int(emit_h[i, t])
-                s.tokens.append(tok)
-                new.append(tok)
-                s.generated += 1
-                s.pos += 1
-                done = _slot_finished(s, tok)
-                if done:
-                    break
+            new, done = _emit_tokens(s, emit_h[i, :m])
             self._pos[i] = s.pos
-            out[s.request_id] = {"token": s.tokens[-1], "new_tokens": new,
+            out[s.request_id] = {"token": new[-1], "new_tokens": new,
                                  "done": done}
             if done:
                 out[s.request_id]["tokens"] = s.tokens
