@@ -221,6 +221,40 @@ def main():
     print(f"{'OK ' if ok else 'BAD'} paged_verify: write err {werr:.1e} "
           f"attn err {aerr:.2e}", flush=True)
 
+    # flash prefill attention vs the dense-math oracle (causal + GQA +
+    # continuation offset + sliding window)
+    from squeezellm_tpu.models import common as _c
+    from squeezellm_tpu.ops import flash_attn
+
+    for (Sq, Sk, off, win, gg) in ((2048, 2048, 0, None, 1),
+                                   (256, 2048, 512, None, 2),
+                                   (2048, 2048, 0, 700, 1)):
+        Hkvf = 2
+        Hf = gg * Hkvf
+        qf = rng.standard_normal((1, Hf, Sq, 128)).astype(np.float32)
+        kf = rng.standard_normal((1, Hkvf, Sk, 128)).astype(np.float32)
+        vf = rng.standard_normal((1, Hkvf, Sk, 128)).astype(np.float32)
+        outf = np.asarray(flash_attn.flash_attention(
+            jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf),
+            jnp.asarray(off, jnp.int32), sliding_window=win))
+        kkr = np.asarray(_c.repeat_kv(jnp.asarray(kf), gg))
+        vvr = np.asarray(_c.repeat_kv(jnp.asarray(vf), gg))
+        aerr = 0.0
+        for h in range(Hf):
+            for r in range(0, Sq, max(1, Sq // 8)):  # spot-check rows
+                qp = off + r
+                lo = max(0, qp + 1 - (win or Sk + Sq + 1))
+                lg = (kkr[0, h, lo:qp + 1].astype(np.float64)
+                      @ qf[0, h, r]) / np.sqrt(128)
+                pr = np.exp(lg - lg.max())
+                pr /= pr.sum()
+                aerr = max(aerr, np.abs(outf[0, h, r]
+                                        - pr @ vvr[0, h, lo:qp + 1]).max())
+        ok = aerr < 5e-2
+        failures += not ok
+        print(f"{'OK ' if ok else 'BAD'} flash Sq={Sq} off={off} win={win} "
+              f"g={gg}: attn err {aerr:.2e}", flush=True)
+
     # in-kernel rope: kernel(pre-rope q/k, rope_theta) vs host-rope oracle
     from squeezellm_tpu.models import common
 

@@ -286,10 +286,28 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
             }
         k, v = cache["k"].astype(x.dtype), cache["v"].astype(x.dtype)
 
-    n_rep = nh // nkv
-    k = common.repeat_kv(k, n_rep)
-    v = common.repeat_kv(v, n_rep)
-    out = common.attention(q, k, v, mask)
+    if (s > 1 and backend.startswith("pallas")
+            and (pos is None or jnp.asarray(pos).ndim == 0)
+            and s % 16 == 0 and k.shape[2] % 16 == 0
+            and os.environ.get("SQUEEZELLM_FLASH_PREFILL", "1") == "1"):
+        # prefill/eval: flash attention (ops/flash_attn.py) — streams
+        # k/v (the window, or the cache's valid prefix) in chunks with
+        # online softmax instead of materializing (B, H, Sq, Sk) logits
+        # and a repeat_kv'd cache. Per-slot verify windows (pos vector)
+        # and unaligned shapes keep the XLA chain. Env gate read at
+        # trace time, like SQUEEZELLM_FUSED_ATTN.
+        from squeezellm_tpu.ops import flash_attn
+
+        offset = jnp.asarray(0 if pos is None else pos, jnp.int32)
+        out = flash_attn.flash_attention(
+            q, k, v, offset, sliding_window=config.sliding_window,
+            interpret=jax.default_backend() not in ("tpu",))
+        out = out.astype(x.dtype)
+    else:
+        n_rep = nh // nkv
+        k = common.repeat_kv(k, n_rep)
+        v = common.repeat_kv(v, n_rep)
+        out = common.attention(q, k, v, mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
     # o-proj is row-parallel under TP: partial products reduce over the axis
     out = common.apply_linear(specs["o"], params["o"], out, backend=backend)

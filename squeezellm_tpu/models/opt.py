@@ -252,7 +252,20 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
             }
         k, v = cache["k"].astype(x.dtype), cache["v"].astype(x.dtype)
 
-    out = common.attention(q, k, v, mask)
+    if (s > 1 and backend.startswith("pallas")
+            and (pos is None or jnp.asarray(pos).ndim == 0)
+            and s % 16 == 0 and k.shape[2] % 16 == 0
+            and os.environ.get("SQUEEZELLM_FLASH_PREFILL", "1") == "1"):
+        # prefill/eval flash attention — see models/llama.py (OPT: no
+        # rope, no GQA, no sliding window)
+        from squeezellm_tpu.ops import flash_attn
+
+        offset = jnp.asarray(0 if pos is None else pos, jnp.int32)
+        out = flash_attn.flash_attention(
+            q, k, v, offset,
+            interpret=jax.default_backend() not in ("tpu",)).astype(x.dtype)
+    else:
+        out = common.attention(q, k, v, mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
     out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
     if axis_name is not None:
