@@ -78,3 +78,22 @@ def test_llama_forward_flash_matches_xla():
     lp = llama.forward(config, specs, jp, tokens, backend="pallas")
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lx), rtol=2e-3,
                                atol=2e-4)
+
+
+def test_llama_forward_flash_sliding_window():
+    """Mistral-style sliding window through the model-level flash gate."""
+    from squeezellm_tpu.models import llama
+    from squeezellm_tpu.quantize import pipeline
+
+    config = llama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        n_layers=2, n_heads=4, n_kv_heads=2, max_seq=64, sliding_window=16,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(1))
+    specs, params = pipeline.quantize_model("llama", config, dense, bits=4)
+    jp = jax.tree.map(jnp.asarray, params)
+    tokens = jnp.asarray(np.arange(48)[None] % 128, jnp.int32)
+    lx = llama.forward(config, specs, jp, tokens, backend="xla")
+    lp = llama.forward(config, specs, jp, tokens, backend="pallas")
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lx), rtol=2e-3,
+                               atol=2e-4)
