@@ -258,8 +258,20 @@ def _phase_baseline():
     print(json.dumps({"tok_s": tok_s}))
 
 
-def _run_phase(name, timeout_s):
-    env = dict(os.environ, BENCH_PHASE=name)
+def _cpu_env():
+    """Environment that CANNOT touch the TPU tunnel: the axon
+    sitecustomize (PYTHONPATH) forces the axon platform even when
+    JAX_PLATFORMS=cpu, and a wedged chip grant makes backend init hang
+    forever — strip the site dir so the phase runs pure-CPU."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    pp = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = ":".join(
+        p for p in pp.split(":") if p and "axon" not in p) or "."
+    return env
+
+
+def _run_phase(name, timeout_s, env_override=None):
+    env = dict(env_override or os.environ, BENCH_PHASE=name)
     # persistent XLA compilation cache: the fused 7B decode step costs
     # ~3 min to compile over the axon tunnel, once per content hash
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
@@ -289,12 +301,22 @@ def main():
         return _phase_baseline()
 
     quant = _run_phase("quant", timeout_s=900)
+    cpu_fallback = False
+    if quant is None:
+        # TPU phase hung or died (e.g. a wedged axon chip grant blocks
+        # backend init forever) — record the CPU smoke number instead of
+        # nothing so the driver always gets a real measurement
+        print("quant phase failed on the default backend; retrying on "
+              "CPU", file=sys.stderr)
+        quant = _run_phase("quant", timeout_s=600, env_override=_cpu_env())
+        cpu_fallback = quant is not None
     if quant is None:
         print(json.dumps({"metric": "llama2_7b_w4s45_decode_tok_s",
                           "value": None, "unit": "tokens/s",
                           "vs_baseline": None}))
         return 1
-    baseline = _run_phase("baseline", timeout_s=600)
+    baseline = _run_phase("baseline", timeout_s=600,
+                          env_override=_cpu_env() if cpu_fallback else None)
     base_tok_s = baseline["tok_s"] if baseline else quant["roofline_baseline_tok_s"]
     result = {
         "metric": "llama2_7b_w4s45_decode_tok_s" if quant["on_tpu"]
