@@ -325,6 +325,10 @@ def main():
         "unit": "tokens/s",
         "vs_baseline": round(quant["tok_s"] / base_tok_s, 3) if base_tok_s else None,
     }
+    if cpu_fallback:
+        result["note"] = ("TPU backend init hung (wedged chip grant); "
+                          "CPU smoke fallback — not comparable to TPU "
+                          "rounds")
     print(json.dumps(result))
     return 0
 
