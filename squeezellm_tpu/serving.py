@@ -248,9 +248,12 @@ class ContinuousBatchEngine:
             )
 
         self._insert = _insert
+        # token axis rounded to 16: keeps the fused decode attention
+        # kernel's tile-aligned chunking engaged for any max_seq (extra
+        # rows sit beyond every position and are never attended)
         self.cache = common.init_kv_cache(
-            slots, self.max_seq, config.n_layers, config.n_kv_heads,
-            config.head_dim, cache_dtype,
+            slots, -(-self.max_seq // 16) * 16, config.n_layers,
+            config.n_kv_heads, config.head_dim, cache_dtype,
         )
         self._slots = [_Slot() for _ in range(slots)]
         self._next_id = 0
