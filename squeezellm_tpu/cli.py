@@ -230,12 +230,19 @@ def cmd_serve_bench(args):
     spec = tuple(args.speculative) if args.speculative else None
     if args.tp and args.tp > 1:
         if args.paged:
-            raise SystemExit("--tp composes with the dense-slot engine only "
-                             "(paged TP: not yet wired)")
-        eng = serving.TPContinuousBatchEngine(
-            model_type, config, specs, params, tp=args.tp, slots=args.slots,
-            backend=args.backend, max_seq=args.seqlen, speculative=spec,
-        )
+            eng = serving.TPPagedContinuousBatchEngine(
+                model_type, config, specs, params, tp=args.tp,
+                slots=args.slots, backend=args.backend, max_seq=args.seqlen,
+                page_size=args.page_size,
+                n_pages=-(-args.seqlen // args.page_size) * args.slots,
+                speculative=spec,
+            )
+        else:
+            eng = serving.TPContinuousBatchEngine(
+                model_type, config, specs, params, tp=args.tp,
+                slots=args.slots, backend=args.backend, max_seq=args.seqlen,
+                speculative=spec,
+            )
     elif args.paged:
         eng = serving.PagedContinuousBatchEngine(
             model_type, config, specs, params, slots=args.slots,

@@ -449,6 +449,109 @@ def make_tp_serving_fns(model_type: str, config, local_specs, pspecs,
     return jax.jit(prefill), {False: _adv(False), True: _adv(True)}
 
 
+def pool_pspecs(n_layers: int):
+    """Paged KV pools (P_pages, H_kv, ps, D) sharded over kv heads."""
+    return [{"pk": P(None, AXIS, None, None), "pv": P(None, AXIS, None, None)}
+            for _ in range(n_layers)]
+
+
+def make_tp_paged_fns(model_type: str, config, local_specs, pspecs,
+                      mesh: Mesh, *, ps: int, max_seq: int,
+                      backend: str = "auto", dtype=jnp.float32,
+                      seed: int = 0):
+    """Jitted shard_map functions for the TP paged engine
+    (serving.TPPagedContinuousBatchEngine) — identical call signatures
+    to the single-device paged engine's jitted closures, with the page
+    pools and dense admission cache sharded over kv heads (all paged
+    ops are head-local; the only collectives are the model's two psums
+    per layer and the lm_head reduce).
+    """
+    from squeezellm_tpu import sampling as sampling_mod
+    from squeezellm_tpu import serving as serving_mod
+
+    mod = registry.get_model_module(model_type)
+    plspec = pool_pspecs(config.n_layers)
+    cspec = cache_pspecs(config.n_layers)
+    rep = P(None)
+    rep2 = P(None, None)
+    rep3 = P(None, None, None)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pspecs, rep2, cspec, P()),
+             out_specs=(rep3, cspec), check_vma=False)
+    def prefill(params, tokens, cache, start):
+        p = _unstack(params, pspecs)
+        return mod.prefill(config, local_specs, p, tokens, cache,
+                           backend=backend, dtype=dtype, axis_name=AXIS,
+                           start=start)
+
+    def _adv(sampled):
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(pspecs, rep2, rep, plspec, rep2,
+                           rep, rep, rep, rep),
+                 out_specs=(rep, rep, plspec), check_vma=False)
+        def decode_adv(params, token, pos, caches, pt, temp, topk, topp,
+                       rids):
+            p = _unstack(params, pspecs)
+            c2 = [dict(c, pt=pt) for c in caches]
+            logits, nc = mod.decode_step(config, local_specs, p, token, pos,
+                                         c2, backend=backend, dtype=dtype,
+                                         axis_name=AXIS)
+            nc = [{k: v for k, v in c.items() if k != "pt"} for c in nc]
+            if sampled:
+                nxt = sampling_mod.sample_tokens(
+                    logits[:, -1].astype(jnp.float32), temp, topk, topp,
+                    rids, jnp.maximum(pos, 0), seed)
+            else:
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            p2 = jnp.where(pos < 0, pos, pos + 1)
+            return nxt, p2, nc
+
+        return jax.jit(decode_adv, donate_argnums=(3,))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(plspec, cspec, rep), out_specs=cspec,
+             check_vma=False)
+    def prime_dense(pools, dense, pids):
+        return serving_mod._prime_dense_impl(pools, dense, pids, ps=ps,
+                                             max_seq=max_seq)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(plspec, cspec, rep, P(), P()), out_specs=plspec,
+             check_vma=False)
+    def scatter_all(pools, dense, pids, first_page, cnt):
+        return serving_mod._scatter_all_impl(pools, dense, pids, first_page,
+                                             cnt, ps=ps)
+
+    def make_spec_fn(draft_len, ngram):
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(pspecs, rep2, rep2, rep, plspec, rep2),
+                 out_specs=(rep2, rep, rep2, rep2, plspec), check_vma=False)
+        def spec_window(params, ctx, cur, pos, caches, pt):
+            p = _unstack(params, pspecs)
+            draft = serving_mod._prompt_lookup_draft(ctx, pos, draft_len,
+                                                     ngram)
+            window = jnp.concatenate([cur, draft], axis=1)
+            c2 = [dict(c, pt=pt) for c in caches]
+            logits, nc = mod.verify_window(config, local_specs, p, window,
+                                           pos, c2, backend=backend,
+                                           dtype=dtype, axis_name=AXIS)
+            nc = [{k: v for k, v in c.items() if k != "pt"} for c in nc]
+            emit, n_acc, cur2, ctx = serving_mod._accept_drafts(
+                logits, draft, ctx, pos)
+            return emit, n_acc, cur2, ctx, nc
+
+        return jax.jit(spec_window, donate_argnums=(4,))
+
+    return {
+        "prefill": jax.jit(prefill),
+        "adv": {False: _adv(False), True: _adv(True)},
+        "prime": jax.jit(prime_dense, donate_argnums=(1,)),
+        "scatter": jax.jit(scatter_all, donate_argnums=(0,)),
+        "make_spec": make_spec_fn,
+    }
+
+
 def make_tp_spec_window_fn(model_type: str, config, local_specs, pspecs,
                            mesh: Mesh, draft_len: int, ngram: int, *,
                            backend: str = "auto", dtype=jnp.float32):

@@ -588,6 +588,65 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
 # ---------------------------------------------------------------------------
 
 
+def _prime_dense_impl(pools, dense, pids, *, ps: int, max_seq: int):
+    """Prime a fresh dense temp cache with the shared pages for EVERY
+    layer in one dispatch (the per-layer eager version cost ~0.15 s of
+    pure dispatch overhead per admission at 7B). The full m*ps rows are
+    written (pow2 padding repeats the last page); rows beyond the true
+    shared prefix are overwritten by the continuation prefill or stay
+    causally masked until decode writes them — exactly like the zero
+    rows they replace. Shared by the single-device and shard_map-TP
+    paged engines (head-axis ops only — per-shard local under TP)."""
+    rows = min(pids.shape[0] * ps, max_seq)
+
+    def one_layer(pool_kv, d):
+        def one(pid):
+            return {
+                "k": jax.lax.dynamic_slice_in_dim(pool_kv["pk"], pid, 1)[0],
+                "v": jax.lax.dynamic_slice_in_dim(pool_kv["pv"], pid, 1)[0],
+            }
+        kv = jax.lax.map(one, pids)
+
+        def to_dense(a):
+            m = a.shape[0]
+            return a.transpose(1, 0, 2, 3).reshape(
+                1, a.shape[1], m * ps, a.shape[3])[:, :, :rows]
+
+        k = jax.lax.dynamic_update_slice(
+            d["k"], to_dense(kv["k"]).astype(d["k"].dtype), (0, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            d["v"], to_dense(kv["v"]).astype(d["v"].dtype), (0, 0, 0, 0))
+        return {"k": k, "v": v}
+
+    return [one_layer(p, d) for p, d in zip(pools, dense)]
+
+
+def _scatter_all_impl(pools, dense, pids, first_page, cnt, *, ps: int):
+    """Write the new (non-shared) prompt pages of EVERY layer back into
+    the pool in one dispatch. pids may be pow2-padded (repeat-last):
+    iterations beyond cnt must be no-ops — a clamped dense slice would
+    otherwise overwrite the real last page with wrong rows."""
+    new = []
+    for pool_kv, d in zip(pools, dense):
+        def body(i, pools_kv, dk=d["k"], dv=d["v"]):
+            def write(pools_kv):
+                pk, pv = pools_kv
+                src_k = jax.lax.dynamic_slice_in_dim(
+                    dk[0], (first_page + i) * ps, ps, axis=1)
+                src_v = jax.lax.dynamic_slice_in_dim(
+                    dv[0], (first_page + i) * ps, ps, axis=1)
+                pk = jax.lax.dynamic_update_slice_in_dim(
+                    pk, src_k[None].astype(pk.dtype), pids[i], axis=0)
+                pv = jax.lax.dynamic_update_slice_in_dim(
+                    pv, src_v[None].astype(pv.dtype), pids[i], axis=0)
+                return pk, pv
+            return jax.lax.cond(i < cnt, write, lambda p: p, pools_kv)
+        pk, pv = jax.lax.fori_loop(
+            0, pids.shape[0], body, (pool_kv["pk"], pool_kv["pv"]))
+        new.append({"pk": pk, "pv": pv})
+    return new
+
+
 class PagedKVPool:
     """Host-side page allocator + device page pools (one pid spans all
     layers: layer L's page data lives at pools[L]['pk'][pid]).
@@ -768,71 +827,12 @@ class PagedContinuousBatchEngine:
                 lg.astype(jnp.float32), temp, topk, topp, rids,
                 jnp.maximum(pos, 0), seed))
 
-        def _prime_dense(pools, dense, pids):
-            """Prime a fresh dense temp cache with the shared pages for
-            EVERY layer in one dispatch (the per-layer eager version cost
-            ~0.15 s of pure dispatch overhead per admission at 7B). The
-            full m*ps rows are written (pow2 padding repeats the last
-            page); rows beyond the true shared prefix are overwritten by
-            the continuation prefill or stay causally masked until decode
-            writes them — exactly like the zero rows they replace."""
-            rows = min(pids.shape[0] * self.ps, self.max_seq)
-
-            def one_layer(pool_kv, d):
-                def one(pid):
-                    return {
-                        "k": jax.lax.dynamic_slice_in_dim(
-                            pool_kv["pk"], pid, 1)[0],
-                        "v": jax.lax.dynamic_slice_in_dim(
-                            pool_kv["pv"], pid, 1)[0],
-                    }
-                kv = jax.lax.map(one, pids)
-
-                def to_dense(a):
-                    m = a.shape[0]
-                    return a.transpose(1, 0, 2, 3).reshape(
-                        1, a.shape[1], m * self.ps, a.shape[3])[:, :, :rows]
-
-                k = jax.lax.dynamic_update_slice(
-                    d["k"], to_dense(kv["k"]).astype(d["k"].dtype),
-                    (0, 0, 0, 0))
-                v = jax.lax.dynamic_update_slice(
-                    d["v"], to_dense(kv["v"]).astype(d["v"].dtype),
-                    (0, 0, 0, 0))
-                return {"k": k, "v": v}
-
-            return [one_layer(p, d) for p, d in zip(pools, dense)]
-
-        def _scatter_all(pools, dense, pids, first_page, cnt):
-            """Write the new (non-shared) prompt pages of EVERY layer back
-            into the pool in one dispatch. pids may be pow2-padded
-            (repeat-last): iterations beyond cnt must be no-ops — a
-            clamped dense slice would otherwise overwrite the real last
-            page with wrong rows."""
-            new = []
-            for pool_kv, d in zip(pools, dense):
-                def body(i, pools_kv, dk=d["k"], dv=d["v"]):
-                    def write(pools_kv):
-                        pk, pv = pools_kv
-                        src_k = jax.lax.dynamic_slice_in_dim(
-                            dk[0], (first_page + i) * self.ps, self.ps,
-                            axis=1)
-                        src_v = jax.lax.dynamic_slice_in_dim(
-                            dv[0], (first_page + i) * self.ps, self.ps,
-                            axis=1)
-                        pk = jax.lax.dynamic_update_slice_in_dim(
-                            pk, src_k[None].astype(pk.dtype), pids[i], axis=0)
-                        pv = jax.lax.dynamic_update_slice_in_dim(
-                            pv, src_v[None].astype(pv.dtype), pids[i], axis=0)
-                        return pk, pv
-                    return jax.lax.cond(i < cnt, write, lambda p: p, pools_kv)
-                pk, pv = jax.lax.fori_loop(
-                    0, pids.shape[0], body, (pool_kv["pk"], pool_kv["pv"]))
-                new.append({"pk": pk, "pv": pv})
-            return new
-
-        self._prime_dense = jax.jit(_prime_dense, donate_argnums=(1,))
-        self._scatter_all = jax.jit(_scatter_all, donate_argnums=(0,))
+        self._prime_dense = jax.jit(
+            functools.partial(_prime_dense_impl, ps=self.ps,
+                              max_seq=self.max_seq), donate_argnums=(1,))
+        self._scatter_all = jax.jit(
+            functools.partial(_scatter_all_impl, ps=self.ps),
+            donate_argnums=(0,))
 
         self._slots = [_Slot() for _ in range(slots)]
         self._slot_pages: List[List[int]] = [[] for _ in range(slots)]
@@ -1103,3 +1103,101 @@ class PagedContinuousBatchEngine:
                 if r["done"]:
                     results[rid] = r["tokens"]
         return results
+
+
+class TPPagedContinuousBatchEngine(PagedContinuousBatchEngine):
+    """Tensor-parallel paged serving: the paged engine's full request
+    lifecycle (page pool + prefix sharing + continuation prefill +
+    chained windows + speculation) with every weight pass sharded over a
+    tp-device mesh. Page pools and the dense admission cache are sharded
+    over KV HEADS, so every paged operation (page prime/scatter, the
+    page-table attention kernels) stays shard-local; the only
+    collectives are the model's two psums per layer and the lm_head
+    reduce. Host-side pool bookkeeping (page ids, refcounts, the prefix
+    registry) is inherited unchanged — page identity is head-agnostic.
+    """
+
+    def __init__(self, model_type: str, config, specs, params, *,
+                 tp: int, slots: int = 8, n_pages: int = 256,
+                 page_size: int = 128, backend: str = "auto",
+                 dtype=jnp.float32, cache_dtype=jnp.bfloat16,
+                 max_seq: Optional[int] = None, seed: int = 0,
+                 devices=None, build_spmv: bool = True,
+                 speculative: Optional[Tuple[int, int]] = None):
+        from jax.sharding import NamedSharding
+
+        from squeezellm_tpu.parallel import tp_shard_map as tpm
+
+        self.config = config
+        self.n_slots = slots
+        self.max_seq = max_seq or config.max_seq
+        self.speculative = speculative
+        _init_sampler_state(self, slots, seed)
+        self.ps = page_size
+        self.maxp = -(-self.max_seq // page_size)
+
+        self.mesh = tpm.make_tp_mesh(tp, devices)
+        lspecs, sparams, pspecs = tpm.shard_model_params(
+            model_type, config, specs, params, tp, build_spmv=build_spmv)
+        self.specs = lspecs
+        self.params = tpm.put_params(sparams, pspecs, self.mesh)
+
+        self.pool = PagedKVPool(config.n_layers, n_pages, config.n_kv_heads,
+                                page_size, config.head_dim, cache_dtype)
+        self.pool.pools = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            self.pool.pools, tpm.pool_pspecs(config.n_layers))
+        fns = tpm.make_tp_paged_fns(
+            model_type, config, lspecs, pspecs, self.mesh, ps=page_size,
+            max_seq=self.max_seq, backend=backend, dtype=dtype, seed=seed)
+        self._prefill = fns["prefill"]
+        self._adv_fns = fns["adv"]
+        self._prime_dense = fns["prime"]
+        self._scatter_all = fns["scatter"]
+        if speculative:
+            self._tp_spec_fn = fns["make_spec"](*speculative)
+
+        self._slots = [_Slot() for _ in range(slots)]
+        self._slot_pages = [[] for _ in range(slots)]
+        self._slot_shared = [0] * slots
+        self._next_id = 0
+        self._cur = jnp.zeros((slots, 1), jnp.int32)
+        self._pos = np.full(slots, -1, np.int64)
+        self._pt = np.zeros((slots, self.maxp), np.int32)
+        self._ctx = (jnp.zeros((slots, self.max_seq), jnp.int32)
+                     if speculative else None)
+
+    def _decode_adv(self, params, token, pos, caches, pt, temp, topk, topp,
+                    rids, sampled):
+        return self._adv_fns[bool(sampled)](params, token, pos, caches, pt,
+                                            temp, topk, topp, rids)
+
+    def _spec_window_fn(self, params, ctx, cur, pos, caches, pt, draft_len,
+                        ngram):
+        # draft_len/ngram fixed at construction (shard_map has no statics)
+        return self._tp_spec_fn(params, ctx, cur, pos, caches, pt)
+
+    def step(self) -> Dict[int, Any]:
+        if not any(s.active for s in self._slots):
+            return {}
+        pos = jnp.asarray(self._pos, jnp.int32)
+        sampled = bool((self._temp > 0).any())
+        nxt, _, caches = self._decode_adv(
+            self.params, self._cur, pos, self._layer_caches(),
+            jnp.asarray(self._pt), *_sampler_args(self), sampled)
+        for li, c in enumerate(caches):
+            self.pool.pools[li] = {"pk": c["pk"], "pv": c["pv"]}
+        nxt_host = np.asarray(nxt)
+        self._cur = nxt[:, None]
+        out: Dict[int, Any] = {}
+        for i, s in enumerate(self._slots):
+            if not s.active:
+                continue
+            new, done = _emit_tokens(s, [nxt_host[i]])
+            self._pos[i] = s.pos
+            out[s.request_id] = {"token": new[-1], "new_tokens": new,
+                                 "done": done}
+            if done:
+                out[s.request_id]["tokens"] = s.tokens
+                self._release(i)
+        return out

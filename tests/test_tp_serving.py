@@ -83,3 +83,48 @@ def test_tp_speculative_matches_plain():
         np.testing.assert_array_equal(np.asarray(got[rid]),
                                       np.asarray(want[rid]),
                                       err_msg=f"request {rid}")
+
+
+def test_tp_paged_matches_single_device_paged():
+    """TP paged engine (pools sharded over kv heads): token-exact vs the
+    single-device paged engine — prefix sharing + staggered joins."""
+    config, specs, params = _model()
+    rng = np.random.default_rng(5)
+    shared = rng.integers(0, config.vocab_size, 16).tolist()  # 1 full page
+    prompts = [shared + [5], rng.integers(0, config.vocab_size, 9).tolist(),
+               shared + [9], shared + [5]]
+    jp = jax.tree.map(jnp.asarray, params)
+    want = serving.PagedContinuousBatchEngine(
+        "llama", config, specs, jp, slots=2, n_pages=24, page_size=16,
+        backend="xla", cache_dtype=jnp.float32,
+    ).run(prompts, max_new_tokens=8, window=4)
+    got = serving.TPPagedContinuousBatchEngine(
+        "llama", config, specs, params, tp=4, slots=2, n_pages=24,
+        page_size=16, backend="xla", cache_dtype=jnp.float32,
+    ).run(prompts, max_new_tokens=8, window=4)
+    assert sorted(got) == sorted(want)
+    for rid in want:
+        np.testing.assert_array_equal(np.asarray(got[rid]),
+                                      np.asarray(want[rid]),
+                                      err_msg=f"request {rid}")
+
+
+def test_tp_paged_speculative():
+    """TP paged + speculation: token-exact vs plain TP paged."""
+    config, specs, params = _model()
+    rng = np.random.default_rng(6)
+    phrase = rng.integers(0, config.vocab_size, 5).tolist()
+    prompts = [phrase * 5, rng.integers(0, config.vocab_size, 7).tolist()]
+    want = serving.TPPagedContinuousBatchEngine(
+        "llama", config, specs, params, tp=4, slots=2, n_pages=24,
+        page_size=16, backend="xla", cache_dtype=jnp.float32,
+    ).run(prompts, max_new_tokens=10, window=4)
+    got = serving.TPPagedContinuousBatchEngine(
+        "llama", config, specs, params, tp=4, slots=2, n_pages=24,
+        page_size=16, backend="xla", cache_dtype=jnp.float32,
+        speculative=(4, 2),
+    ).run(prompts, max_new_tokens=10)
+    for rid in want:
+        np.testing.assert_array_equal(np.asarray(got[rid]),
+                                      np.asarray(want[rid]),
+                                      err_msg=f"request {rid}")
