@@ -313,7 +313,21 @@ def cmd_serve(args):
 
     model_type, config, specs, params = _load_any(args.model)
     spec = tuple(args.speculative) if args.speculative else None
-    if args.paged:
+    tp = getattr(args, "tp", 0) or 0
+    if tp > 1 and args.paged:
+        eng = serving.TPPagedContinuousBatchEngine(
+            model_type, config, specs, params, tp=tp, slots=args.slots,
+            backend=args.backend, max_seq=args.seqlen,
+            page_size=args.page_size,
+            n_pages=-(-args.seqlen // args.page_size) * args.slots,
+            speculative=spec,
+        )
+    elif tp > 1:
+        eng = serving.TPContinuousBatchEngine(
+            model_type, config, specs, params, tp=tp, slots=args.slots,
+            backend=args.backend, max_seq=args.seqlen, speculative=spec,
+        )
+    elif args.paged:
         eng = serving.PagedContinuousBatchEngine(
             model_type, config, specs, params, slots=args.slots,
             backend=args.backend, max_seq=args.seqlen,
@@ -493,6 +507,8 @@ def main(argv=None):
     sv.add_argument("--page-size", type=int, default=128)
     sv.add_argument("--speculative", nargs=2, type=int, default=None,
                     metavar=("DRAFT_LEN", "NGRAM"))
+    sv.add_argument("--tp", type=int, default=0,
+                    help="tensor-parallel serving over a tp-device mesh")
     sv.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas", "pallas-bf16"])
     sv.set_defaults(fn=cmd_serve)
