@@ -1,0 +1,50 @@
+#!/bin/bash
+# One-command hardware validation queue (ROADMAP item 8).
+#
+# Run on a machine where the axon TPU answers (jax.default_backend()=="tpu"
+# within ~60 s). Order matters: correctness first, then the perf A/Bs that
+# decide env-var defaults, then the flagship bench. NEVER run two of these
+# concurrently — a client killed mid-claim can wedge the chip grant for
+# hours (see ROADMAP note / memory).
+#
+#   bash scripts/hw_session.sh [stage ...]     # default: all stages
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/.axon_site:.
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_comp_cache}
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+
+STAGES=${*:-verify probe_fused probe_w3 serve prefix bench}
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== [$name] $*" >&2
+  timeout "$t" "$@" 2>&1 | tee "/tmp/hw_${name}.log" | tail -20
+  echo "=== [$name] exit ${PIPESTATUS[0]}" >&2
+}
+
+for s in $STAGES; do
+  case $s in
+    verify)      # all kernels incl. decode_attn/rope/paged_verify/flash
+      run verify 2400 python -u scripts/tpu_verify.py ;;
+    probe_fused) # fused attention A/B, scan vs engine protocol, w4
+      SQUEEZELLM_FUSED_ATTN=1 run probe_f1 3000 python -u scripts/decode_probe.py \
+          --variants pallasbf16-s45-bf16act-fused pallasbf16-s45-bf16act-fused-eng --steps 64
+      SQUEEZELLM_FUSED_ATTN=0 run probe_f0 3000 python -u scripts/decode_probe.py \
+          --variants pallasbf16-s45-bf16act-fused pallasbf16-s45-bf16act-fused-eng --steps 64 ;;
+    probe_w3)    # w3 flagship-adjacent numbers with the fused kernels
+      run probe_w3 3000 python -u scripts/decode_probe.py \
+          --variants pallasbf16-s45-w3-bf16act-fused pallasbf16-s45-w3-bf16act-fused-eng --steps 64 ;;
+    serve)       # serving ladders incl. spec (paged + dense)
+      run serve 3600 python -u scripts/serve_probe.py 8 16
+      run serve_paged 3600 python -u scripts/serve_probe.py --paged 8 16
+      run serve_spec 3600 python -u scripts/serve_probe.py --spec 8
+      SQUEEZELLM_DENSE_WINDOW=chained run serve_chained 3600 \
+          python -u scripts/serve_probe.py 8 ;;
+    prefix)      # OPEN BUG: prefix-shared admission 15x slower on hw
+      run prefix 3600 python -u scripts/serve_probe.py --prefix ;;
+    bench)       # flagship (fused attention ON by default)
+      run bench 3600 python bench.py ;;
+    *) echo "unknown stage $s" >&2 ;;
+  esac
+done
