@@ -306,8 +306,10 @@ def main():
         # TPU phase hung or died (e.g. a wedged axon chip grant blocks
         # backend init forever) — record the CPU smoke number instead of
         # nothing so the driver always gets a real measurement
-        print("quant phase failed on the default backend; retrying on "
-              "CPU", file=sys.stderr)
+        print("quant phase failed on the default backend (timeout or "
+              "crash — a wedged axon grant hangs init forever, but a "
+              "kernel crash lands here too); retrying on CPU",
+              file=sys.stderr)
         quant = _run_phase("quant", timeout_s=600, env_override=_cpu_env())
         cpu_fallback = quant is not None
     if quant is None:
@@ -326,9 +328,9 @@ def main():
         "vs_baseline": round(quant["tok_s"] / base_tok_s, 3) if base_tok_s else None,
     }
     if cpu_fallback:
-        result["note"] = ("TPU backend init hung (wedged chip grant); "
-                          "CPU smoke fallback — not comparable to TPU "
-                          "rounds")
+        result["note"] = ("default-backend quant phase failed (timeout or "
+                          "crash — see stderr); CPU smoke fallback, not "
+                          "comparable to TPU rounds")
     print(json.dumps(result))
     return 0
 

@@ -15,12 +15,23 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_c
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 
 STAGES=${*:-verify probe_fused probe_w3 serve prefix bench}
+FAILED=0
 
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
   echo "=== [$name] $*" >&2
   timeout "$t" "$@" 2>&1 | tee "/tmp/hw_${name}.log" | tail -20
-  echo "=== [$name] exit ${PIPESTATUS[0]}" >&2
+  local rc=${PIPESTATUS[0]}
+  echo "=== [$name] exit $rc" >&2
+  if [ "$rc" -ne 0 ]; then
+    FAILED=1
+    if [ "$name" = verify ]; then
+      # correctness gates perf: numbers from kernels just shown wrong
+      # (or a dead chip) are worse than no numbers
+      echo "=== verify FAILED — aborting the perf stages" >&2
+      exit 1
+    fi
+  fi
 }
 
 for s in $STAGES; do
@@ -45,6 +56,7 @@ for s in $STAGES; do
       run prefix 3600 python -u scripts/serve_probe.py --prefix ;;
     bench)       # flagship (fused attention ON by default)
       run bench 3600 python bench.py ;;
-    *) echo "unknown stage $s" >&2 ;;
+    *) echo "unknown stage $s" >&2; FAILED=1 ;;
   esac
 done
+exit $FAILED

@@ -217,6 +217,32 @@ def cmd_benchmark(args):
     print(json.dumps(stats, indent=2))
 
 
+def _build_serving_engine(args, model_type, config, specs, params):
+    """One engine-construction ladder for serve-bench AND serve: picks
+    {dense, paged} x {single-device, TP} from args, with speculation."""
+    from squeezellm_tpu import serving
+
+    spec = tuple(args.speculative) if args.speculative else None
+    tp = getattr(args, "tp", 0) or 0
+    paged_kw = dict(
+        page_size=args.page_size,
+        n_pages=-(-args.seqlen // args.page_size) * args.slots,
+    )
+    common_kw = dict(slots=args.slots, backend=args.backend,
+                     max_seq=args.seqlen, speculative=spec)
+    if tp > 1 and args.paged:
+        return serving.TPPagedContinuousBatchEngine(
+            model_type, config, specs, params, tp=tp, **paged_kw, **common_kw)
+    if tp > 1:
+        return serving.TPContinuousBatchEngine(
+            model_type, config, specs, params, tp=tp, **common_kw)
+    if args.paged:
+        return serving.PagedContinuousBatchEngine(
+            model_type, config, specs, params, **paged_kw, **common_kw)
+    return serving.ContinuousBatchEngine(
+        model_type, config, specs, params, **common_kw)
+
+
 def cmd_serve_bench(args):
     """Continuous-batching throughput: total generated tokens/s across a
     pool of concurrent requests (vs the latency-oriented 'benchmark')."""
@@ -224,39 +250,8 @@ def cmd_serve_bench(args):
 
     import numpy as np
 
-    from squeezellm_tpu import serving
-
     model_type, config, specs, params = _load_any(args.model)
-    spec = tuple(args.speculative) if args.speculative else None
-    if args.tp and args.tp > 1:
-        if args.paged:
-            eng = serving.TPPagedContinuousBatchEngine(
-                model_type, config, specs, params, tp=args.tp,
-                slots=args.slots, backend=args.backend, max_seq=args.seqlen,
-                page_size=args.page_size,
-                n_pages=-(-args.seqlen // args.page_size) * args.slots,
-                speculative=spec,
-            )
-        else:
-            eng = serving.TPContinuousBatchEngine(
-                model_type, config, specs, params, tp=args.tp,
-                slots=args.slots, backend=args.backend, max_seq=args.seqlen,
-                speculative=spec,
-            )
-    elif args.paged:
-        eng = serving.PagedContinuousBatchEngine(
-            model_type, config, specs, params, slots=args.slots,
-            backend=args.backend, max_seq=args.seqlen,
-            page_size=args.page_size,
-            n_pages=-(-args.seqlen // args.page_size) * args.slots,
-            speculative=spec,
-        )
-    else:
-        eng = serving.ContinuousBatchEngine(
-            model_type, config, specs, params, slots=args.slots,
-            backend=args.backend, max_seq=args.seqlen,
-            speculative=spec,
-        )
+    eng = _build_serving_engine(args, model_type, config, specs, params)
     rng = np.random.default_rng(args.seed)
     prompts = [
         rng.integers(0, config.vocab_size, rng.integers(4, 32)).tolist()
@@ -309,38 +304,9 @@ def cmd_serve(args):
     import time
 
     from squeezellm_tpu import server as server_mod
-    from squeezellm_tpu import serving
 
     model_type, config, specs, params = _load_any(args.model)
-    spec = tuple(args.speculative) if args.speculative else None
-    tp = getattr(args, "tp", 0) or 0
-    if tp > 1 and args.paged:
-        eng = serving.TPPagedContinuousBatchEngine(
-            model_type, config, specs, params, tp=tp, slots=args.slots,
-            backend=args.backend, max_seq=args.seqlen,
-            page_size=args.page_size,
-            n_pages=-(-args.seqlen // args.page_size) * args.slots,
-            speculative=spec,
-        )
-    elif tp > 1:
-        eng = serving.TPContinuousBatchEngine(
-            model_type, config, specs, params, tp=tp, slots=args.slots,
-            backend=args.backend, max_seq=args.seqlen, speculative=spec,
-        )
-    elif args.paged:
-        eng = serving.PagedContinuousBatchEngine(
-            model_type, config, specs, params, slots=args.slots,
-            backend=args.backend, max_seq=args.seqlen,
-            page_size=args.page_size,
-            n_pages=-(-args.seqlen // args.page_size) * args.slots,
-            speculative=spec,
-        )
-    else:
-        eng = serving.ContinuousBatchEngine(
-            model_type, config, specs, params, slots=args.slots,
-            backend=args.backend, max_seq=args.seqlen,
-            speculative=spec,
-        )
+    eng = _build_serving_engine(args, model_type, config, specs, params)
     httpd = server_mod.serve(eng, host=args.host, port=args.port,
                              window=args.window)
     print(json.dumps({"listening": f"http://{args.host}:{args.port}",

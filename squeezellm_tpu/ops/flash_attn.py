@@ -48,8 +48,10 @@ def _flash_kernel(off_ref, q_ref, k_in, v_in, out_ref,
     off = off_ref[0]
     qstart = off + qi * bq
     # kv rows attended by this q block: [max(qstart - window + 1, 0),
-    # qstart + bq) clipped causally per row below
-    n = qstart + bq
+    # qstart + bq) clipped causally per row below. Clamp to Sk so a
+    # caller violating offset + Sq <= Sk degrades to masked reads
+    # instead of an OOB chunk DMA past the cache array.
+    n = jnp.minimum(qstart + bq, Sk)
     nchunks = jax.lax.div(n + chunk - 1, chunk)
     lo = jnp.maximum(qstart - window + 1, 0)
     c0 = jax.lax.div(lo, chunk)

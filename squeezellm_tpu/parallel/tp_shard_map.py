@@ -356,8 +356,11 @@ def cache_pspecs(n_layers: int):
 
 def init_tp_cache(config, mesh: Mesh, batch: int = 1, max_seq=None,
                   dtype=jnp.float32):
+    # token axis rounded to 16 like the single-device engines: keeps the
+    # fused decode attention kernel's tile-aligned chunking engaged
+    s = -(-(max_seq or config.max_seq) // 16) * 16
     cache = common.init_kv_cache(
-        batch, max_seq or config.max_seq, config.n_layers, config.n_kv_heads,
+        batch, s, config.n_layers, config.n_kv_heads,
         config.head_dim, dtype,
     )
     cs = cache_pspecs(config.n_layers)

@@ -829,7 +829,8 @@ class PagedContinuousBatchEngine:
 
         self._prime_dense = jax.jit(
             functools.partial(_prime_dense_impl, ps=self.ps,
-                              max_seq=self.max_seq), donate_argnums=(1,))
+                              max_seq=self.maxp * self.ps),
+            donate_argnums=(1,))
         self._scatter_all = jax.jit(
             functools.partial(_scatter_all_impl, ps=self.ps),
             donate_argnums=(0,))
@@ -915,9 +916,15 @@ class PagedContinuousBatchEngine:
         padded = np.zeros((1, min(-(-len(suffix) // b) * b, self.max_seq)),
                           np.int32)
         padded[0, : len(suffix)] = suffix
+        # the temp cache spans FULL pages (maxp*ps >= max_seq): a partial
+        # last page would make _scatter_all_impl's dense slice clamp its
+        # start and scatter wrong rows into the pool when max_seq is not
+        # a page multiple (review finding); full pages also keep the
+        # token axis ps-aligned for the flash/fused kernels
         dense = common.init_kv_cache(
-            1, self.max_seq, self.config.n_layers, self.config.n_kv_heads,
-            self.config.head_dim, self.pool.pools[0]["pk"].dtype)
+            1, self.maxp * self.ps, self.config.n_layers,
+            self.config.n_kv_heads, self.config.head_dim,
+            self.pool.pools[0]["pk"].dtype)
         if n_shared:
             spids = jnp.asarray(_bucket_pow2(shared_pids), jnp.int32)
             dense = self._prime_dense(self.pool.pools, dense, spids)
@@ -1149,7 +1156,8 @@ class TPPagedContinuousBatchEngine(PagedContinuousBatchEngine):
             self.pool.pools, tpm.pool_pspecs(config.n_layers))
         fns = tpm.make_tp_paged_fns(
             model_type, config, lspecs, pspecs, self.mesh, ps=page_size,
-            max_seq=self.max_seq, backend=backend, dtype=dtype, seed=seed)
+            max_seq=self.maxp * self.ps, backend=backend, dtype=dtype,
+            seed=seed)
         self._prefill = fns["prefill"]
         self._adv_fns = fns["adv"]
         self._prime_dense = fns["prime"]

@@ -266,3 +266,27 @@ def test_paged_sliding_window_speculative():
         np.testing.assert_array_equal(np.asarray(got[rid]),
                                       np.asarray(plain[rid]),
                                       err_msg=f"request {rid}")
+
+
+def test_paged_partial_last_page_scatter():
+    """max_seq NOT a multiple of page_size: the admission scatter of a
+    prompt covering the partial last page must not clamp its dense slice
+    (review finding: wrong rows silently landed in the pool). Token
+    parity vs the dense engine is the oracle."""
+    config = llama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        n_layers=2, n_heads=4, n_kv_heads=2, max_seq=40,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(2))
+    specs, params = pipeline.quantize_model("llama", config, dense, bits=4)
+    params = jax.tree.map(jnp.asarray, params)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, 128, 37).tolist()]  # covers 3 of 3 pages
+    want = serving.ContinuousBatchEngine(
+        "llama", config, specs, params, slots=1, backend="xla",
+    ).run(prompts, max_new_tokens=3, window=2)
+    got = serving.PagedContinuousBatchEngine(
+        "llama", config, specs, params, slots=1, n_pages=8, page_size=16,
+        backend="xla", cache_dtype=jnp.float32,
+    ).run(prompts, max_new_tokens=3, window=2)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
