@@ -53,6 +53,7 @@ for s in $STAGES; do
       SQUEEZELLM_DENSE_WINDOW=chained run serve_chained 3600 \
           python -u scripts/serve_probe.py 8 ;;
     prefix)      # OPEN BUG: prefix-shared admission 15x slower on hw
+      run admission 3600 python -u scripts/admission_probe.py
       run prefix 3600 python -u scripts/serve_probe.py --prefix ;;
     bench)       # flagship (fused attention ON by default)
       run bench 3600 python bench.py ;;
