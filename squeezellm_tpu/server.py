@@ -61,6 +61,7 @@ class ServingLoop:
         self.pending: "queue.Queue[_Pending]" = queue.Queue()
         self.cancels: "queue.Queue[_Pending]" = queue.Queue()
         self.served = 0
+        self.failed: Optional[str] = None  # fatal engine error, if any
         self._live: Dict[int, _Pending] = {}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -108,6 +109,25 @@ class ServingLoop:
                 del self._live[req.rid]
 
     def _run(self) -> None:
+        try:
+            self._run_inner()
+        except Exception as e:  # fatal engine error (OOM, device loss, bug)
+            # fail FAST but never silently: every in-flight and queued
+            # request gets an error response instead of hanging forever,
+            # /health reports the failure, and new submissions are
+            # rejected (engine state may be corrupt — no blind restart)
+            self.failed = f"{type(e).__name__}: {e}"
+            for req in list(self._live.values()):
+                req.out.put({"error": f"engine failed: {self.failed}"})
+            self._live.clear()
+            while True:
+                try:
+                    req = self.pending.get_nowait()
+                except queue.Empty:
+                    break
+                req.out.put({"error": f"engine failed: {self.failed}"})
+
+    def _run_inner(self) -> None:
         while not self._stop.is_set():
             self._drain_cancels()
             self._admit()
@@ -155,9 +175,14 @@ def make_handler(loop: ServingLoop):
 
         def do_GET(self):
             if self.path == "/health":
-                self._json(200, {"status": "ok",
-                                 "free_slots": loop.engine.free_slots(),
-                                 "served": loop.served})
+                if loop.failed:
+                    self._json(503, {"status": "failed",
+                                     "error": loop.failed,
+                                     "served": loop.served})
+                else:
+                    self._json(200, {"status": "ok",
+                                     "free_slots": loop.engine.free_slots(),
+                                     "served": loop.served})
             else:
                 self._json(404, {"error": "not found"})
 
@@ -183,6 +208,10 @@ def make_handler(loop: ServingLoop):
             except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
+            if loop.failed:
+                # the engine thread is dead; nothing would ever drain this
+                self._json(503, {"error": f"engine failed: {loop.failed}"})
+                return
             loop.submit(p)
             rid = uuid.uuid4().hex[:12]
             if not p.stream:
@@ -190,8 +219,9 @@ def make_handler(loop: ServingLoop):
                 while True:
                     msg = p.out.get()
                     if "error" in msg:
-                        self._json(429 if "slot" in msg["error"] else 400,
-                                   msg)
+                        code = (503 if "engine failed" in msg["error"]
+                                else 429 if "slot" in msg["error"] else 400)
+                        self._json(code, msg)
                         return
                     toks.extend(msg["new_tokens"])
                     if msg["done"]:

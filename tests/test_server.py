@@ -168,3 +168,50 @@ def test_speculative_paged_server_matches_greedy():
     finally:
         srv.serving_loop.shutdown()
         srv.shutdown()
+
+
+def test_engine_failure_fails_requests_and_health():
+    """A fatal engine exception must not hang clients: in-flight and
+    queued requests get 503-style errors, /health reports failed, and
+    new submissions are rejected."""
+    config = llama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        n_layers=2, n_heads=4, n_kv_heads=2, max_seq=64,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(0))
+    specs, params = pipeline.quantize_model("llama", config, dense, bits=4)
+    params = jax.tree.map(jnp.asarray, params)
+    eng = serving.ContinuousBatchEngine("llama", config, specs, params,
+                                        slots=2, backend="xla")
+
+    calls = {"n": 0}
+    orig = eng.step_window
+
+    def boom(window):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("synthetic device loss")
+        return orig(window)
+
+    eng.step_window = boom
+    srv = server_mod.serve(eng, host="127.0.0.1", port=0, window=4)
+    try:
+        status, data = _post(srv, "/v1/completions",
+                             {"prompt_tokens": [1, 2, 3], "max_tokens": 12})
+        out = json.loads(data)
+        assert status == 503 and "engine failed" in out["error"], out
+
+        conn = http.client.HTTPConnection("127.0.0.1", srv.server_port,
+                                          timeout=30)
+        conn.request("GET", "/health")
+        r = conn.getresponse()
+        health = json.loads(r.read())
+        conn.close()
+        assert r.status == 503 and health["status"] == "failed"
+
+        status2, data2 = _post(srv, "/v1/completions",
+                               {"prompt_tokens": [5], "max_tokens": 2})
+        assert status2 == 503, data2
+    finally:
+        srv.serving_loop.shutdown()
+        srv.shutdown()
