@@ -291,6 +291,7 @@ def cmd_serve_bench(args):
         return round(xs[min(len(xs) - 1, int(p * len(xs)))], 4) if xs else None
 
     print(json.dumps({
+        "engine": type(eng).__name__,
         "requests": args.requests, "slots": args.slots,
         "total_tokens": total, "elapsed_s": round(dt, 3),
         "throughput_tok_s": round(total / dt, 2),
