@@ -14,7 +14,7 @@ export PYTHONPATH=/root/.axon_site:.
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_comp_cache}
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 
-STAGES=${*:-verify probe_fused probe_w3 serve prefix bench}
+STAGES=${*:-verify probe_fused probe_w3 batch serve prefix bench}
 FAILED=0
 
 run() {  # run <name> <timeout_s> <cmd...>
@@ -46,6 +46,12 @@ for s in $STAGES; do
     probe_w3)    # w3 flagship-adjacent numbers with the fused kernels
       run probe_w3 3000 python -u scripts/decode_probe.py \
           --variants pallasbf16-s45-w3-bf16act-fused pallasbf16-s45-w3-bf16act-fused-eng --steps 64 ;;
+    batch)       # batched-decode anomaly: a 16-slot step measured ~4x a
+                 # batch-1 step though weights stream once either way
+      for b in 1 8 16; do
+        run "batch$b" 2400 python -u scripts/decode_probe.py \
+            --variants pallasbf16-s45-bf16act-fused --steps 32 --batch "$b"
+      done ;;
     serve)       # serving ladders incl. spec (paged + dense)
       run serve 3600 python -u scripts/serve_probe.py 8 16
       run serve_paged 3600 python -u scripts/serve_probe.py --paged 8 16
