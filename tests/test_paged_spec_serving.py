@@ -102,3 +102,42 @@ def test_opt_paged_speculative_matches_plain_paged():
         np.testing.assert_array_equal(np.asarray(got[rid]),
                                       np.asarray(want[rid]),
                                       err_msg=f"request {rid}")
+
+
+def test_speculative_reserve_boundary_exact():
+    """prompt + max_new + draft_len+1 == max_seq EXACTLY: the verify
+    window's overhang rows must stay inside the slot's pages (an
+    off-by-one in the reserve math would write through the page table's
+    edge). Repetitive prompt maximizes acceptance so the window really
+    reaches the edge; parity vs plain paged decode is the oracle."""
+    config, specs, params = _model()  # max_seq = 96
+    K = 4
+    phrase = [7, 11, 13]
+    prompt = (phrase * 20)[:59]             # 59 + 32 + (4+1) = 96
+    max_new = 32
+    plain = serving.PagedContinuousBatchEngine(
+        "llama", config, specs, params, slots=1, n_pages=16, page_size=16,
+        backend="xla").run([prompt], max_new_tokens=max_new, window=4)
+    eng = serving.PagedContinuousBatchEngine(
+        "llama", config, specs, params, slots=1, n_pages=16, page_size=16,
+        backend="xla", speculative=(K, 2))
+    got = eng.run([prompt], max_new_tokens=max_new)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(plain[0]))
+    # one more token must be rejected (reserve would be violated)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.add_request(prompt, max_new + 1)
+
+
+def test_dense_speculative_reserve_boundary_exact():
+    config, specs, params = _model()
+    K = 4
+    prompt = ([3, 5] * 40)[:59]
+    max_new = 32                            # 59 + 32 + 5 = 96 == max_seq
+    plain = serving.ContinuousBatchEngine(
+        "llama", config, specs, params, slots=1, backend="xla",
+    ).run([prompt], max_new_tokens=max_new, window=4)
+    got = serving.ContinuousBatchEngine(
+        "llama", config, specs, params, slots=1, backend="xla",
+        speculative=(K, 2)).run([prompt], max_new_tokens=max_new)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(plain[0]))
