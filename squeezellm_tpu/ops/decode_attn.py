@@ -85,11 +85,18 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
     """One (slot b, kv-head h) grid step.
 
     len_ref: (B,) int32 valid tokens per slot INCLUDING the current one
-    q_ref:   (1, 1, g, hd) f32 — query heads of this kv group (pre-rope
-             when rope_theta is set, rope'd by the caller otherwise)
-    kn/vn:   (1, 1, 1, hd) f32 — current token's k/v for this kv head
+    q_ref:   (1, g, hd) f32 — query heads of this kv group (pre-rope
+             when rope_theta is set, rope'd by the caller otherwise).
+             q/kn/vn/out are (B*Hkv, ...)-shaped host-side so every
+             BlockSpec index lands on the LEADING axis — a varying block
+             index on a middle axis of a 3D/4D array is the Mosaic
+             pattern that miscompiles silently on this TPU generation
+             (see ops/pallas_ops.py notes); leading-axis indices are the
+             hardware-verified form.
+    kn/vn:   (1, 1, hd) f32 — current token's k/v for this kv head
     ck/cv:   (B, Hkv, S, hd) dense cache, ANY memory space, aliased in->out
-    out_ref: (1, 1, g, hd) f32
+             (only ever addressed via `.at[b, h]` manual-DMA slices)
+    out_ref: (1, g, hd) f32
     kbuf/vbuf: (2, chunk, hd) VMEM double buffers
     """
     b = pl.program_id(0)
@@ -114,7 +121,7 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
     off2 = jax.lax.div(last, slab) * slab
     sub = last - off2
 
-    kn = kn_ref[0, 0].astype(jnp.float32)  # (1, hd)
+    kn = kn_ref[0].astype(jnp.float32)  # (1, hd)
     if rope_theta is not None:
         kn = _rope_rows(kn, last, rope_theta)
 
@@ -131,7 +138,7 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
         rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
         pairk[:] = jnp.where(rows == sub, kn.astype(pairk.dtype),
                              pairk[:])
-        pairv[:] = jnp.where(rows == sub, vn_ref[0, 0].astype(pairv.dtype),
+        pairv[:] = jnp.where(rows == sub, vn_ref[0].astype(pairv.dtype),
                              pairv[:])
         wk = pltpu.make_async_copy(
             pairk, ck_ref.at[b, h, pl.ds(off2, slab)], wsem.at[0])
@@ -157,7 +164,7 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
         k_copy(c0, jax.lax.rem(c0, 2)).start()
         v_copy(c0, jax.lax.rem(c0, 2)).start()
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (g, hd)
+    q = q_ref[0].astype(jnp.float32)  # (g, hd)
     if rope_theta is not None:
         q = _rope_rows(q, last, rope_theta)
     g, hd = q.shape
@@ -195,7 +202,7 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
             jnp.zeros((g, 1), jnp.float32),
             jnp.zeros((g, hd), jnp.float32))
     m, l, acc = jax.lax.fori_loop(c0, nchunks, body, init)
-    out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+    out_ref[0] = acc / jnp.maximum(l, 1e-30)
 
 
 @functools.partial(jax.jit, static_argnames=("sliding_window", "rope_theta",
@@ -234,19 +241,22 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
     scale = 1.0 / (hd ** 0.5)
     window = S + 1 if sliding_window is None else int(sliding_window)
 
-    q4 = q.reshape(B, Hkv, g, hd).astype(jnp.float32)
-    kn4 = k_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
-    vn4 = v_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
+    # (B, Hkv) collapsed to one leading axis: all VMEM block indices are
+    # leading-axis only (middle-axis block indices miscompile — see the
+    # kernel docstring); the caches stay in ANY and are manually DMA'd.
+    q4 = q.reshape(B * Hkv, g, hd).astype(jnp.float32)
+    kn4 = k_new.reshape(B * Hkv, 1, hd).astype(jnp.float32)
+    vn4 = v_new.reshape(B * Hkv, 1, hd).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv),
         in_specs=[
-            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, g, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -254,7 +264,7 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, g, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -275,7 +285,7 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
         out_shape=[
             jax.ShapeDtypeStruct(ck.shape, ck.dtype),
             jax.ShapeDtypeStruct(cv.shape, cv.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, g, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B * Hkv, g, hd), jnp.float32),
         ],
         input_output_aliases={4: 0, 5: 1},  # cache in -> out (in-place)
         compiler_params=pltpu.CompilerParams(

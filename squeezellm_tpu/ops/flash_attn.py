@@ -37,16 +37,25 @@ from squeezellm_tpu.ops.decode_attn import _pick_chunk
 NEG_INF = -1e30
 
 
-def _flash_kernel(off_ref, q_ref, k_in, v_in, out_ref,
-                  kbuf, vbuf, ksem, vsem,
+def _flash_kernel(off_ref, q_in, k_in, v_in, out_hbm,
+                  qbuf, obuf, kbuf, vbuf, qsem, osem, ksem, vsem,
                   *, Sk: int, chunk: int, bq: int, scale: float,
                   window: int, g: int):
+    # q and the output are ALSO moved with manual DMAs: a BlockSpec index
+    # on the third axis of a 4D array ((b, h, i, 0)) is the middle-axis
+    # block-index pattern that miscompiles silently on this TPU
+    # generation (see ops/pallas_ops.py notes) — every array here stays
+    # in ANY memory and only leading-axis .at[] slices are DMA'd, the
+    # one pattern hardware-verified by the paged/decode kernels.
     b = pl.program_id(0)
     h = pl.program_id(1)
     qi = pl.program_id(2)
     kh = jax.lax.div(h, g)
     off = off_ref[0]
     qstart = off + qi * bq
+    rq = pltpu.make_async_copy(
+        q_in.at[b, h, pl.ds(qi * bq, bq)], qbuf, qsem)
+    rq.start()
     # kv rows attended by this q block: [max(qstart - window + 1, 0),
     # qstart + bq) clipped causally per row below. Clamp to Sk so a
     # caller violating offset + Sq <= Sk degrades to masked reads
@@ -71,7 +80,8 @@ def _flash_kernel(off_ref, q_ref, k_in, v_in, out_ref,
         k_copy(c0, jax.lax.rem(c0, 2)).start()
         v_copy(c0, jax.lax.rem(c0, 2)).start()
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (bq, hd)
+    rq.wait()
+    q = qbuf[...].astype(jnp.float32)  # (bq, hd)
     qpos = qstart + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
 
     def body(p, carry):
@@ -109,7 +119,11 @@ def _flash_kernel(off_ref, q_ref, k_in, v_in, out_ref,
             jnp.zeros((bq, 1), jnp.float32),
             jnp.zeros((bq, hd), jnp.float32))
     m, l, acc = jax.lax.fori_loop(c0, nchunks, body, init)
-    out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+    obuf[...] = acc / jnp.maximum(l, 1e-30)
+    wo = pltpu.make_async_copy(
+        obuf, out_hbm.at[b, h, pl.ds(qi * bq, bq)], osem)
+    wo.start()
+    wo.wait()
 
 
 def _pick_bq(Sq: int, cap: int = 512):
@@ -152,17 +166,18 @@ def flash_attention(q, k, v, offset, *, sliding_window=None,
         num_scalar_prefetch=1,
         grid=(B, H, Sq // bq),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, hd), lambda b, h, i, *_: (b, h, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, hd),
-                               lambda b, h, i, *_: (b, h, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((bq, hd), q.dtype),
+            pltpu.VMEM((bq, hd), jnp.float32),
             pltpu.VMEM((2, chunk, hd), k.dtype),
             pltpu.VMEM((2, chunk, hd), v.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
