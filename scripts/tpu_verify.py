@@ -221,6 +221,95 @@ def main():
     print(f"{'OK ' if ok else 'BAD'} paged_verify: write err {werr:.1e} "
           f"attn err {aerr:.2e}", flush=True)
 
+    # int8 KV paged decode (q8): quantized pools + f32 row-scale sidecar,
+    # in-kernel quantize at the write, dequant on chunk load. The narrow
+    # (32, 1) f32 scale DMA is the hardware-risk piece (interpret mode
+    # can't catch Mosaic slice-alignment rules).
+    from squeezellm_tpu.ops import kv_quant
+
+    B, Hkv, g, hd, ps, P, maxp = 2, 4, 2, 128, 128, 8, 4
+    H = g * Hkv
+    lengths = np.asarray([5, 300], np.int32)
+    pt = np.arange(B * maxp, dtype=np.int32).reshape(B, maxp)
+    hist_k = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    hist_v = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+    qk, sk = kv_quant.quantize_rows(jnp.asarray(hist_k))
+    qv_, sv = kv_quant.quantize_rows(jnp.asarray(hist_v))
+    q = rng.standard_normal((B, H, hd)).astype(np.float32)
+    kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    out, pk2, pv2, sk2, sv2 = paged_attn.paged_decode_attention_q8(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn), qk, qv_, sk, sv,
+        jnp.asarray(pt), jnp.asarray(lengths), page_size=ps)
+    out = np.asarray(out)
+    kd = np.asarray(kv_quant.dequantize_rows(pk2, sk2))
+    vd = np.asarray(kv_quant.dequantize_rows(pv2, sv2))
+    werr = 0.0
+    for b in range(B):
+        n = int(lengths[b])
+        pidx = pt[b, (n - 1) // ps]
+        # write path: dequantized row within half a quant step of kn
+        werr = max(werr, np.abs(kd[pidx, :, (n - 1) % ps] - kn[b]).max())
+    aerr = 0.0
+    for b in range(B):
+        n = int(lengths[b])
+        ks = np.concatenate([kd[pt[b, p]] for p in range((n + ps - 1) // ps)],
+                            axis=1)[:, :n]
+        vs = np.concatenate([vd[pt[b, p]] for p in range((n + ps - 1) // ps)],
+                            axis=1)[:, :n]
+        for h in range(H):
+            kh = h // g
+            lg = (ks[kh].astype(np.float64) @ q[b, h]) / np.sqrt(hd)
+            pr = np.exp(lg - lg.max()); pr /= pr.sum()
+            aerr = max(aerr, np.abs(out[b, h] - pr @ vs[kh]).max())
+    # werr bound: half a quant step of a ~N(0,1) row, |max| ~ 3-4 -> ~0.02
+    ok = werr < 0.05 and aerr < 5e-2
+    failures += not ok
+    print(f"{'OK ' if ok else 'BAD'} paged_attn_q8: write err {werr:.1e} "
+          f"attn err {aerr:.2e}", flush=True)
+
+    # int8 KV verify window (q8 speculative twin), page-crossing write
+    startq = np.asarray([126, 0], np.int32)
+    ptq = np.zeros((2, 3), np.int32)
+    ptq[0] = [1, 2, 3]
+    ptq[1] = [4, 5, 6]
+    Wq = 4
+    hist_k = rng.standard_normal((10, 2, 128, 128)).astype(np.float32)
+    hist_v = rng.standard_normal((10, 2, 128, 128)).astype(np.float32)
+    qk, sk = kv_quant.quantize_rows(jnp.asarray(hist_k))
+    qv_, sv = kv_quant.quantize_rows(jnp.asarray(hist_v))
+    qw = rng.standard_normal((2, 4, Wq, 128)).astype(np.float32)
+    knw = rng.standard_normal((2, 2, Wq, 128)).astype(np.float32)
+    vnw = rng.standard_normal((2, 2, Wq, 128)).astype(np.float32)
+    outw, pk2, pv2, sk2, sv2 = paged_attn.paged_verify_attention_q8(
+        jnp.asarray(qw), jnp.asarray(knw), jnp.asarray(vnw),
+        qk, qv_, sk, sv, jnp.asarray(ptq), jnp.asarray(startq),
+        page_size=128)
+    outw = np.asarray(outw)
+    kd = np.asarray(kv_quant.dequantize_rows(pk2, sk2))
+    vd = np.asarray(kv_quant.dequantize_rows(pv2, sv2))
+    werr = aerr = 0.0
+    for b in range(2):
+        for w in range(Wq):
+            posw = startq[b] + w
+            pid, off = ptq[b, posw // 128], posw % 128
+            werr = max(werr, np.abs(kd[pid, :, off] - knw[b, :, w]).max())
+        k_all = np.concatenate([kd[ptq[b, p]] for p in range(3)], axis=1)
+        v_all = np.concatenate([vd[ptq[b, p]] for p in range(3)], axis=1)
+        for h in range(4):
+            kh = h // 2
+            for w in range(Wq):
+                nw = startq[b] + w + 1
+                lg = (k_all[kh, :nw].astype(np.float64) @ qw[b, h, w]
+                      ) / np.sqrt(128)
+                pr = np.exp(lg - lg.max()); pr /= pr.sum()
+                aerr = max(aerr,
+                           np.abs(outw[b, h, w] - pr @ v_all[kh, :nw]).max())
+    ok = werr < 0.05 and aerr < 5e-2
+    failures += not ok
+    print(f"{'OK ' if ok else 'BAD'} paged_verify_q8: write err {werr:.1e} "
+          f"attn err {aerr:.2e}", flush=True)
+
     # flash prefill attention vs the dense-math oracle (causal + GQA +
     # continuation offset + sliding window)
     from squeezellm_tpu.models import common as _c

@@ -224,12 +224,20 @@ def _build_serving_engine(args, model_type, config, specs, params):
 
     spec = tuple(args.speculative) if args.speculative else None
     tp = getattr(args, "tp", 0) or 0
+    kv = getattr(args, "kv_dtype", None)
+    if kv == "int8" and not args.paged:
+        raise SystemExit("--kv-dtype int8 requires --paged (the int8 pool "
+                         "format lives in the paged kernels; ops/kv_quant.py)")
     paged_kw = dict(
         page_size=args.page_size,
         n_pages=-(-args.seqlen // args.page_size) * args.slots,
     )
     common_kw = dict(slots=args.slots, backend=args.backend,
                      max_seq=args.seqlen, speculative=spec)
+    if kv:
+        import jax.numpy as jnp
+        cd = {"bf16": jnp.bfloat16, "f32": jnp.float32, "int8": "int8"}[kv]
+        (paged_kw if args.paged else common_kw)["cache_dtype"] = cd
     if tp > 1 and args.paged:
         return serving.TPPagedContinuousBatchEngine(
             model_type, config, specs, params, tp=tp, **paged_kw, **common_kw)
@@ -460,6 +468,11 @@ def main(argv=None):
                          "(shard_map Megatron TP; dense-slot engine)")
     sb.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas", "pallas-bf16"])
+    sb.add_argument("--kv-dtype", default=None,
+                    choices=["bf16", "f32", "int8"],
+                    help="KV-cache storage dtype; int8 (paged only) stores "
+                         "codes + per-row f32 scales (ops/kv_quant.py), "
+                         "~2x tokens per HBM byte")
     sb.set_defaults(fn=cmd_serve_bench)
 
     sv = sub.add_parser("serve", help="HTTP serving front-end "
@@ -478,6 +491,9 @@ def main(argv=None):
                     help="tensor-parallel serving over a tp-device mesh")
     sv.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas", "pallas-bf16"])
+    sv.add_argument("--kv-dtype", default=None,
+                    choices=["bf16", "f32", "int8"],
+                    help="KV-cache storage dtype (int8 requires --paged)")
     sv.set_defaults(fn=cmd_serve)
 
     g = sub.add_parser("generate", help="generate tokens")

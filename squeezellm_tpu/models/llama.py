@@ -237,27 +237,47 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         from squeezellm_tpu.ops import paged_attn
 
         interp = jax.default_backend() not in ("tpu",)
+        q8 = "sk" in cache  # int8 pool + f32 scale sidecar (ops/kv_quant.py)
         if s == 1:
             lengths = jnp.broadcast_to(
                 jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
-            out3, pk2, pv2 = paged_attn.paged_decode_attention(
-                q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
-                cache["pk"], cache["pv"], cache["pt"], lengths,
-                page_size=cache["pk"].shape[2],
-                rope_theta=config.rope_theta,
-                sliding_window=config.sliding_window, interpret=interp,
-            )
+            if q8:
+                out3, pk2, pv2, sk2, sv2 = paged_attn.paged_decode_attention_q8(
+                    q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                    cache["pk"], cache["pv"], cache["sk"], cache["sv"],
+                    cache["pt"], lengths, page_size=cache["pk"].shape[2],
+                    rope_theta=config.rope_theta,
+                    sliding_window=config.sliding_window, interpret=interp,
+                )
+            else:
+                out3, pk2, pv2 = paged_attn.paged_decode_attention(
+                    q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                    cache["pk"], cache["pv"], cache["pt"], lengths,
+                    page_size=cache["pk"].shape[2],
+                    rope_theta=config.rope_theta,
+                    sliding_window=config.sliding_window, interpret=interp,
+                )
             out3 = out3[:, :, None, :]
         else:
             starts = jnp.broadcast_to(
                 jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32)
-            out3, pk2, pv2 = paged_attn.paged_verify_attention(
-                q, k, v, cache["pk"], cache["pv"], cache["pt"], starts,
-                page_size=cache["pk"].shape[2],
-                rope_theta=config.rope_theta,
-                sliding_window=config.sliding_window, interpret=interp,
-            )
-        cache = dict(cache, pk=pk2, pv=pv2)
+            if q8:
+                out3, pk2, pv2, sk2, sv2 = paged_attn.paged_verify_attention_q8(
+                    q, k, v, cache["pk"], cache["pv"], cache["sk"],
+                    cache["sv"], cache["pt"], starts,
+                    page_size=cache["pk"].shape[2],
+                    rope_theta=config.rope_theta,
+                    sliding_window=config.sliding_window, interpret=interp,
+                )
+            else:
+                out3, pk2, pv2 = paged_attn.paged_verify_attention(
+                    q, k, v, cache["pk"], cache["pv"], cache["pt"], starts,
+                    page_size=cache["pk"].shape[2],
+                    rope_theta=config.rope_theta,
+                    sliding_window=config.sliding_window, interpret=interp,
+                )
+        cache = (dict(cache, pk=pk2, pv=pv2, sk=sk2, sv=sv2) if q8
+                 else dict(cache, pk=pk2, pv=pv2))
         out = out3.astype(x.dtype)  # (B, H, s, hd)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
         out = common.apply_linear(specs["o"], params["o"], out, backend=backend)

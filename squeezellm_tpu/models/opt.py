@@ -194,20 +194,36 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
         if s == 1:
             lengths = jnp.broadcast_to(
                 jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
-            out3, pk2, pv2 = paged_attn.paged_decode_attention(
-                q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
-                cache["pk"], cache["pv"], cache["pt"], lengths,
-                page_size=cache["pk"].shape[2], interpret=interp,
-            )
+            if "sk" in cache:  # int8 pool (ops/kv_quant.py)
+                out3, pk2, pv2, sk2, sv2 = \
+                    paged_attn.paged_decode_attention_q8(
+                        q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                        cache["pk"], cache["pv"], cache["sk"], cache["sv"],
+                        cache["pt"], lengths,
+                        page_size=cache["pk"].shape[2], interpret=interp)
+            else:
+                out3, pk2, pv2 = paged_attn.paged_decode_attention(
+                    q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                    cache["pk"], cache["pv"], cache["pt"], lengths,
+                    page_size=cache["pk"].shape[2], interpret=interp,
+                )
             out3 = out3[:, :, None, :]
         else:
             starts = jnp.broadcast_to(
                 jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32)
-            out3, pk2, pv2 = paged_attn.paged_verify_attention(
-                q, k, v, cache["pk"], cache["pv"], cache["pt"], starts,
-                page_size=cache["pk"].shape[2], interpret=interp,
-            )
-        cache = dict(cache, pk=pk2, pv=pv2)
+            if "sk" in cache:
+                out3, pk2, pv2, sk2, sv2 = \
+                    paged_attn.paged_verify_attention_q8(
+                        q, k, v, cache["pk"], cache["pv"], cache["sk"],
+                        cache["sv"], cache["pt"], starts,
+                        page_size=cache["pk"].shape[2], interpret=interp)
+            else:
+                out3, pk2, pv2 = paged_attn.paged_verify_attention(
+                    q, k, v, cache["pk"], cache["pv"], cache["pt"], starts,
+                    page_size=cache["pk"].shape[2], interpret=interp,
+                )
+        cache = (dict(cache, pk=pk2, pv=pv2, sk=sk2, sv=sv2)
+                 if "sk" in cache else dict(cache, pk=pk2, pv=pv2))
         out = out3.astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
         out = common.apply_linear(specs["o"], params["o"], out, backend=backend)

@@ -32,8 +32,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from squeezellm_tpu.ops.decode_attn import _rope_rows
+from squeezellm_tpu.ops.kv_quant import _EPS, _QMAX, _RQMAX
 
 NEG_INF = -1e30
+
+
+def _quant_kv_rows(x):
+    """In-kernel twin of ops.kv_quant.quantize_rows on an (r, hd) f32
+    block -> (int8 codes, (r, 1) f32 scale). Same expressions, so the
+    Pallas path and the XLA mirror agree bit-for-bit."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True) * _RQMAX,
+                    _EPS)
+    q = jnp.clip(jnp.round(x / s), -_QMAX, _QMAX).astype(jnp.int8)
+    return q, s
 
 
 def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
@@ -157,6 +168,234 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
     out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
 
 
+def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
+                          pk_in, pv_in, sk_in, sv_in,
+                          pk_ref, pv_ref, sk_ref, sv_ref, out_ref,
+                          kbuf, vbuf, skbuf, svbuf,
+                          pairk, pairv, pairsk, pairsv,
+                          ksem, vsem, sksem, svsem, wsem,
+                          *, ps: int, maxp: int, scale: float, rope_theta,
+                          window: int):
+    """int8-KV twin of :func:`_paged_attn_kernel`. Pools hold int8 codes
+    plus a per-(token row, kv head) f32 scale sidecar (P, Hkv, ps, 1):
+
+      * write: the current token's rope'd k and its v are quantized
+        IN-KERNEL (`_quant_kv_rows`, the exact math of
+        ops.kv_quant.quantize_rows) and RMW-patched into an aligned
+        32-row slab (int8 Mosaic tile height is 32, vs 16 bf16 / 8 f32);
+      * read: each page chunk is dequantized on its VMEM buffer —
+        convert + one broadcast multiply per element — so HBM streams
+        ~half the bytes of the bf16 pool at the same context length.
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    n = len_ref[b]
+    npages = jax.lax.div(n + ps - 1, ps)
+    lo = jnp.maximum(n - window, 0)
+    p0 = jax.lax.div(lo, ps)
+
+    last = n - 1
+    lpid = pt_ref[b, jax.lax.div(last, ps)]
+    loff = jax.lax.rem(last, ps)
+    # int8 token-dim DMA slices must align to 32 rows; ps < 32 only in
+    # tiny interpret-mode tests (hardware pools assert ps % 32 == 0)
+    slab = 32 if ps % 32 == 0 else ps
+    off2 = jax.lax.div(loff, slab) * slab
+    sub = loff - off2
+    sslab = slab  # f32 scale slab: same rows (f32 tile height 8 divides 32)
+
+    kn = kn_ref[0, 0].astype(jnp.float32)  # (1, hd)
+    if rope_theta is not None:
+        kn = _rope_rows(kn, last, rope_theta)
+    knq, kns = _quant_kv_rows(kn)
+    vnq, vns = _quant_kv_rows(vn_ref[0, 0].astype(jnp.float32))
+
+    @pl.when(n > 0)
+    def _write():
+        rk = pltpu.make_async_copy(
+            pk_ref.at[lpid, h, pl.ds(off2, slab)], pairk, wsem.at[0])
+        rv = pltpu.make_async_copy(
+            pv_ref.at[lpid, h, pl.ds(off2, slab)], pairv, wsem.at[1])
+        rsk = pltpu.make_async_copy(
+            sk_ref.at[lpid, h, pl.ds(off2, sslab)], pairsk, wsem.at[2])
+        rsv = pltpu.make_async_copy(
+            sv_ref.at[lpid, h, pl.ds(off2, sslab)], pairsv, wsem.at[3])
+        for c in (rk, rv, rsk, rsv):
+            c.start()
+        for c in (rk, rv, rsk, rsv):
+            c.wait()
+        rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+        pairk[:] = jnp.where(rows == sub, knq, pairk[:])
+        pairv[:] = jnp.where(rows == sub, vnq, pairv[:])
+        pairsk[:] = jnp.where(rows == sub, kns, pairsk[:])
+        pairsv[:] = jnp.where(rows == sub, vns, pairsv[:])
+        wk = pltpu.make_async_copy(
+            pairk, pk_ref.at[lpid, h, pl.ds(off2, slab)], wsem.at[0])
+        wv = pltpu.make_async_copy(
+            pairv, pv_ref.at[lpid, h, pl.ds(off2, slab)], wsem.at[1])
+        wsk = pltpu.make_async_copy(
+            pairsk, sk_ref.at[lpid, h, pl.ds(off2, sslab)], wsem.at[2])
+        wsv = pltpu.make_async_copy(
+            pairsv, sv_ref.at[lpid, h, pl.ds(off2, sslab)], wsem.at[3])
+        for c in (wk, wv, wsk, wsv):
+            c.start()
+        for c in (wk, wv, wsk, wsv):
+            c.wait()
+
+    def copies(p, slot):
+        pid = pt_ref[b, p]
+        return (
+            pltpu.make_async_copy(pk_ref.at[pid, h], kbuf.at[slot],
+                                  ksem.at[slot]),
+            pltpu.make_async_copy(pv_ref.at[pid, h], vbuf.at[slot],
+                                  vsem.at[slot]),
+            pltpu.make_async_copy(sk_ref.at[pid, h], skbuf.at[slot],
+                                  sksem.at[slot]),
+            pltpu.make_async_copy(sv_ref.at[pid, h], svbuf.at[slot],
+                                  svsem.at[slot]),
+        )
+
+    @pl.when(p0 < npages)
+    def _prologue():
+        for c in copies(p0, jax.lax.rem(p0, 2)):
+            c.start()
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (g, hd)
+    if rope_theta is not None:
+        q = _rope_rows(q, last, rope_theta)
+    g, hd = q.shape
+
+    def body(p, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < npages)
+        def _next():
+            for c in copies(p + 1, 1 - slot):
+                c.start()
+
+        for c in copies(p, slot):
+            c.wait()
+        k = kbuf[slot].astype(jnp.float32) * skbuf[slot]  # (ps, hd)
+        v = vbuf[slot].astype(jnp.float32) * svbuf[slot]
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (g, ps)
+        pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+        logits = jnp.where((pos < n) & (pos >= lo), logits, NEG_INF)
+
+        m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m2)
+        pexp = jnp.exp(logits - m2)
+        l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
+        acc2 = acc * alpha + jnp.dot(pexp, v,
+                                     preferred_element_type=jnp.float32)
+        return m2, l2, acc2
+
+    init = (jnp.full((g, 1), NEG_INF, jnp.float32),
+            jnp.zeros((g, 1), jnp.float32),
+            jnp.zeros((g, hd), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(p0, npages, body, init)
+    out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("page_size", "rope_theta", "sliding_window",
+                              "interpret"),
+)
+def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
+                              scale_k, scale_v, page_tables, lengths, *,
+                              page_size: int, rope_theta=None,
+                              sliding_window=None, interpret: bool = False):
+    """:func:`paged_decode_attention` over int8 pools with per-row f32
+    scale sidecars (see ops/kv_quant.py for the format and the rationale).
+
+    pool_k/v:   (P, Hkv, ps, hd) int8 (aliased in->out)
+    scale_k/v:  (P, Hkv, ps, 1) f32 (aliased in->out)
+
+    Returns (attn_out, pool_k, pool_v, scale_k, scale_v).
+    """
+    B, H, hd = q.shape
+    Hkv = pool_k.shape[1]
+    ps = page_size
+    assert pool_k.dtype == jnp.int8 and pool_v.dtype == jnp.int8
+    assert scale_k.shape == (pool_k.shape[0], Hkv, ps, 1), scale_k.shape
+    maxp = page_tables.shape[1]
+    g = H // Hkv
+    scale = 1.0 / (hd ** 0.5)
+
+    q4 = q.reshape(B, Hkv, g, hd).astype(jnp.float32)
+    kn4 = k_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
+    # v is quantized in-kernel (not cast host-side): rounding must match
+    # the XLA mirror's f32 math
+    vn4 = v_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
+
+    slab = 32 if ps % 32 == 0 else ps
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ps, hd), jnp.int8),
+            pltpu.VMEM((2, ps, hd), jnp.int8),
+            pltpu.VMEM((2, ps, 1), jnp.float32),
+            pltpu.VMEM((2, ps, 1), jnp.float32),
+            pltpu.VMEM((slab, hd), jnp.int8),
+            pltpu.VMEM((slab, hd), jnp.int8),
+            pltpu.VMEM((slab, 1), jnp.float32),
+            pltpu.VMEM((slab, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    pk_out, pv_out, sk_out, sv_out, out = pl.pallas_call(
+        functools.partial(_paged_attn_kernel_q8, ps=ps, maxp=maxp,
+                          scale=scale, rope_theta=rope_theta,
+                          window=(maxp * ps + 1 if sliding_window is None
+                                  else int(sliding_window))),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+            jax.ShapeDtypeStruct(scale_k.shape, scale_k.dtype),
+            jax.ShapeDtypeStruct(scale_v.shape, scale_v.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, g, hd), jnp.float32),
+        ],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_tables, lengths, q4, kn4, vn4, pool_k, pool_v, scale_k, scale_v)
+
+    return out.reshape(B, H, hd), pk_out, pv_out, sk_out, sv_out
+
+
 @functools.partial(
     jax.jit, static_argnames=("page_size", "rope_theta", "sliding_window",
                               "interpret"),
@@ -241,6 +480,221 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
     )(page_tables, lengths, q4, kn4, vn4, pool_k, pool_v)
 
     return out.reshape(B, H, hd), pool_k_out, pool_v_out
+
+
+def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
+                            pk_in, pv_in, sk_in, sv_in,
+                            pk_ref, pv_ref, sk_ref, sv_ref, out_ref,
+                            kbuf, vbuf, skbuf, svbuf,
+                            pairk, pairv, pairsk, pairsv,
+                            ksem, vsem, sksem, svsem, wsem,
+                            *, ps: int, W: int, scale: float, rope_theta,
+                            window: int):
+    """int8-KV twin of :func:`_paged_verify_kernel` (W-token speculative
+    verify window): each window row is quantized in-kernel
+    (`_quant_kv_rows`) and RMW-patched into the int8 pool + f32 scale
+    sidecar; page reads dequantize on the VMEM chunk."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    start = start_ref[b]
+    n_end = jnp.where(start < 0, 0, start + W)
+    npages = jax.lax.div(n_end + ps - 1, ps)
+    lo0 = jnp.maximum(start + 1 - window, 0)
+    p0 = jax.lax.div(lo0, ps)
+    slab = 32 if ps % 32 == 0 else ps
+
+    kn = kn_ref[0, 0].astype(jnp.float32)  # (W, hd)
+    if rope_theta is not None:
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        kn = _rope_rows(kn, start + wrow, rope_theta)
+    knq, kns = _quant_kv_rows(kn)
+    vnq, vns = _quant_kv_rows(vn_ref[0, 0].astype(jnp.float32))
+
+    @pl.when(start >= 0)
+    def _write():
+        for w in range(W):
+            posw = start + w
+            pid = pt_ref[b, jax.lax.div(posw, ps)]
+            off = jax.lax.rem(posw, ps)
+            off2 = jax.lax.div(off, slab) * slab
+            sub = off - off2
+            rk = pltpu.make_async_copy(
+                pk_ref.at[pid, h, pl.ds(off2, slab)], pairk, wsem.at[0])
+            rv = pltpu.make_async_copy(
+                pv_ref.at[pid, h, pl.ds(off2, slab)], pairv, wsem.at[1])
+            rsk = pltpu.make_async_copy(
+                sk_ref.at[pid, h, pl.ds(off2, slab)], pairsk, wsem.at[2])
+            rsv = pltpu.make_async_copy(
+                sv_ref.at[pid, h, pl.ds(off2, slab)], pairsv, wsem.at[3])
+            for c in (rk, rv, rsk, rsv):
+                c.start()
+            for c in (rk, rv, rsk, rsv):
+                c.wait()
+            rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+            pairk[:] = jnp.where(rows == sub, knq[w:w + 1], pairk[:])
+            pairv[:] = jnp.where(rows == sub, vnq[w:w + 1], pairv[:])
+            pairsk[:] = jnp.where(rows == sub, kns[w:w + 1], pairsk[:])
+            pairsv[:] = jnp.where(rows == sub, vns[w:w + 1], pairsv[:])
+            wk = pltpu.make_async_copy(
+                pairk, pk_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[0])
+            wv = pltpu.make_async_copy(
+                pairv, pv_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[1])
+            wsk = pltpu.make_async_copy(
+                pairsk, sk_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[2])
+            wsv = pltpu.make_async_copy(
+                pairsv, sv_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[3])
+            for c in (wk, wv, wsk, wsv):
+                c.start()
+            for c in (wk, wv, wsk, wsv):
+                c.wait()
+
+    def copies(p, slot):
+        pid = pt_ref[b, p]
+        return (
+            pltpu.make_async_copy(pk_ref.at[pid, h], kbuf.at[slot],
+                                  ksem.at[slot]),
+            pltpu.make_async_copy(pv_ref.at[pid, h], vbuf.at[slot],
+                                  vsem.at[slot]),
+            pltpu.make_async_copy(sk_ref.at[pid, h], skbuf.at[slot],
+                                  sksem.at[slot]),
+            pltpu.make_async_copy(sv_ref.at[pid, h], svbuf.at[slot],
+                                  svsem.at[slot]),
+        )
+
+    @pl.when(p0 < npages)
+    def _prologue():
+        for c in copies(p0, jax.lax.rem(p0, 2)):
+            c.start()
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (g*W, hd)
+    R, hd = q.shape
+    rw = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0), W)
+    qpos = start + rw
+    if rope_theta is not None:
+        q = _rope_rows(q, qpos, rope_theta)
+
+    def body(p, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < npages)
+        def _next():
+            for c in copies(p + 1, 1 - slot):
+                c.start()
+
+        for c in copies(p, slot):
+            c.wait()
+        k = kbuf[slot].astype(jnp.float32) * skbuf[slot]  # (ps, hd)
+        v = vbuf[slot].astype(jnp.float32) * svbuf[slot]
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (R, ps)
+        kpos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+        logits = jnp.where((kpos <= qpos) & (kpos > qpos - window),
+                           logits, NEG_INF)
+
+        m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m2)
+        pexp = jnp.exp(logits - m2)
+        l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
+        acc2 = acc * alpha + jnp.dot(pexp, v,
+                                     preferred_element_type=jnp.float32)
+        return m2, l2, acc2
+
+    init = (jnp.full((R, 1), NEG_INF, jnp.float32),
+            jnp.zeros((R, 1), jnp.float32),
+            jnp.zeros((R, hd), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(p0, npages, body, init)
+    out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("page_size", "rope_theta", "sliding_window",
+                              "interpret"),
+)
+def paged_verify_attention_q8(q, k_new, v_new, pool_k, pool_v,
+                              scale_k, scale_v, page_tables, start, *,
+                              page_size: int, rope_theta=None,
+                              sliding_window=None, interpret: bool = False):
+    """:func:`paged_verify_attention` over int8 pools + f32 scale
+    sidecars (see ops/kv_quant.py). Returns
+    (attn_out (B, H, W, hd), pool_k, pool_v, scale_k, scale_v)."""
+    B, H, W, hd = q.shape
+    Hkv = pool_k.shape[1]
+    ps = page_size
+    assert pool_k.dtype == jnp.int8 and pool_v.dtype == jnp.int8
+    maxp = page_tables.shape[1]
+    g = H // Hkv
+    scale = 1.0 / (hd ** 0.5)
+
+    q4 = q.reshape(B, Hkv, g * W, hd).astype(jnp.float32)
+    kn4 = k_new.reshape(B, Hkv, W, hd).astype(jnp.float32)
+    vn4 = v_new.reshape(B, Hkv, W, hd).astype(jnp.float32)
+
+    slab = 32 if ps % 32 == 0 else ps
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g * W, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, g * W, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ps, hd), jnp.int8),
+            pltpu.VMEM((2, ps, hd), jnp.int8),
+            pltpu.VMEM((2, ps, 1), jnp.float32),
+            pltpu.VMEM((2, ps, 1), jnp.float32),
+            pltpu.VMEM((slab, hd), jnp.int8),
+            pltpu.VMEM((slab, hd), jnp.int8),
+            pltpu.VMEM((slab, 1), jnp.float32),
+            pltpu.VMEM((slab, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    pk_out, pv_out, sk_out, sv_out, out = pl.pallas_call(
+        functools.partial(_paged_verify_kernel_q8, ps=ps, W=W, scale=scale,
+                          rope_theta=rope_theta,
+                          window=(maxp * ps + W + 1 if sliding_window is None
+                                  else int(sliding_window))),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+            jax.ShapeDtypeStruct(scale_k.shape, scale_k.dtype),
+            jax.ShapeDtypeStruct(scale_v.shape, scale_v.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, g * W, hd), jnp.float32),
+        ],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_tables, start, q4, kn4, vn4, pool_k, pool_v, scale_k, scale_v)
+
+    return out.reshape(B, H, W, hd), pk_out, pv_out, sk_out, sv_out
 
 
 def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,

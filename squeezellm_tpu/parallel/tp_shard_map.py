@@ -452,16 +452,21 @@ def make_tp_serving_fns(model_type: str, config, local_specs, pspecs,
     return jax.jit(prefill), {False: _adv(False), True: _adv(True)}
 
 
-def pool_pspecs(n_layers: int):
-    """Paged KV pools (P_pages, H_kv, ps, D) sharded over kv heads."""
-    return [{"pk": P(None, AXIS, None, None), "pv": P(None, AXIS, None, None)}
-            for _ in range(n_layers)]
+def pool_pspecs(n_layers: int, quantized: bool = False):
+    """Paged KV pools (P_pages, H_kv, ps, D) sharded over kv heads.
+    `quantized`: int8 pools carry (P_pages, H_kv, ps, 1) f32 scale
+    sidecars (ops/kv_quant.py), sharded over the same head axis."""
+    one = {"pk": P(None, AXIS, None, None), "pv": P(None, AXIS, None, None)}
+    if quantized:
+        one = dict(one, sk=P(None, AXIS, None, None),
+                   sv=P(None, AXIS, None, None))
+    return [dict(one) for _ in range(n_layers)]
 
 
 def make_tp_paged_fns(model_type: str, config, local_specs, pspecs,
                       mesh: Mesh, *, ps: int, max_seq: int,
                       backend: str = "auto", dtype=jnp.float32,
-                      seed: int = 0):
+                      seed: int = 0, quantized: bool = False):
     """Jitted shard_map functions for the TP paged engine
     (serving.TPPagedContinuousBatchEngine) — identical call signatures
     to the single-device paged engine's jitted closures, with the page
@@ -473,7 +478,7 @@ def make_tp_paged_fns(model_type: str, config, local_specs, pspecs,
     from squeezellm_tpu import serving as serving_mod
 
     mod = registry.get_model_module(model_type)
-    plspec = pool_pspecs(config.n_layers)
+    plspec = pool_pspecs(config.n_layers, quantized)
     cspec = cache_pspecs(config.n_layers)
     rep = P(None)
     rep2 = P(None, None)

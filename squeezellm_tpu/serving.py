@@ -28,6 +28,7 @@ import numpy as np
 
 from squeezellm_tpu import sampling as sampling_mod
 from squeezellm_tpu.models import common, registry
+from squeezellm_tpu.ops import kv_quant
 from squeezellm_tpu.sampling import SamplingParams
 
 
@@ -600,12 +601,23 @@ def _prime_dense_impl(pools, dense, pids, *, ps: int, max_seq: int):
     rows = min(pids.shape[0] * ps, max_seq)
 
     def one_layer(pool_kv, d):
+        q8 = "sk" in pool_kv  # int8 pool: dequantize into the dense cache
+
         def one(pid):
-            return {
+            out = {
                 "k": jax.lax.dynamic_slice_in_dim(pool_kv["pk"], pid, 1)[0],
                 "v": jax.lax.dynamic_slice_in_dim(pool_kv["pv"], pid, 1)[0],
             }
+            if q8:
+                out["sk"] = jax.lax.dynamic_slice_in_dim(
+                    pool_kv["sk"], pid, 1)[0]
+                out["sv"] = jax.lax.dynamic_slice_in_dim(
+                    pool_kv["sv"], pid, 1)[0]
+            return out
         kv = jax.lax.map(one, pids)
+        if q8:
+            kv = {"k": kv_quant.dequantize_rows(kv["k"], kv["sk"]),
+                  "v": kv_quant.dequantize_rows(kv["v"], kv["sv"])}
 
         def to_dense(a):
             m = a.shape[0]
@@ -628,22 +640,39 @@ def _scatter_all_impl(pools, dense, pids, first_page, cnt, *, ps: int):
     otherwise overwrite the real last page with wrong rows."""
     new = []
     for pool_kv, d in zip(pools, dense):
-        def body(i, pools_kv, dk=d["k"], dv=d["v"]):
+        q8 = "sk" in pool_kv  # int8 pool: quantize the dense rows on write
+
+        def body(i, pools_kv, dk=d["k"], dv=d["v"], q8=q8):
             def write(pools_kv):
-                pk, pv = pools_kv
                 src_k = jax.lax.dynamic_slice_in_dim(
                     dk[0], (first_page + i) * ps, ps, axis=1)
                 src_v = jax.lax.dynamic_slice_in_dim(
                     dv[0], (first_page + i) * ps, ps, axis=1)
+                if q8:
+                    pk, pv, sk, sv = pools_kv
+                    qk, ssk = kv_quant.quantize_rows(src_k)
+                    qv, ssv = kv_quant.quantize_rows(src_v)
+                    pk = jax.lax.dynamic_update_slice_in_dim(
+                        pk, qk[None], pids[i], axis=0)
+                    pv = jax.lax.dynamic_update_slice_in_dim(
+                        pv, qv[None], pids[i], axis=0)
+                    sk = jax.lax.dynamic_update_slice_in_dim(
+                        sk, ssk[None], pids[i], axis=0)
+                    sv = jax.lax.dynamic_update_slice_in_dim(
+                        sv, ssv[None], pids[i], axis=0)
+                    return pk, pv, sk, sv
+                pk, pv = pools_kv
                 pk = jax.lax.dynamic_update_slice_in_dim(
                     pk, src_k[None].astype(pk.dtype), pids[i], axis=0)
                 pv = jax.lax.dynamic_update_slice_in_dim(
                     pv, src_v[None].astype(pv.dtype), pids[i], axis=0)
                 return pk, pv
             return jax.lax.cond(i < cnt, write, lambda p: p, pools_kv)
-        pk, pv = jax.lax.fori_loop(
-            0, pids.shape[0], body, (pool_kv["pk"], pool_kv["pv"]))
-        new.append({"pk": pk, "pv": pv})
+        init = ((pool_kv["pk"], pool_kv["pv"], pool_kv["sk"], pool_kv["sv"])
+                if q8 else (pool_kv["pk"], pool_kv["pv"]))
+        out = jax.lax.fori_loop(0, pids.shape[0], body, init)
+        new.append({"pk": out[0], "pv": out[1], "sk": out[2], "sv": out[3]}
+                   if q8 else {"pk": out[0], "pv": out[1]})
     return new
 
 
@@ -660,11 +689,31 @@ class PagedKVPool:
                  page_size: int, head_dim: int, dtype=jnp.bfloat16):
         self.ps = page_size
         self.n_pages = n_pages
-        self.pools = [
-            {"pk": jnp.zeros((n_pages, n_kv_heads, page_size, head_dim), dtype),
-             "pv": jnp.zeros((n_pages, n_kv_heads, page_size, head_dim), dtype)}
-            for _ in range(n_layers)
-        ]
+        # dtype "int8" (or jnp.int8): pages store int8 codes plus one f32
+        # scale per (token row, kv head) — ops/kv_quant.py format. ~2x the
+        # tokens per byte of HBM vs bf16; the paged kernels quantize at
+        # the in-kernel cache write and dequantize on chunk load.
+        self.quantized = dtype in ("int8", jnp.int8)
+        if self.quantized:
+            self.pools = [
+                {"pk": jnp.zeros((n_pages, n_kv_heads, page_size, head_dim),
+                                 jnp.int8),
+                 "pv": jnp.zeros((n_pages, n_kv_heads, page_size, head_dim),
+                                 jnp.int8),
+                 "sk": jnp.zeros((n_pages, n_kv_heads, page_size, 1),
+                                 jnp.float32),
+                 "sv": jnp.zeros((n_pages, n_kv_heads, page_size, 1),
+                                 jnp.float32)}
+                for _ in range(n_layers)
+            ]
+        else:
+            self.pools = [
+                {"pk": jnp.zeros((n_pages, n_kv_heads, page_size, head_dim),
+                                 dtype),
+                 "pv": jnp.zeros((n_pages, n_kv_heads, page_size, head_dim),
+                                 dtype)}
+                for _ in range(n_layers)
+            ]
         self._free = list(range(n_pages - 1, -1, -1))
         self._ref: Dict[int, int] = {}
         # chain key (parent_key, chunk tokens) -> page id; LRU order
@@ -924,7 +973,10 @@ class PagedContinuousBatchEngine:
         dense = common.init_kv_cache(
             1, self.maxp * self.ps, self.config.n_layers,
             self.config.n_kv_heads, self.config.head_dim,
-            self.pool.pools[0]["pk"].dtype)
+            # int8 pools: the prefill temp cache stays full-precision;
+            # rows are quantized at the pool scatter (ops/kv_quant.py)
+            jnp.bfloat16 if self.pool.quantized
+            else self.pool.pools[0]["pk"].dtype)
         if n_shared:
             spids = jnp.asarray(_bucket_pow2(shared_pids), jnp.int32)
             dense = self._prime_dense(self.pool.pools, dense, spids)
@@ -967,7 +1019,8 @@ class PagedContinuousBatchEngine:
                                       self._layer_caches(),
                                       jnp.asarray(self._pt))
         for li, c in enumerate(caches):
-            self.pool.pools[li] = {"pk": c["pk"], "pv": c["pv"]}
+            self.pool.pools[li] = {k: c[k] for k in
+                                   ("pk", "pv", "sk", "sv") if k in c}
         if bool((self._temp > 0).any()):
             nxt = self._sample1(logits[:, -1], *_sampler_args(self), pos)
         else:
@@ -1020,7 +1073,8 @@ class PagedContinuousBatchEngine:
             toks.append(cur)
         self._cur = cur[:, None]
         for li, c in enumerate(caches):
-            self.pool.pools[li] = {"pk": c["pk"], "pv": c["pv"]}
+            self.pool.pools[li] = {k: c[k] for k in
+                                   ("pk", "pv", "sk", "sv") if k in c}
         toks_host = np.asarray(jnp.stack(toks))
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
@@ -1052,7 +1106,8 @@ class PagedContinuousBatchEngine:
             self.params, self._ctx, self._cur, pos, self._layer_caches(),
             pt, draft_len, ngram)
         for li, c in enumerate(caches):
-            self.pool.pools[li] = {"pk": c["pk"], "pv": c["pv"]}
+            self.pool.pools[li] = {k: c[k] for k in
+                                   ("pk", "pv", "sk", "sv") if k in c}
         emit_h = np.asarray(emit)
         nacc_h = np.asarray(n_acc)
         out: Dict[int, Any] = {}
@@ -1153,11 +1208,12 @@ class TPPagedContinuousBatchEngine(PagedContinuousBatchEngine):
                                 page_size, config.head_dim, cache_dtype)
         self.pool.pools = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-            self.pool.pools, tpm.pool_pspecs(config.n_layers))
+            self.pool.pools,
+            tpm.pool_pspecs(config.n_layers, self.pool.quantized))
         fns = tpm.make_tp_paged_fns(
             model_type, config, lspecs, pspecs, self.mesh, ps=page_size,
             max_seq=self.maxp * self.ps, backend=backend, dtype=dtype,
-            seed=seed)
+            seed=seed, quantized=self.pool.quantized)
         self._prefill = fns["prefill"]
         self._adv_fns = fns["adv"]
         self._prime_dense = fns["prime"]
@@ -1194,7 +1250,8 @@ class TPPagedContinuousBatchEngine(PagedContinuousBatchEngine):
             self.params, self._cur, pos, self._layer_caches(),
             jnp.asarray(self._pt), *_sampler_args(self), sampled)
         for li, c in enumerate(caches):
-            self.pool.pools[li] = {"pk": c["pk"], "pv": c["pv"]}
+            self.pool.pools[li] = {k: c[k] for k in
+                                   ("pk", "pv", "sk", "sv") if k in c}
         nxt_host = np.asarray(nxt)
         self._cur = nxt[:, None]
         out: Dict[int, Any] = {}

@@ -64,3 +64,21 @@ def test_cli_serve_bench_paged(ckpt_dir, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["total_tokens"] == 9
     assert out["throughput_tok_s"] > 0
+
+
+def test_cli_serve_bench_kv_int8(ckpt_dir, capsys):
+    cli.main(["serve-bench", ckpt_dir, "--slots", "2", "--requests", "3",
+              "--max-new-tokens", "3", "--seqlen", "64", "--backend", "xla",
+              "--paged", "--page-size", "8", "--kv-dtype", "int8"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["total_tokens"] == 9
+    assert out["throughput_tok_s"] > 0
+
+
+def test_cli_kv_int8_requires_paged(ckpt_dir):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["serve-bench", ckpt_dir, "--slots", "2", "--requests", "1",
+                  "--max-new-tokens", "2", "--seqlen", "64",
+                  "--backend", "xla", "--kv-dtype", "int8"])
