@@ -337,6 +337,18 @@ def cmd_generate(args):
     eng = engine_mod.Engine(model_type, config, specs, params,
                             backend=args.backend, fuse=args.fuse)
     prompt = np.asarray([int(t) for t in args.prompt_tokens.split(",")], np.int32)[None]
+    if args.draft_model:
+        if args.temperature > 0:
+            raise SystemExit("--draft-model is greedy-only (exactness)")
+        d_type, d_config, d_specs, d_params = _load_any(args.draft_model)
+        draft = engine_mod.Engine(d_type, d_config, d_specs, d_params,
+                                  backend=args.backend)
+        out = eng.generate_draft_speculative(prompt, args.max_new_tokens,
+                                             draft,
+                                             draft_len=args.draft_len)
+        print(json.dumps({"tokens": out[0].tolist(),
+                          "spec_stats": eng.spec_stats}))
+        return
     if args.speculative:
         if args.temperature > 0:
             raise SystemExit("--speculative is greedy-only (exactness)")
@@ -506,6 +518,9 @@ def main(argv=None):
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--speculative", action="store_true",
                    help="prompt-lookup speculative decoding (greedy-exact)")
+    g.add_argument("--draft-model", default=None,
+                   help="checkpoint dir of a smaller same-vocab model: "
+                        "two-model speculative decoding (greedy-exact)")
     g.add_argument("--draft-len", type=int, default=8)
     g.add_argument("--ngram", type=int, default=2)
     g.add_argument("--fuse", action="store_true")

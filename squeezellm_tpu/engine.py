@@ -133,6 +133,10 @@ class Engine:
         self._verify = jax.jit(_verify, donate_argnums=(3,))
         self._spec_loop = jax.jit(_spec_loop, static_argnums=(3, 4, 5),
                                   donate_argnums=(2,))
+        # draft-MODEL speculative loops, one compiled closure per draft
+        # engine (keyed by id; jax.jit caches per function object, so the
+        # closure must be built once, not per call)
+        self._draft_loops: Dict[int, Any] = {}
 
     def new_cache(self, batch: int = 1, max_seq: Optional[int] = None):
         c = self.config
@@ -257,6 +261,174 @@ class Engine:
             tok = emitted[-1]
             self.spec_stats["windows"] += 1
             self.spec_stats["drafted"] += len(draft)
+            self.spec_stats["accepted"] += n_acc
+        return np.asarray(
+            np.concatenate([np.asarray(prompt_tokens).reshape(1, -1),
+                            np.asarray(out, np.int32)[None]], axis=1))
+
+    def _build_draft_loop(self, draft: "Engine"):
+        """Jitted two-model speculative loop (this engine verifies, the
+        `draft` engine proposes). Same acceptance scheme as the
+        prompt-lookup `_spec_loop` — greedy-exact, whole loop one device
+        program — but each window's draft comes from K autoregressive
+        decode steps of the draft model instead of an n-gram match.
+
+        Cache discipline per round at context position `pos` (ctx[pos] is
+        the last emitted token): the draft model decodes ctx[pos] at row
+        pos, then its own proposals at rows pos+1..pos+K-1; the target
+        verifies the (1+K)-token window at start=pos. With m = n_acc + 1
+        tokens emitted, accepted rows hold correct KV in BOTH caches, and
+        every stale row beyond pos+m is re-written before it is ever
+        attended (both models write row p when feeding position p)."""
+        t_mod, t_config, t_specs = self._mod, self.config, self.specs
+        d_mod, d_config, d_specs = draft._mod, draft.config, draft.specs
+        backend, dtype = self.backend, self.dtype
+        d_backend, d_dtype = draft.backend, draft.dtype
+
+        def loop(tp, dp, prompt, tcache, dcache, max_new, K):
+            max_ctx = tcache[0]["k"].shape[2]
+            s = prompt.shape[1]
+            logits, tcache = t_mod.prefill(t_config, t_specs, tp, prompt,
+                                           tcache, backend=backend,
+                                           dtype=dtype)
+            _, dcache = d_mod.prefill(d_config, d_specs, dp, prompt,
+                                      dcache, backend=d_backend,
+                                      dtype=d_dtype)
+            first = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+            ctx = jnp.zeros((max_ctx,), jnp.int32)
+            ctx = jax.lax.dynamic_update_slice(ctx, prompt[0], (0,))
+            ctx = ctx.at[s].set(first)
+            out = jnp.zeros((max_new + K + 1,), jnp.int32)
+            out = out.at[0].set(first)
+
+            def cond(c):
+                return c[3] < max_new
+
+            def body(c):
+                ctx, pos, out, out_n, tcache, dcache, wins, acc = c
+
+                def dstep(carry, _):
+                    tok, p, dc = carry
+                    lg, dc = d_mod.decode_step(
+                        d_config, d_specs, dp, tok.reshape(1, 1), p, dc,
+                        backend=d_backend, dtype=d_dtype)
+                    nxt = jnp.argmax(lg[0, -1]).astype(jnp.int32)
+                    return (nxt, p + 1, dc), nxt
+
+                cur = jax.lax.dynamic_slice(ctx, (pos,), (1,))[0]
+                (_, _, dcache), draft_toks = jax.lax.scan(
+                    dstep, (cur, pos, dcache), None, length=K)
+                window = jnp.concatenate([cur[None], draft_toks])[None, :]
+                logits_all, tcache = t_mod.prefill(
+                    t_config, t_specs, tp, window, tcache, backend=backend,
+                    dtype=dtype, start=pos, all_logits=True)
+                greedy = jnp.argmax(logits_all[0], axis=-1).astype(jnp.int32)
+                match = (draft_toks == greedy[:K]).astype(jnp.int32)
+                n_acc = jnp.sum(jnp.cumprod(match))
+                m = jnp.minimum(n_acc + 1, max_new - out_n)
+                cand = jnp.concatenate([draft_toks, jnp.zeros((1,), jnp.int32)])
+                emit = jnp.where(jnp.arange(K + 1) < n_acc, cand,
+                                 greedy[n_acc])
+                out = jax.lax.dynamic_update_slice(out, emit, (out_n,))
+                ctx = jax.lax.dynamic_update_slice(ctx, emit, (pos + 1,))
+                return (ctx, pos + m, out, out_n + m, tcache, dcache,
+                        wins + 1, acc + n_acc)
+
+            ctx, pos, out, out_n, tcache, dcache, wins, acc = \
+                jax.lax.while_loop(
+                    cond, body,
+                    (ctx, jnp.asarray(s, jnp.int32), out,
+                     jnp.asarray(1, jnp.int32), tcache, dcache,
+                     jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
+            return out[:max_new], wins, acc
+
+        return jax.jit(loop, static_argnums=(5, 6), donate_argnums=(3, 4))
+
+    def generate_draft_speculative(
+        self,
+        prompt_tokens: np.ndarray,
+        max_new_tokens: int,
+        draft: "Engine",
+        draft_len: int = 8,
+        max_seq: Optional[int] = None,
+        host_loop: bool = False,
+    ) -> np.ndarray:
+        """Greedy generation accelerated by a DRAFT MODEL (two-model
+        speculative decoding, Leviathan et al. greedy case): a small model
+        proposes `draft_len` tokens autoregressively, this engine verifies
+        the whole window in one forward. Output is BIT-IDENTICAL to greedy
+        :meth:`generate` — when the draft disagrees, the target's token
+        wins. Complements :meth:`generate_speculative` (prompt-lookup,
+        no second model): a draft model accepts on free-form text where
+        n-gram lookup finds nothing, at the cost of K small-model decode
+        steps per window.
+
+        The draft engine must share the vocabulary (same tokenizer); its
+        weights are typically a smaller/lower-bit checkpoint of the same
+        family. Stats in ``self.spec_stats`` (windows, drafted, accepted).
+
+        prompt_tokens: (1, S) int32. Returns (1, S + max_new_tokens).
+        """
+        prompt = jnp.asarray(prompt_tokens, jnp.int32)
+        b, s = prompt.shape
+        assert b == 1, "speculative path is single-stream"
+        assert self.config.vocab_size == draft.config.vocab_size, (
+            "target and draft must share a vocabulary")
+        cache_len = max_seq or self.config.max_seq
+        assert s + max_new_tokens + draft_len + 1 <= cache_len, (
+            "prompt + max_new + draft_len + 1 must fit in max_seq")
+        if not host_loop:
+            key = id(draft)
+            if key not in self._draft_loops:
+                self._draft_loops[key] = self._build_draft_loop(draft)
+            tcache = self.new_cache(1, cache_len)
+            dcache = draft.new_cache(1, cache_len)
+            out, wins, acc = self._draft_loops[key](
+                self.params, draft.params, prompt, tcache, dcache,
+                max_new_tokens, draft_len)
+            self.spec_stats = {"windows": int(wins),
+                               "drafted": int(wins) * draft_len,
+                               "accepted": int(acc)}
+            return np.concatenate(
+                [np.asarray(prompt_tokens).reshape(1, -1),
+                 np.asarray(out)[None]], axis=1)
+        # host-loop reference (same outputs; the readable spec)
+        tcache = self.new_cache(1, cache_len)
+        dcache = draft.new_cache(1, cache_len)
+        logits, tcache = self._prefill(self.params, prompt, tcache)
+        _, dcache = draft._prefill(draft.params, prompt, dcache)
+        tok = int(np.asarray(jnp.argmax(logits[0, -1])))
+        out = [tok]
+        pos = s
+        self.spec_stats = {"windows": 0, "drafted": 0, "accepted": 0}
+        while len(out) < max_new_tokens:
+            cur = tok
+            draft_toks = []
+            p = pos
+            dtok = jnp.asarray([[cur]], jnp.int32)
+            for _ in range(draft_len):
+                lg, dcache = draft._decode(draft.params, dtok,
+                                           jnp.asarray(p, jnp.int32), dcache)
+                nxt = int(np.asarray(jnp.argmax(lg[0, -1])))
+                draft_toks.append(nxt)
+                dtok = jnp.asarray([[nxt]], jnp.int32)
+                p += 1
+            window = np.asarray([[cur] + draft_toks], np.int32)
+            logits_all, tcache = self._verify(
+                self.params, jnp.asarray(window),
+                jnp.asarray(pos, jnp.int32), tcache)
+            greedy = np.asarray(jnp.argmax(logits_all[0], axis=-1))
+            n_acc = 0
+            while (n_acc < draft_len
+                   and draft_toks[n_acc] == int(greedy[n_acc])):
+                n_acc += 1
+            emitted = draft_toks[:n_acc] + [int(greedy[n_acc])]
+            emitted = emitted[: max_new_tokens - len(out)]
+            out.extend(emitted)
+            pos += len(emitted)
+            tok = emitted[-1]
+            self.spec_stats["windows"] += 1
+            self.spec_stats["drafted"] += draft_len
             self.spec_stats["accepted"] += n_acc
         return np.asarray(
             np.concatenate([np.asarray(prompt_tokens).reshape(1, -1),

@@ -66,6 +66,29 @@ def test_cli_serve_bench_paged(ckpt_dir, capsys):
     assert out["throughput_tok_s"] > 0
 
 
+def test_cli_generate_draft_model(ckpt_dir, tmp_path, capsys):
+    """Two-model speculative decoding through the CLI: same tokens as the
+    plain greedy run, plus acceptance stats."""
+    config = llama.LlamaConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        n_layers=1, n_heads=4, n_kv_heads=4, max_seq=64,
+    )
+    dense = llama.random_dense_params(config, jax.random.PRNGKey(5))
+    specs, params = pipeline.quantize_model("llama", config, dense, bits=3)
+    d = str(tmp_path / "draft")
+    checkpoint.save_quantized(d, "llama", config, specs, params)
+
+    cli.main(["generate", ckpt_dir, "--prompt-tokens", "1,2,3",
+              "--max-new-tokens", "6", "--backend", "xla"])
+    want = json.loads(capsys.readouterr().out.strip())["tokens"]
+    cli.main(["generate", ckpt_dir, "--prompt-tokens", "1,2,3",
+              "--max-new-tokens", "6", "--backend", "xla",
+              "--draft-model", d, "--draft-len", "3"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["tokens"] == want
+    assert out["spec_stats"]["windows"] >= 1
+
+
 def test_cli_serve_bench_kv_int8(ckpt_dir, capsys):
     cli.main(["serve-bench", ckpt_dir, "--slots", "2", "--requests", "3",
               "--max-new-tokens", "3", "--seqlen", "64", "--backend", "xla",
