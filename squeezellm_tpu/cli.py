@@ -238,6 +238,13 @@ def _build_serving_engine(args, model_type, config, specs, params):
         import jax.numpy as jnp
         cd = {"bf16": jnp.bfloat16, "f32": jnp.float32, "int8": "int8"}[kv]
         (paged_kw if args.paged else common_kw)["cache_dtype"] = cd
+    pc = getattr(args, "prefill_chunk", None)
+    if pc:
+        if tp > 1:
+            raise SystemExit("--prefill-chunk needs the single-device "
+                             "engines (the TP engines lack the shard_map "
+                             "continuation-prefill twin)")
+        common_kw["prefill_chunk"] = pc
     if tp > 1 and args.paged:
         return serving.TPPagedContinuousBatchEngine(
             model_type, config, specs, params, tp=tp, **paged_kw, **common_kw)
@@ -485,6 +492,9 @@ def main(argv=None):
                     help="KV-cache storage dtype; int8 (paged only) stores "
                          "codes + per-row f32 scales (ops/kv_quant.py), "
                          "~2x tokens per HBM byte")
+    sb.add_argument("--prefill-chunk", type=int, default=None,
+                    help="admit long prompts in N-token chunks interleaved "
+                         "with decode windows (dense + paged engines)")
     sb.set_defaults(fn=cmd_serve_bench)
 
     sv = sub.add_parser("serve", help="HTTP serving front-end "
@@ -506,6 +516,9 @@ def main(argv=None):
     sv.add_argument("--kv-dtype", default=None,
                     choices=["bf16", "f32", "int8"],
                     help="KV-cache storage dtype (int8 requires --paged)")
+    sv.add_argument("--prefill-chunk", type=int, default=None,
+                    help="admit long prompts in N-token chunks interleaved "
+                         "with decode windows (dense + paged engines)")
     sv.set_defaults(fn=cmd_serve)
 
     g = sub.add_parser("generate", help="generate tokens")

@@ -41,6 +41,10 @@ class _Slot:
     generated: int = 0
     tokens: Optional[List[int]] = None
     stop: Tuple[int, ...] = ()  # stop-token ids (host-side truncation)
+    # chunked prefill in flight: the slot occupies the pool but is not
+    # decoding yet; step() advances its staging prefill one chunk at a
+    # time between decode windows (see ContinuousBatchEngine.prefill_chunk)
+    prefilling: bool = False
 
 
 def _init_sampler_state(eng, slots: int, seed: int) -> None:
@@ -142,11 +146,17 @@ def _slot_finished(s: _Slot, tok: int) -> bool:
 class ContinuousBatchEngine:
     """Fixed-slot continuous batching over a quantized model."""
 
+    # class-level defaults: TP subclasses build their own __init__ and
+    # inherit add_request/step_window — chunked prefill stays off there
+    # until the shard_map continuation-prefill twin exists
+    prefill_chunk: Optional[int] = None
+
     def __init__(self, model_type: str, config, specs, params, *,
                  slots: int = 8, backend: str = "auto", dtype=jnp.float32,
                  cache_dtype=jnp.float32, max_seq: Optional[int] = None,
                  seed: int = 0,
-                 speculative: Optional[Tuple[int, int]] = None):
+                 speculative: Optional[Tuple[int, int]] = None,
+                 prefill_chunk: Optional[int] = None):
         from squeezellm_tpu.models import fuse as fuse_mod
 
         specs, params = fuse_mod.attach_decode_luts(specs, params)
@@ -160,12 +170,26 @@ class ContinuousBatchEngine:
         # step_spec_window() verifies per-slot drafts in ONE windowed
         # forward, so each weight pass can yield several tokens per slot
         self.speculative = speculative
+        # chunked prefill: prompts longer than this admit instantly and
+        # prefill prefill_chunk tokens per engine step INTERLEAVED with
+        # decode windows — a long admission no longer stalls every other
+        # slot's decoding, and prefill compiles are bounded by the chunk
+        # bucket ladder instead of one shape per prompt-length bucket
+        self.prefill_chunk = prefill_chunk
+        self._staging: Dict[int, list] = {}
         _init_sampler_state(self, slots, seed)
         mod = registry.get_model_module(model_type)
 
         def _prefill(params, tokens, cache):
             return mod.prefill(config, specs, params, tokens, cache,
                                backend=backend, dtype=dtype)
+
+        def _prefill_cont(params, tokens, cache, start):
+            # continuation prefill into a staging cache holding rows
+            # [0, start) — the chunked-admission workhorse (start is
+            # traced: one compile per chunk SHAPE, not per offset)
+            return mod.prefill(config, specs, params, tokens, cache,
+                               backend=backend, dtype=dtype, start=start)
 
         def _decode(params, token, pos, cache):
             return mod.decode_step(config, specs, params, token, pos, cache,
@@ -228,6 +252,7 @@ class ContinuousBatchEngine:
             return emit, n_acc, cur2, ctx, cache
 
         self._prefill = jax.jit(_prefill)
+        self._prefill_cont = jax.jit(_prefill_cont, donate_argnums=(2,))
         self._decode = jax.jit(_decode, donate_argnums=(3,))
         self._decode_k = jax.jit(_decode_k, static_argnums=(8, 9),
                                  donate_argnums=(3,))
@@ -306,6 +331,23 @@ class ContinuousBatchEngine:
             raise ValueError("prompt + max_new_tokens exceeds max_seq"
                              + (" (incl. speculative window reserve)"
                                 if reserve else ""))
+        rid = self._next_id
+        self._next_id += 1
+        if self.prefill_chunk and plen > self.prefill_chunk:
+            # chunked admission: O(1) here — step() advances the staging
+            # prefill one chunk at a time, interleaved with decode windows
+            staging = common.init_kv_cache(
+                1, self.max_seq, self.config.n_layers,
+                self.config.n_kv_heads, self.config.head_dim,
+                self.cache[0]["k"].dtype)
+            self._staging[idx] = [staging, prompt, 0]
+            _set_slot_sampling(self, idx, rid, sampling)
+            self._slots[idx] = _Slot(active=True, request_id=rid,
+                                     pos=plen - 1, max_new=max_new_tokens,
+                                     generated=0, tokens=[],
+                                     stop=tuple(stop_tokens),
+                                     prefilling=True)
+            return rid
         b = self.PROMPT_BUCKET
         padded = np.zeros((1, min(-(-plen // b) * b, self.max_seq)), np.int32)
         padded[0, :plen] = prompt
@@ -321,13 +363,53 @@ class ContinuousBatchEngine:
             row[:plen] = prompt
             self._ctx = self._ctx.at[idx].set(jnp.asarray(row))
         self._pos[idx] = plen - 1
-        rid = self._next_id
-        self._next_id += 1
         _set_slot_sampling(self, idx, rid, sampling)
         self._slots[idx] = _Slot(active=True, request_id=rid, pos=plen - 1,
                                  max_new=max_new_tokens, generated=0,
                                  tokens=[], stop=tuple(stop_tokens))
         return rid
+
+    def _advance_prefill(self) -> None:
+        """Advance every mid-prefill slot by ONE chunk (called at the top
+        of each step/window). The chunk prefills into the slot's private
+        staging cache via a continuation prefill (start = tokens already
+        processed); on the last chunk the staging cache is inserted into
+        the batch cache and the slot seeds at pos = plen-1 with the last
+        prompt token — identical to whole-prompt admission from there on.
+        Non-final chunks are full prefill_chunk shapes and the final
+        partial chunk uses the PROMPT_BUCKET ladder, so compile shapes
+        are bounded by the chunk ladder, not by prompt length."""
+        # getattr: the TP engines build their own __init__ (no _staging)
+        # but inherit step_window, which calls this unconditionally
+        if not getattr(self, "_staging", None):
+            return
+        for i, s in enumerate(self._slots):
+            if not (s.active and s.prefilling):
+                continue
+            staging, prompt, off = self._staging[i]
+            plen = len(prompt)
+            r = min(self.prefill_chunk, plen - off)
+            b = self.PROMPT_BUCKET
+            padded = np.zeros((1, min(-(-r // b) * b, self.prefill_chunk)),
+                              np.int32)
+            padded[0, :r] = prompt[off:off + r]
+            _, staging = self._prefill_cont(
+                self.params, jnp.asarray(padded), staging,
+                jnp.asarray(off, jnp.int32))
+            off += r
+            if off < plen:
+                self._staging[i] = [staging, prompt, off]
+                continue
+            self.cache = self._insert(self.cache, staging,
+                                      jnp.asarray(i, jnp.int32))
+            self._cur = self._cur.at[i, 0].set(int(prompt[-1]))
+            if self._ctx is not None:
+                row = np.zeros(self.max_seq, np.int32)
+                row[:plen] = prompt
+                self._ctx = self._ctx.at[i].set(jnp.asarray(row))
+            self._pos[i] = plen - 1
+            s.prefilling = False
+            del self._staging[i]
 
     def cancel(self, request_id: int) -> bool:
         """Abort an in-flight request and free its slot (e.g. the HTTP
@@ -335,6 +417,7 @@ class ContinuousBatchEngine:
         for i, s in enumerate(self._slots):
             if s.active and s.request_id == request_id:
                 _clear_slot_sampling(self, i)
+                getattr(self, "_staging", {}).pop(i, None)
                 self._slots[i] = _Slot()
                 return True
         return False
@@ -345,7 +428,11 @@ class ContinuousBatchEngine:
 
         Returns {request_id: {'token', 'new_tokens', 'done', 'tokens'?}}
         and releases finished slots."""
-        if not any(s.active for s in self._slots):
+        self._advance_prefill()
+        return self._step_after_advance()
+
+    def _step_after_advance(self) -> Dict[int, Any]:
+        if not any(s.active and not s.prefilling for s in self._slots):
             return {}
         pos = jnp.asarray(self._pos, jnp.int32)
         logits, self.cache = self._decode(self.params, self._cur, pos,
@@ -358,7 +445,7 @@ class ContinuousBatchEngine:
         self._cur = nxt[:, None]
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
-            if not s.active:
+            if not s.active or s.prefilling:
                 continue
             new, done = _emit_tokens(s, [nxt_host[i]])
             self._pos[i] = s.pos
@@ -379,7 +466,8 @@ class ContinuousBatchEngine:
         per-request dicts as :meth:`step`, with every token of the window
         applied in order. Slots that hit a stop token mid-window discard
         the window's tail (their decode continues harmlessly on device)."""
-        active = [s for s in self._slots if s.active]
+        self._advance_prefill()
+        active = [s for s in self._slots if s.active and not s.prefilling]
         if not active:
             return {}
         remaining = min(s.max_new - s.generated for s in active)
@@ -387,7 +475,7 @@ class ContinuousBatchEngine:
         while k * 2 <= min(max_window, remaining):
             k *= 2
         if k == 1:
-            return self.step()
+            return self._step_after_advance()
         pos = jnp.asarray(self._pos, jnp.int32)
         sampled = bool((self._temp > 0).any())
         if self._window_impl == "chained":
@@ -408,7 +496,7 @@ class ContinuousBatchEngine:
             toks_host = np.asarray(toks)  # (k, n_slots)
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
-            if not s.active:
+            if not s.active or s.prefilling:
                 continue
             new, done = _emit_tokens(s, toks_host[:k, i])
             self._pos[i] = s.pos
@@ -428,7 +516,8 @@ class ContinuousBatchEngine:
         Greedy-only: if any active slot samples, callers should use
         step_window() until it leaves (run() does this automatically)."""
         assert self.speculative, "engine not constructed with speculative="
-        active = [s for s in self._slots if s.active]
+        self._advance_prefill()
+        active = [s for s in self._slots if s.active and not s.prefilling]
         if not active:
             return {}
         draft_len, ngram = self.speculative
@@ -440,7 +529,7 @@ class ContinuousBatchEngine:
         nacc_h = np.asarray(n_acc)
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
-            if not s.active:
+            if not s.active or s.prefilling:
                 continue
             m = int(nacc_h[i]) + 1
             new, done = _emit_tokens(s, emit_h[i, :m])
@@ -558,8 +647,11 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
         # cannot take statics); the base step_spec_window passes them too
         return self._tp_spec_fn(params, ctx, cur, pos, cache)
 
-    def step(self) -> Dict[int, Any]:
-        """One batched TP decode step (greedy or per-slot sampled)."""
+    def _step_after_advance(self) -> Dict[int, Any]:
+        """One batched TP decode step (greedy or per-slot sampled) —
+        step()/step_window() dispatch here after _advance_prefill (a
+        no-op under TP: chunked prefill needs the shard_map
+        continuation-prefill twin and stays off)."""
         if not any(s.active for s in self._slots):
             return {}
         pos = jnp.asarray(self._pos, jnp.int32)
@@ -786,13 +878,17 @@ class PagedContinuousBatchEngine:
     admission runs a continuation prefill on the suffix only."""
 
     PROMPT_BUCKET = 16
+    # see ContinuousBatchEngine.prefill_chunk; the TP paged subclass
+    # builds its own __init__ and inherits this off-default
+    prefill_chunk: Optional[int] = None
 
     def __init__(self, model_type: str, config, specs, params, *,
                  slots: int = 8, n_pages: int = 256, page_size: int = 128,
                  backend: str = "auto", dtype=jnp.float32,
                  cache_dtype=jnp.bfloat16, max_seq: Optional[int] = None,
                  seed: int = 0,
-                 speculative: Optional[Tuple[int, int]] = None):
+                 speculative: Optional[Tuple[int, int]] = None,
+                 prefill_chunk: Optional[int] = None):
         from squeezellm_tpu.models import fuse as fuse_mod
 
         specs, params = fuse_mod.attach_decode_luts(specs, params)
@@ -801,6 +897,11 @@ class PagedContinuousBatchEngine:
         self.params = params
         self.n_slots = slots
         self.max_seq = max_seq or config.max_seq
+        # chunked admission: the non-shared suffix prefills prefill_chunk
+        # tokens per engine step interleaved with decode windows (the
+        # staging dense cache scatters into the pool only when complete)
+        self.prefill_chunk = prefill_chunk
+        self._staging: Dict[int, list] = {}
         # (draft_len, ngram): prompt-lookup speculation over the paged
         # pool — the verify window runs through the W-token paged kernel
         # (ops/paged_attn.paged_verify_attention)
@@ -961,10 +1062,6 @@ class PagedContinuousBatchEngine:
         # continuation prefill of the suffix on a dense temp cache primed
         # with the shared pages
         suffix = prompt[start:]
-        b = self.PROMPT_BUCKET
-        padded = np.zeros((1, min(-(-len(suffix) // b) * b, self.max_seq)),
-                          np.int32)
-        padded[0, : len(suffix)] = suffix
         # the temp cache spans FULL pages (maxp*ps >= max_seq): a partial
         # last page would make _scatter_all_impl's dense slice clamp its
         # start and scatter wrong rows into the pool when max_seq is not
@@ -980,9 +1077,51 @@ class PagedContinuousBatchEngine:
         if n_shared:
             spids = jnp.asarray(_bucket_pow2(shared_pids), jnp.int32)
             dense = self._prime_dense(self.pool.pools, dense, spids)
+        rid = self._next_id
+        self._next_id += 1
+        _set_slot_sampling(self, idx, rid, sampling)
+        if self.prefill_chunk and len(suffix) > self.prefill_chunk:
+            # chunked admission: the page table stays zeroed and pos -1
+            # (inactive to every kernel) until the staging cache is
+            # complete and scattered; page REGISTRATION also waits —
+            # registering now would let another request share pages that
+            # hold no content yet
+            self._staging[idx] = [dense, prompt, start, pids, n_shared,
+                                  chain_key]
+            self._pt[idx] = 0
+            self._pos[idx] = -1
+            self._slots[idx] = _Slot(active=True, request_id=rid,
+                                     pos=plen - 1, max_new=max_new_tokens,
+                                     generated=0, tokens=[],
+                                     stop=tuple(stop_tokens),
+                                     prefilling=True)
+            return rid
+        b = self.PROMPT_BUCKET
+        padded = np.zeros((1, min(-(-len(suffix) // b) * b, self.max_seq)),
+                          np.int32)
+        padded[0, : len(suffix)] = suffix
         _, dense = self._prefill(self.params, jnp.asarray(padded), dense,
                                  jnp.asarray(start, jnp.int32))
-        # scatter the new (non-shared) prompt pages into the pool
+        self._finish_admission(idx, prompt, dense, pids, n_shared, chain_key)
+        self._slots[idx] = _Slot(active=True, request_id=rid, pos=plen - 1,
+                                 max_new=max_new_tokens, generated=0,
+                                 tokens=[], stop=tuple(stop_tokens))
+        return rid
+
+    def _finish_admission(self, idx, prompt, dense, pids, n_shared,
+                          chain_key) -> None:
+        """Scatter the prefilled dense temp cache into the pool, register
+        the prompt's shareable pages, and seed the slot for decode —
+        the admission tail shared by whole-suffix and chunked prefill."""
+        plen = len(prompt)
+
+        def _bucket_pow2(p):
+            n = len(p)
+            m = 1
+            while m < n:
+                m *= 2
+            return p + [p[-1]] * (m - n)
+
         covered = -(-plen // self.ps)  # pages with any prompt content
         npids = jnp.asarray(
             _bucket_pow2(pids[n_shared:covered] or [0]), jnp.int32)
@@ -994,7 +1133,6 @@ class PagedContinuousBatchEngine:
         # register the prompt's full pages (excl. the final page) for reuse
         self.pool.register_chain(chain_key, prompt, n_shared,
                                  max(n_shared, (plen - 1) // self.ps), pids)
-
         self._pt[idx] = 0
         self._pt[idx, : len(pids)] = pids
         self._cur = self._cur.at[idx, 0].set(int(prompt[-1]))
@@ -1003,16 +1141,42 @@ class PagedContinuousBatchEngine:
             row[:plen] = prompt
             self._ctx = self._ctx.at[idx].set(jnp.asarray(row))
         self._pos[idx] = plen - 1
-        rid = self._next_id
-        self._next_id += 1
-        _set_slot_sampling(self, idx, rid, sampling)
-        self._slots[idx] = _Slot(active=True, request_id=rid, pos=plen - 1,
-                                 max_new=max_new_tokens, generated=0,
-                                 tokens=[], stop=tuple(stop_tokens))
-        return rid
+
+    def _advance_prefill(self) -> None:
+        """Paged twin of ContinuousBatchEngine._advance_prefill: one
+        suffix chunk per mid-prefill slot into its staging dense cache;
+        the final chunk triggers the pool scatter + page registration +
+        slot seeding (_finish_admission)."""
+        if not getattr(self, "_staging", None):
+            return
+        for i, s in enumerate(self._slots):
+            if not (s.active and s.prefilling):
+                continue
+            dense, prompt, off, pids, n_shared, chain_key = self._staging[i]
+            plen = len(prompt)
+            r = min(self.prefill_chunk, plen - off)
+            b = self.PROMPT_BUCKET
+            padded = np.zeros((1, min(-(-r // b) * b, self.prefill_chunk)),
+                              np.int32)
+            padded[0, :r] = prompt[off:off + r]
+            _, dense = self._prefill(self.params, jnp.asarray(padded),
+                                     dense, jnp.asarray(off, jnp.int32))
+            off += r
+            if off < plen:
+                self._staging[i][0] = dense
+                self._staging[i][2] = off
+                continue
+            self._finish_admission(i, prompt, dense, pids, n_shared,
+                                   chain_key)
+            s.prefilling = False
+            del self._staging[i]
 
     def step(self) -> Dict[int, Any]:
-        if not any(s.active for s in self._slots):
+        self._advance_prefill()
+        return self._step_after_advance()
+
+    def _step_after_advance(self) -> Dict[int, Any]:
+        if not any(s.active and not s.prefilling for s in self._slots):
             return {}
         pos = jnp.asarray(self._pos, jnp.int32)
         logits, caches = self._decode(self.params, self._cur, pos,
@@ -1029,7 +1193,7 @@ class PagedContinuousBatchEngine:
         self._cur = nxt[:, None]
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
-            if not s.active:
+            if not s.active or s.prefilling:
                 continue
             new, done = _emit_tokens(s, [nxt_host[i]])
             self._pos[i] = s.pos
@@ -1053,13 +1217,14 @@ class PagedContinuousBatchEngine:
         boundaries), and only the stacked window tokens are fetched.
         Page tables are static for the whole window: admission allocates
         pages through max_new_tokens up front."""
-        active = [s for s in self._slots if s.active]
+        self._advance_prefill()
+        active = [s for s in self._slots if s.active and not s.prefilling]
         if not active:
             return {}
         remaining = min(s.max_new - s.generated for s in active)
         k = min(max_window, remaining)
         if k == 1:
-            return self.step()
+            return self._step_after_advance()
         pos = jnp.asarray(self._pos, jnp.int32)
         pt = jnp.asarray(self._pt)
         cur = self._cur[:, 0]
@@ -1078,7 +1243,7 @@ class PagedContinuousBatchEngine:
         toks_host = np.asarray(jnp.stack(toks))
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
-            if not s.active:
+            if not s.active or s.prefilling:
                 continue
             new, done = _emit_tokens(s, toks_host[:k, i])
             self._pos[i] = s.pos
@@ -1096,7 +1261,8 @@ class PagedContinuousBatchEngine:
         slot samples. See ContinuousBatchEngine.step_spec_window; the
         bookkeeping is identical, plus the page-pool write-back."""
         assert self.speculative, "engine not constructed with speculative="
-        active = [s for s in self._slots if s.active]
+        self._advance_prefill()
+        active = [s for s in self._slots if s.active and not s.prefilling]
         if not active:
             return {}
         draft_len, ngram = self.speculative
@@ -1112,7 +1278,7 @@ class PagedContinuousBatchEngine:
         nacc_h = np.asarray(n_acc)
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
-            if not s.active:
+            if not s.active or s.prefilling:
                 continue
             m = int(nacc_h[i]) + 1
             new, done = _emit_tokens(s, emit_h[i, :m])
@@ -1134,6 +1300,7 @@ class PagedContinuousBatchEngine:
         return False
 
     def _release(self, idx: int) -> None:
+        getattr(self, "_staging", {}).pop(idx, None)
         pids = self._slot_pages[idx]
         registered_pids = set(self.pool._registry.values())
         for pid in pids:
@@ -1241,7 +1408,10 @@ class TPPagedContinuousBatchEngine(PagedContinuousBatchEngine):
         # draft_len/ngram fixed at construction (shard_map has no statics)
         return self._tp_spec_fn(params, ctx, cur, pos, caches, pt)
 
-    def step(self) -> Dict[int, Any]:
+    def _step_after_advance(self) -> Dict[int, Any]:
+        # step()/step_window() dispatch here after _advance_prefill (a
+        # no-op under TP — chunked prefill stays off, see the TP dense
+        # engine note)
         if not any(s.active for s in self._slots):
             return {}
         pos = jnp.asarray(self._pos, jnp.int32)
