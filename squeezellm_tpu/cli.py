@@ -240,10 +240,6 @@ def _build_serving_engine(args, model_type, config, specs, params):
         (paged_kw if args.paged else common_kw)["cache_dtype"] = cd
     pc = getattr(args, "prefill_chunk", None)
     if pc:
-        if tp > 1:
-            raise SystemExit("--prefill-chunk needs the single-device "
-                             "engines (the TP engines lack the shard_map "
-                             "continuation-prefill twin)")
         common_kw["prefill_chunk"] = pc
     if tp > 1 and args.paged:
         return serving.TPPagedContinuousBatchEngine(
@@ -494,7 +490,7 @@ def main(argv=None):
                          "~2x tokens per HBM byte")
     sb.add_argument("--prefill-chunk", type=int, default=None,
                     help="admit long prompts in N-token chunks interleaved "
-                         "with decode windows (dense + paged engines)")
+                         "with decode windows (all four engines)")
     sb.set_defaults(fn=cmd_serve_bench)
 
     sv = sub.add_parser("serve", help="HTTP serving front-end "
@@ -518,7 +514,7 @@ def main(argv=None):
                     help="KV-cache storage dtype (int8 requires --paged)")
     sv.add_argument("--prefill-chunk", type=int, default=None,
                     help="admit long prompts in N-token chunks interleaved "
-                         "with decode windows (dense + paged engines)")
+                         "with decode windows (all four engines)")
     sv.set_defaults(fn=cmd_serve)
 
     g = sub.add_parser("generate", help="generate tokens")

@@ -429,6 +429,18 @@ def make_tp_serving_fns(model_type: str, config, local_specs, pspecs,
         return mod.prefill(config, local_specs, p, tokens, cache,
                            backend=backend, dtype=dtype, axis_name=AXIS)
 
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pspecs, P(None, None), cspec, P()),
+             out_specs=(rep3, cspec), check_vma=False)
+    def prefill_cont(params, tokens, cache, start):
+        # continuation prefill into a staging cache holding rows
+        # [0, start) — the chunked-admission workhorse (serving.py
+        # ContinuousBatchEngine._advance_prefill)
+        p = _unstack(params, pspecs)
+        return mod.prefill(config, local_specs, p, tokens, cache,
+                           backend=backend, dtype=dtype, axis_name=AXIS,
+                           start=start)
+
     def _adv(sampled):
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(pspecs, P(None, None), rep, cspec,
@@ -449,7 +461,8 @@ def make_tp_serving_fns(model_type: str, config, local_specs, pspecs,
 
         return jax.jit(decode_adv, donate_argnums=(3,))
 
-    return jax.jit(prefill), {False: _adv(False), True: _adv(True)}
+    return (jax.jit(prefill), {False: _adv(False), True: _adv(True)},
+            jax.jit(prefill_cont, donate_argnums=(2,)))
 
 
 def pool_pspecs(n_layers: int, quantized: bool = False):

@@ -146,9 +146,8 @@ def _slot_finished(s: _Slot, tok: int) -> bool:
 class ContinuousBatchEngine:
     """Fixed-slot continuous batching over a quantized model."""
 
-    # class-level defaults: TP subclasses build their own __init__ and
-    # inherit add_request/step_window — chunked prefill stays off there
-    # until the shard_map continuation-prefill twin exists
+    # class-level default so subclasses that build their own __init__
+    # inherit chunked-prefill-off unless they opt in
     prefill_chunk: Optional[int] = None
 
     def __init__(self, model_type: str, config, specs, params, *,
@@ -589,7 +588,8 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
                  dtype=jnp.float32, cache_dtype=jnp.float32,
                  max_seq: Optional[int] = None, seed: int = 0,
                  devices=None, build_spmv: bool = True,
-                 speculative: Optional[Tuple[int, int]] = None):
+                 speculative: Optional[Tuple[int, int]] = None,
+                 prefill_chunk: Optional[int] = None):
         from squeezellm_tpu.parallel import tp_shard_map as tpm
 
         self.model_type = model_type
@@ -597,6 +597,8 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
         self.n_slots = slots
         self.max_seq = max_seq or config.max_seq
         self.speculative = speculative
+        self.prefill_chunk = prefill_chunk
+        self._staging: Dict[int, list] = {}
         _init_sampler_state(self, slots, seed)
 
         self.mesh = tpm.make_tp_mesh(tp, devices)
@@ -604,9 +606,10 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
             model_type, config, specs, params, tp, build_spmv=build_spmv)
         self.specs = lspecs
         self.params = tpm.put_params(sparams, pspecs, self.mesh)
-        self._prefill, self._adv_fns = tpm.make_tp_serving_fns(
-            model_type, config, lspecs, pspecs, self.mesh,
-            backend=backend, dtype=dtype, seed=seed)
+        self._prefill, self._adv_fns, self._prefill_cont = \
+            tpm.make_tp_serving_fns(
+                model_type, config, lspecs, pspecs, self.mesh,
+                backend=backend, dtype=dtype, seed=seed)
         if speculative:
             self._tp_spec_fn = tpm.make_tp_spec_window_fn(
                 model_type, config, lspecs, pspecs, self.mesh,
@@ -649,10 +652,10 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
 
     def _step_after_advance(self) -> Dict[int, Any]:
         """One batched TP decode step (greedy or per-slot sampled) —
-        step()/step_window() dispatch here after _advance_prefill (a
-        no-op under TP: chunked prefill needs the shard_map
-        continuation-prefill twin and stays off)."""
-        if not any(s.active for s in self._slots):
+        step()/step_window() dispatch here after _advance_prefill
+        (chunked prefill under TP rides the shard_map continuation
+        prefill, tp_shard_map.make_tp_serving_fns)."""
+        if not any(s.active and not s.prefilling for s in self._slots):
             return {}
         pos = jnp.asarray(self._pos, jnp.int32)
         sampled = bool((self._temp > 0).any())
@@ -663,7 +666,7 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
         self._cur = nxt[:, None]
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
-            if not s.active:
+            if not s.active or s.prefilling:
                 continue
             new, done = _emit_tokens(s, [nxt_host[i]])
             self._pos[i] = s.pos
@@ -1352,7 +1355,8 @@ class TPPagedContinuousBatchEngine(PagedContinuousBatchEngine):
                  dtype=jnp.float32, cache_dtype=jnp.bfloat16,
                  max_seq: Optional[int] = None, seed: int = 0,
                  devices=None, build_spmv: bool = True,
-                 speculative: Optional[Tuple[int, int]] = None):
+                 speculative: Optional[Tuple[int, int]] = None,
+                 prefill_chunk: Optional[int] = None):
         from jax.sharding import NamedSharding
 
         from squeezellm_tpu.parallel import tp_shard_map as tpm
@@ -1361,6 +1365,11 @@ class TPPagedContinuousBatchEngine(PagedContinuousBatchEngine):
         self.n_slots = slots
         self.max_seq = max_seq or config.max_seq
         self.speculative = speculative
+        # inherited chunked admission (PagedContinuousBatchEngine): the TP
+        # paged prefill already takes `start`, so the same staging path
+        # runs shard_map-side unchanged
+        self.prefill_chunk = prefill_chunk
+        self._staging: Dict[int, list] = {}
         _init_sampler_state(self, slots, seed)
         self.ps = page_size
         self.maxp = -(-self.max_seq // page_size)
@@ -1409,10 +1418,10 @@ class TPPagedContinuousBatchEngine(PagedContinuousBatchEngine):
         return self._tp_spec_fn(params, ctx, cur, pos, caches, pt)
 
     def _step_after_advance(self) -> Dict[int, Any]:
-        # step()/step_window() dispatch here after _advance_prefill (a
-        # no-op under TP — chunked prefill stays off, see the TP dense
-        # engine note)
-        if not any(s.active for s in self._slots):
+        # step()/step_window() dispatch here after _advance_prefill
+        # (inherited chunked admission — the TP paged prefill takes
+        # `start`, so staging runs shard_map-side unchanged)
+        if not any(s.active and not s.prefilling for s in self._slots):
             return {}
         pos = jnp.asarray(self._pos, jnp.int32)
         sampled = bool((self._temp > 0).any())
@@ -1426,7 +1435,7 @@ class TPPagedContinuousBatchEngine(PagedContinuousBatchEngine):
         self._cur = nxt[:, None]
         out: Dict[int, Any] = {}
         for i, s in enumerate(self._slots):
-            if not s.active:
+            if not s.active or s.prefilling:
                 continue
             new, done = _emit_tokens(s, [nxt_host[i]])
             self._pos[i] = s.pos

@@ -208,6 +208,34 @@ def test_paged_cancel_mid_prefill_releases_pages():
     assert len(next(iter(out.values()))) == 3
 
 
+def test_tp_chunked_matches_single_device():
+    """TP dense + TP paged engines under chunked admission: token-
+    identical to their unchunked single-device twins."""
+    config, specs, params = _model()
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, config.vocab_size, 37).tolist(),
+               rng.integers(0, config.vocab_size, 6).tolist(),
+               rng.integers(0, config.vocab_size, 24).tolist()]
+    np_params = jax.tree.map(np.asarray, params)
+    want = _engine(config, specs, params).run(
+        prompts, max_new_tokens=5, window=2)
+    got_tp = serving.TPContinuousBatchEngine(
+        "llama", config, specs, np_params, tp=2, slots=2, backend="xla",
+        max_seq=96, prefill_chunk=16,
+    ).run(prompts, max_new_tokens=5, window=2)
+    for rid in want:
+        assert got_tp[rid] == want[rid], ("tp", rid)
+    want_p = _paged(config, specs, params).run(
+        prompts, max_new_tokens=5, window=2)
+    got_tpp = serving.TPPagedContinuousBatchEngine(
+        "llama", config, specs, np_params, tp=2, slots=2, n_pages=32,
+        page_size=8, backend="xla", cache_dtype=jnp.float32, max_seq=96,
+        prefill_chunk=16,
+    ).run(prompts, max_new_tokens=5, window=2)
+    for rid in want_p:
+        assert got_tpp[rid] == want_p[rid], ("tp-paged", rid)
+
+
 def test_chunked_admission_is_constant_time():
     """Admission does no prefill work: a max-length prompt admits without
     a single prefill dispatch (all chunks run inside step())."""
