@@ -14,7 +14,7 @@ export PYTHONPATH=/root/.axon_site:.
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_comp_cache}
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 
-STAGES=${*:-verify probe_fused probe_w3 batch serve prefix kv8 bench}
+STAGES=${*:-verify probe_fused probe_w3 batch serve prefix kv8 chunked bench}
 FAILED=0
 
 run() {  # run <name> <timeout_s> <cmd...>
@@ -63,6 +63,8 @@ for s in $STAGES; do
       run prefix 3600 python -u scripts/serve_probe.py --prefix ;;
     kv8)         # int8 KV pool: attention bytes A/B at full context
       run kv8 2400 python -u scripts/kv8_probe.py ;;
+    chunked)     # chunked admission: emit-gap p95 whole vs chunk64
+      run chunked 3600 python -u scripts/serve_probe.py --chunked ;;
     bench)       # flagship (fused attention ON by default)
       run bench 3600 python bench.py ;;
     *) echo "unknown stage $s" >&2; FAILED=1 ;;

@@ -71,6 +71,49 @@ def prefix_probe(config, specs, params, backend, on_tpu):
               f"{1000*t_step/max(n_step,1):.1f}ms", flush=True)
 
 
+def chunked_probe(config, specs, params, backend, on_tpu):
+    """Chunked-admission interleaving at 7B: 200-token prompts over 8
+    slots, whole-prompt vs prefill_chunk=64 admission. The whole-prompt
+    mode stalls every decoding slot for a full 200-token prefill at each
+    join; chunked admission bounds the stall at one 64-token chunk.
+    Reports total tok/s and the p95 gap between consecutive step
+    returns (the stall decoding slots actually see)."""
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, config.vocab_size, 200).tolist()
+               for _ in range(17)]
+    for mode in ("whole", "chunk64"):
+        kw = dict(prefill_chunk=64) if mode == "chunk64" else {}
+        eng = serving.PagedContinuousBatchEngine(
+            "llama", config, specs, params, slots=8, n_pages=40,
+            page_size=128, backend=backend,
+            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            cache_dtype=jnp.bfloat16, max_seq=256, **kw)
+        # warm both admission shapes and the decode window
+        eng.run(prompts[:2], max_new_tokens=2, window=8)
+        pending = list(prompts[2:])
+        results = {}
+        gaps = []
+        t0 = time.perf_counter()
+        last = t0
+        while pending or any(s.active for s in eng._slots):
+            while pending and eng.free_slots() > 0:
+                eng.add_request(pending.pop(0), 16)
+            out = eng.step_window(8)
+            now = time.perf_counter()
+            if out:  # gap between consecutive emitting windows
+                gaps.append(now - last)
+                last = now
+            for rid, r in out.items():
+                results.setdefault(rid, []).extend(r["new_tokens"])
+        dt = time.perf_counter() - t0
+        total = sum(len(t) for t in results.values())
+        gaps.sort()
+        p95 = gaps[int(0.95 * (len(gaps) - 1))] if gaps else float("nan")
+        print(f"admission={mode:8s}: {total} tokens in {dt:.2f}s -> "
+              f"{total/dt:7.1f} tok/s | emit-gap p95 {1000*p95:.0f} ms "
+              f"({len(gaps)} windows)", flush=True)
+
+
 def spec_probe(config, specs, params, backend, on_tpu, slots=8, paged=False):
     """Slot-batched speculative serving vs plain windowed serving.
 
@@ -116,10 +159,11 @@ def spec_probe(config, specs, params, backend, on_tpu, slots=8, paged=False):
 
 def main():
     args = [a for a in sys.argv[1:]
-            if a not in ("--paged", "--prefix", "--spec")]
+            if a not in ("--paged", "--prefix", "--spec", "--chunked")]
     paged = "--paged" in sys.argv[1:]
     prefix = "--prefix" in sys.argv[1:]
     spec = "--spec" in sys.argv[1:]
+    chunked = "--chunked" in sys.argv[1:]
     slots_list = [int(s) for s in args] or [1, 8]
     print("backend:", jax.default_backend(), flush=True)
     config = llama.LlamaConfig(max_seq=256, n_layers=32)
@@ -131,6 +175,9 @@ def main():
 
     if prefix:
         prefix_probe(config, specs, params, backend, on_tpu)
+        return
+    if chunked:
+        chunked_probe(config, specs, params, backend, on_tpu)
         return
     if spec:
         spec_probe(config, specs, params, backend, on_tpu,
