@@ -196,8 +196,14 @@ def cmd_benchmark(args):
     from squeezellm_tpu import engine as engine_mod
 
     model_type, config, specs, params = _load_any(args.model)
+    ekw = {}
+    kv = getattr(args, "kv_dtype", None)
+    if kv:
+        import jax.numpy as jnp
+        ekw["cache_dtype"] = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+                              "int8": "int8"}[kv]
     eng = engine_mod.Engine(model_type, config, specs, params,
-                            backend=args.backend, fuse=args.fuse)
+                            backend=args.backend, fuse=args.fuse, **ekw)
     tokens = _eval_tokens(args, config, args.model)
     ids = tokens[:, : args.tokens]
 
@@ -225,9 +231,10 @@ def _build_serving_engine(args, model_type, config, specs, params):
     spec = tuple(args.speculative) if args.speculative else None
     tp = getattr(args, "tp", 0) or 0
     kv = getattr(args, "kv_dtype", None)
-    if kv == "int8" and not args.paged:
-        raise SystemExit("--kv-dtype int8 requires --paged (the int8 pool "
-                         "format lives in the paged kernels; ops/kv_quant.py)")
+    if kv == "int8" and not args.paged and tp > 1:
+        raise SystemExit("--kv-dtype int8 on the dense engine is single-"
+                         "device only (the TP dense cache paths are bf16/"
+                         "f32; use --paged for TP int8 KV)")
     paged_kw = dict(
         page_size=args.page_size,
         n_pages=-(-args.seqlen // args.page_size) * args.slots,
@@ -459,6 +466,11 @@ def main(argv=None):
     b.add_argument("--fuse", action="store_true",
                    help="fuse q|k|v and gate|up projections for decode")
     b.add_argument("--profile", default=None, help="write a jax profiler trace dir")
+    b.add_argument("--kv-dtype", default=None,
+                   choices=["bf16", "f32", "int8"],
+                   help="KV-cache storage dtype; int8 stores codes + "
+                        "per-row f32 scales (ops/kv_quant.py), ~half the "
+                        "attention bytes at long context")
     b.set_defaults(fn=cmd_benchmark)
 
     sb = sub.add_parser("serve-bench",

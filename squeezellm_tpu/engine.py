@@ -140,10 +140,11 @@ class Engine:
 
     def new_cache(self, batch: int = 1, max_seq: Optional[int] = None):
         c = self.config
-        # round the cache's token axis up to 16 so the fused decode
-        # attention kernel's tile-aligned chunking always engages (extra
-        # rows sit beyond every position and are never attended)
-        s = -(-(max_seq or c.max_seq) // 16) * 16
+        # round the cache's token axis up to 16 (32 for int8 codes) so the
+        # fused decode attention kernel's tile-aligned chunking always
+        # engages (extra rows sit beyond every position, never attended)
+        align = 32 if self.cache_dtype in ("int8", jnp.int8) else 16
+        s = -(-(max_seq or c.max_seq) // align) * align
         return common.init_kv_cache(
             batch, s, c.n_layers, c.n_kv_heads, c.head_dim,
             self.cache_dtype,

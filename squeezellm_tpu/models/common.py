@@ -101,7 +101,25 @@ def init_kv_cache(batch: int, max_seq: int, n_layers: int, n_kv_heads: int,
     """Per-layer list of {'k','v'} of shape (B, H_kv, max_seq, D).
 
     Head-major layout: the decode-step attention contracts (B,H,1,D) x
-    (B,H,S,D) without any relayout of the cached keys/values."""
+    (B,H,S,D) without any relayout of the cached keys/values.
+
+    dtype "int8" (or jnp.int8): quantized dense cache — int8 codes plus a
+    per-(token row, kv head) f32 scale sidecar 'ks'/'vs' of shape
+    (B, H_kv, max_seq, 1) (format: ops/kv_quant.py). Attention bytes halve
+    vs bf16 at the same context; writes quantize at insert
+    (update_kv_cache / the fused q8 decode kernel)."""
+    if dtype == "int8" or dtype == jnp.int8:
+        return [
+            {
+                "k": jnp.zeros((batch, n_kv_heads, max_seq, head_dim),
+                               jnp.int8),
+                "v": jnp.zeros((batch, n_kv_heads, max_seq, head_dim),
+                               jnp.int8),
+                "ks": jnp.zeros((batch, n_kv_heads, max_seq, 1), jnp.float32),
+                "vs": jnp.zeros((batch, n_kv_heads, max_seq, 1), jnp.float32),
+            }
+            for _ in range(n_layers)
+        ]
     return [
         {
             "k": jnp.zeros((batch, n_kv_heads, max_seq, head_dim), dtype),
@@ -109,6 +127,18 @@ def init_kv_cache(batch: int, max_seq: int, n_layers: int, n_kv_heads: int,
         }
         for _ in range(n_layers)
     ]
+
+
+def read_kv(cache, dtype):
+    """Dequantized (k, v) views of a dense cache — identity cast for
+    f32/bf16 caches, codes * row-scale for int8 ones (the XLA mirror of
+    the fused q8 kernels' in-VMEM dequant; ops/kv_quant.py)."""
+    if "ks" in cache:
+        from squeezellm_tpu.ops import kv_quant
+
+        return (kv_quant.dequantize_rows(cache["k"], cache["ks"]).astype(dtype),
+                kv_quant.dequantize_rows(cache["v"], cache["vs"]).astype(dtype))
+    return cache["k"].astype(dtype), cache["v"].astype(dtype)
 
 
 def repeat_kv(x, n_rep: int):
@@ -179,11 +209,25 @@ def window_mask(sq: int, max_seq: int, pos,
 
 def update_kv_window(cache, k_new, v_new, pos):
     """Write an s-token window's k/v (B, H, s, D) at per-slot positions
-    pos (B,): slot b's rows land at [pos_b, pos_b + s)."""
+    pos (B,): slot b's rows land at [pos_b, pos_b + s).
+
+    int8 caches ('ks' sidecar present) quantize each row at insert via
+    the ops/kv_quant.py math."""
     def one(cb, nb, pb):
         return jax.lax.dynamic_update_slice_in_dim(
             cb, nb.astype(cb.dtype), pb, axis=1)  # cb (H, S, D)
 
+    if "ks" in cache:
+        from squeezellm_tpu.ops import kv_quant
+
+        kq, ks = kv_quant.quantize_rows(k_new)
+        vq, vs = kv_quant.quantize_rows(v_new)
+        return {
+            "k": jax.vmap(one)(cache["k"], kq, pos),
+            "v": jax.vmap(one)(cache["v"], vq, pos),
+            "ks": jax.vmap(one)(cache["ks"], ks, pos),
+            "vs": jax.vmap(one)(cache["vs"], vs, pos),
+        }
     return {
         "k": jax.vmap(one)(cache["k"], k_new, pos),
         "v": jax.vmap(one)(cache["v"], v_new, pos),
@@ -195,18 +239,25 @@ def update_kv_cache(cache, k_new, v_new, pos):
 
     pos scalar: one dynamic_update_slice (decode batch shares a position).
     pos (B,): per-slot positions via a deterministic scatter (continuous
-    batching)."""
+    batching). int8 caches quantize each row at insert (ops/kv_quant.py)."""
     pos = jnp.asarray(pos)
+    if "ks" in cache:
+        from squeezellm_tpu.ops import kv_quant
+
+        kq, ks = kv_quant.quantize_rows(k_new)
+        vq, vs = kv_quant.quantize_rows(v_new)
+        parts = {"k": kq, "v": vq, "ks": ks, "vs": vs}
+    else:
+        parts = {"k": k_new, "v": v_new}
+    out = {}
     if pos.ndim == 0:
-        ck = jax.lax.dynamic_update_slice(
-            cache["k"], k_new.astype(cache["k"].dtype), (0, 0, pos, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cache["v"], v_new.astype(cache["v"].dtype), (0, 0, pos, 0))
+        for name, new in parts.items():
+            out[name] = jax.lax.dynamic_update_slice(
+                cache[name], new.astype(cache[name].dtype), (0, 0, pos, 0))
     else:
         b = k_new.shape[0]
         idx = jnp.arange(b)
-        ck = cache["k"].at[idx, :, pos, :].set(
-            k_new[:, :, 0, :].astype(cache["k"].dtype))
-        cv = cache["v"].at[idx, :, pos, :].set(
-            v_new[:, :, 0, :].astype(cache["v"].dtype))
-    return {"k": ck, "v": cv}
+        for name, new in parts.items():
+            out[name] = cache[name].at[idx, :, pos, :].set(
+                new[:, :, 0, :].astype(cache[name].dtype))
+    return out

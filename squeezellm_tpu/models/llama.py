@@ -194,9 +194,11 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
     k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
 
+    dense_q8 = cache is not None and "pk" not in cache and "ks" in cache
     if (cache is not None and "pk" not in cache and s == 1
             and backend.startswith("pallas")
-            and cache["k"].shape[2] % 16 == 0  # tile-aligned chunking
+            # tile-aligned chunking: 16-row slabs (32 for int8 caches)
+            and cache["k"].shape[2] % (32 if dense_q8 else 16) == 0
             and os.environ.get("SQUEEZELLM_FUSED_ATTN", "1") == "1"):
         # dense-cache decode: fused rope + cache-write + chunked attention
         # in one Pallas launch (ops/decode_attn.py) — replaces the rope/
@@ -212,13 +214,22 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
 
         lengths = jnp.broadcast_to(
             jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
-        out3, ck2, cv2 = decode_attn.dense_decode_attention(
-            q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
-            cache["k"], cache["v"], lengths,
-            sliding_window=config.sliding_window,
-            rope_theta=config.rope_theta,
-            interpret=jax.default_backend() not in ("tpu",))
-        cache = {"k": ck2, "v": cv2}
+        if dense_q8:  # int8 cache + f32 scale sidecar (ops/kv_quant.py)
+            out3, ck2, cv2, sk2, sv2 = decode_attn.dense_decode_attention_q8(
+                q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                cache["k"], cache["v"], cache["ks"], cache["vs"], lengths,
+                sliding_window=config.sliding_window,
+                rope_theta=config.rope_theta,
+                interpret=jax.default_backend() not in ("tpu",))
+            cache = {"k": ck2, "v": cv2, "ks": sk2, "vs": sv2}
+        else:
+            out3, ck2, cv2 = decode_attn.dense_decode_attention(
+                q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                cache["k"], cache["v"], lengths,
+                sliding_window=config.sliding_window,
+                rope_theta=config.rope_theta,
+                interpret=jax.default_backend() not in ("tpu",))
+            cache = {"k": ck2, "v": cv2}
         out = out3[:, :, None, :].astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
         out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
@@ -298,13 +309,23 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         else:
             # prefill: write [start, start+s)
             start = 0 if pos is None else pos
-            cache = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache["k"], k.astype(cache["k"].dtype), (0, 0, start, 0)),
-                "v": jax.lax.dynamic_update_slice(
-                    cache["v"], v.astype(cache["v"].dtype), (0, 0, start, 0)),
-            }
-        k, v = cache["k"].astype(x.dtype), cache["v"].astype(x.dtype)
+            if "ks" in cache:  # int8: quantize rows at insert
+                from squeezellm_tpu.ops import kv_quant
+
+                kq, ks = kv_quant.quantize_rows(k)
+                vq, vs = kv_quant.quantize_rows(v)
+                parts = {"k": kq, "v": vq, "ks": ks, "vs": vs}
+            else:
+                parts = {"k": k, "v": v}
+            cache = dict(cache)
+            for name, new in parts.items():
+                cache[name] = jax.lax.dynamic_update_slice(
+                    cache[name], new.astype(cache[name].dtype),
+                    (0, 0, start, 0))
+        # int8 caches dequantize here (the XLA mirror of the fused q8
+        # kernels' in-VMEM dequant) — prefill attention reads the same
+        # quantized history decode will
+        k, v = common.read_kv(cache, x.dtype)
 
     if (s > 1 and backend.startswith("pallas")
             and (pos is None or jnp.asarray(pos).ndim == 0)

@@ -42,21 +42,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _pick_chunk(S: int, cap: int = 512):
+def _pick_chunk(S: int, cap: int = 512, align: int = 16):
     """Largest divisor of S that is <= cap and DMA-tile-aligned (multiple
-    of 16 rows — the bf16 tile height; f32 needs 8, 16 covers both).
-    Returns None when no aligned chunking exists (S not a multiple of
-    16): chunk-loop DMAs would start at misaligned token offsets and the
-    16-row write slab would overrun the cache — callers must fall back
-    to the XLA chain (see models/llama.py fused-branch gate)."""
-    if S % 16 != 0:
+    of `align` rows — 16 is the bf16 tile height; f32 needs 8, 16 covers
+    both; int8 caches need 32). Returns None when no aligned chunking
+    exists (S not a multiple of `align`): chunk-loop DMAs would start at
+    misaligned token offsets and the write slab would overrun the cache —
+    callers must fall back to the XLA chain (see models/llama.py
+    fused-branch gate)."""
+    if S % align != 0:
         return None
     if S <= cap:
         return S
-    for c in range(cap - cap % 16, 0, -16):
+    for c in range(cap - cap % align, 0, -align):
         if S % c == 0:
             return c
-    return 16
+    return align
 
 
 def _rope_rows(x, pos, theta: float):
@@ -295,3 +296,240 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
     )(lengths, q4, kn4, vn4, ck, cv)
 
     return out.reshape(B, H, hd), ck_out, cv_out
+
+
+def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
+                          ck_in, cv_in, sk_in, sv_in,
+                          ck_ref, cv_ref, sk_ref, sv_ref, out_ref,
+                          kbuf, vbuf, skbuf, svbuf,
+                          pairk, pairv, pairsk, pairsv,
+                          ksem, vsem, sksem, svsem, wsem,
+                          *, S: int, chunk: int, scale: float, window: int,
+                          rope_theta):
+    """int8-KV twin of :func:`_dense_attn_kernel` — the dense-cache
+    counterpart of ops/paged_attn._paged_attn_kernel_q8 (same quantize
+    math, page table replaced by direct row addressing):
+
+      * caches hold int8 codes (B, Hkv, S, hd) plus a per-(token row,
+        kv head) f32 scale sidecar (B, Hkv, S, 1) — see ops/kv_quant.py;
+      * write: the rope'd current k and its v are quantized IN-KERNEL
+        (`ops.paged_attn._quant_kv_rows`, the exact math of
+        ops.kv_quant.quantize_rows) and RMW-patched into an aligned
+        32-row slab (int8 Mosaic tile height; bf16 is 16, f32 8);
+      * read: each chunk is dequantized on its VMEM buffer — convert +
+        one broadcast multiply per element — so decode attention streams
+        ~half the bytes of a bf16 cache at the same context length.
+    """
+    from squeezellm_tpu.ops.paged_attn import _quant_kv_rows
+
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    n = jnp.minimum(len_ref[b], S)  # clamp: see _dense_attn_kernel
+    nchunks = jax.lax.div(n + chunk - 1, chunk)
+    lo = jnp.maximum(n - window, 0)
+    c0 = jax.lax.div(lo, chunk)
+
+    last = n - 1
+    # int8 token-dim DMA slices must align to 32 rows; S < 32 only in
+    # tiny interpret-mode tests (the wrapper asserts S % 32 == 0 else
+    # falls back)
+    slab = 32 if S % 32 == 0 else S
+    off2 = jax.lax.div(last, slab) * slab
+    sub = last - off2
+
+    kn = kn_ref[0].astype(jnp.float32)  # (1, hd)
+    if rope_theta is not None:
+        kn = _rope_rows(kn, last, rope_theta)
+    knq, kns = _quant_kv_rows(kn)
+    vnq, vns = _quant_kv_rows(vn_ref[0].astype(jnp.float32))
+
+    @pl.when(n > 0)
+    def _write():
+        rk = pltpu.make_async_copy(
+            ck_ref.at[b, h, pl.ds(off2, slab)], pairk, wsem.at[0])
+        rv = pltpu.make_async_copy(
+            cv_ref.at[b, h, pl.ds(off2, slab)], pairv, wsem.at[1])
+        rsk = pltpu.make_async_copy(
+            sk_ref.at[b, h, pl.ds(off2, slab)], pairsk, wsem.at[2])
+        rsv = pltpu.make_async_copy(
+            sv_ref.at[b, h, pl.ds(off2, slab)], pairsv, wsem.at[3])
+        for c in (rk, rv, rsk, rsv):
+            c.start()
+        for c in (rk, rv, rsk, rsv):
+            c.wait()
+        rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
+        pairk[:] = jnp.where(rows == sub, knq, pairk[:])
+        pairv[:] = jnp.where(rows == sub, vnq, pairv[:])
+        pairsk[:] = jnp.where(rows == sub, kns, pairsk[:])
+        pairsv[:] = jnp.where(rows == sub, vns, pairsv[:])
+        wk = pltpu.make_async_copy(
+            pairk, ck_ref.at[b, h, pl.ds(off2, slab)], wsem.at[0])
+        wv = pltpu.make_async_copy(
+            pairv, cv_ref.at[b, h, pl.ds(off2, slab)], wsem.at[1])
+        wsk = pltpu.make_async_copy(
+            pairsk, sk_ref.at[b, h, pl.ds(off2, slab)], wsem.at[2])
+        wsv = pltpu.make_async_copy(
+            pairsv, sv_ref.at[b, h, pl.ds(off2, slab)], wsem.at[3])
+        for c in (wk, wv, wsk, wsv):
+            c.start()
+        for c in (wk, wv, wsk, wsv):
+            c.wait()
+
+    def copies(p, slot):
+        return (
+            pltpu.make_async_copy(
+                ck_ref.at[b, h, pl.ds(p * chunk, chunk)], kbuf.at[slot],
+                ksem.at[slot]),
+            pltpu.make_async_copy(
+                cv_ref.at[b, h, pl.ds(p * chunk, chunk)], vbuf.at[slot],
+                vsem.at[slot]),
+            pltpu.make_async_copy(
+                sk_ref.at[b, h, pl.ds(p * chunk, chunk)], skbuf.at[slot],
+                sksem.at[slot]),
+            pltpu.make_async_copy(
+                sv_ref.at[b, h, pl.ds(p * chunk, chunk)], svbuf.at[slot],
+                svsem.at[slot]),
+        )
+
+    @pl.when(c0 < nchunks)
+    def _prologue():
+        for c in copies(c0, jax.lax.rem(c0, 2)):
+            c.start()
+
+    q = q_ref[0].astype(jnp.float32)  # (g, hd)
+    if rope_theta is not None:
+        q = _rope_rows(q, last, rope_theta)
+    g, hd = q.shape
+
+    def body(p, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < nchunks)
+        def _next():
+            for c in copies(p + 1, 1 - slot):
+                c.start()
+
+        for c in copies(p, slot):
+            c.wait()
+        k = kbuf[slot].astype(jnp.float32) * skbuf[slot]  # (chunk, hd)
+        v = vbuf[slot].astype(jnp.float32) * svbuf[slot]
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (g, chunk)
+        kpos = p * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        logits = jnp.where((kpos < n) & (kpos >= lo), logits, NEG_INF)
+
+        m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m2)
+        pexp = jnp.exp(logits - m2)
+        l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
+        acc2 = acc * alpha + jnp.dot(pexp, v,
+                                     preferred_element_type=jnp.float32)
+        return m2, l2, acc2
+
+    init = (jnp.full((g, 1), NEG_INF, jnp.float32),
+            jnp.zeros((g, 1), jnp.float32),
+            jnp.zeros((g, hd), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(c0, nchunks, body, init)
+    out_ref[0] = acc / jnp.maximum(l, 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("sliding_window", "rope_theta",
+                                             "interpret"))
+def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
+                              sliding_window=None, rope_theta=None,
+                              interpret: bool = False):
+    """:func:`dense_decode_attention` over int8 caches with per-row f32
+    scale sidecars (format + rationale: ops/kv_quant.py).
+
+    ck/cv: (B, Hkv, S, hd) int8 (aliased in->out)
+    sk/sv: (B, Hkv, S, 1) f32 (aliased in->out)
+
+    Returns (attn_out (B, H, hd) f32, ck, cv, sk, sv).
+    """
+    B, H, hd = q.shape
+    Hkv, S = ck.shape[1], ck.shape[2]
+    assert ck.dtype == jnp.int8 and cv.dtype == jnp.int8
+    assert ck.shape == cv.shape == (B, Hkv, S, hd), (ck.shape, q.shape)
+    assert sk.shape == sv.shape == (B, Hkv, S, 1), sk.shape
+    g = H // Hkv
+    assert g * Hkv == H, (H, Hkv)
+    align = 32 if S % 32 == 0 else S  # tiny interpret-mode tests only
+    chunk = _pick_chunk(S, align=align)
+    if chunk is None:
+        raise ValueError(
+            f"max_seq={S} is not a multiple of 32 — no int8-tile-aligned "
+            "chunking exists; use the XLA attention chain for this cache "
+            "(the model-level fused-branch gate should have caught this)")
+    scale = 1.0 / (hd ** 0.5)
+    window = S + 1 if sliding_window is None else int(sliding_window)
+    slab = 32 if S % 32 == 0 else S
+
+    q4 = q.reshape(B * Hkv, g, hd).astype(jnp.float32)
+    kn4 = k_new.reshape(B * Hkv, 1, hd).astype(jnp.float32)
+    # v quantizes in-kernel (not cast host-side): rounding must match the
+    # XLA mirror's f32 math
+    vn4 = v_new.reshape(B * Hkv, 1, hd).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, g, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, g, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, hd), jnp.int8),
+            pltpu.VMEM((2, chunk, hd), jnp.int8),
+            pltpu.VMEM((2, chunk, 1), jnp.float32),
+            pltpu.VMEM((2, chunk, 1), jnp.float32),
+            pltpu.VMEM((slab, hd), jnp.int8),
+            pltpu.VMEM((slab, hd), jnp.int8),
+            pltpu.VMEM((slab, 1), jnp.float32),
+            pltpu.VMEM((slab, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    ck_out, cv_out, sk_out, sv_out, out = pl.pallas_call(
+        functools.partial(_dense_attn_kernel_q8, S=S, chunk=chunk,
+                          scale=scale, window=window, rope_theta=rope_theta),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+            jax.ShapeDtypeStruct(cv.shape, cv.dtype),
+            jax.ShapeDtypeStruct(sk.shape, sk.dtype),
+            jax.ShapeDtypeStruct(sv.shape, sv.dtype),
+            jax.ShapeDtypeStruct((B * Hkv, g, hd), jnp.float32),
+        ],
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, q4, kn4, vn4, ck, cv, sk, sv)
+
+    return out.reshape(B, H, hd), ck_out, cv_out, sk_out, sv_out

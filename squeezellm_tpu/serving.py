@@ -273,11 +273,12 @@ class ContinuousBatchEngine:
             )
 
         self._insert = _insert
-        # token axis rounded to 16: keeps the fused decode attention
-        # kernel's tile-aligned chunking engaged for any max_seq (extra
-        # rows sit beyond every position and are never attended)
+        # token axis rounded to 16 (32 for int8 codes): keeps the fused
+        # decode attention kernel's tile-aligned chunking engaged for any
+        # max_seq (extra rows sit beyond every position, never attended)
+        calign = 32 if cache_dtype in ("int8", jnp.int8) else 16
         self.cache = common.init_kv_cache(
-            slots, -(-self.max_seq // 16) * 16, config.n_layers,
+            slots, -(-self.max_seq // calign) * calign, config.n_layers,
             config.n_kv_heads, config.head_dim, cache_dtype,
         )
         self._slots = [_Slot() for _ in range(slots)]

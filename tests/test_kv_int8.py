@@ -286,6 +286,107 @@ def test_q8_tp_engine_matches_single_device():
         assert got[rid] == want[rid], rid
 
 
+def test_q8_dense_decode_kernel_matches_mirror():
+    """Dense-cache q8 kernel (ops/decode_attn.dense_decode_attention_q8)
+    vs the same numpy mirror style as the paged test: quantize the rope'd
+    current row, patch the cache, attend over the dequantized prefix."""
+    from squeezellm_tpu.ops import decode_attn
+
+    rng = np.random.default_rng(7)
+    B, H, Hkv, hd, S = 2, 4, 2, 64, 96
+    g = H // Hkv
+    q = rng.standard_normal((B, H, hd)).astype(np.float32)
+    kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    ck, sk = _quant_np(rng.standard_normal((B, Hkv, S, hd)))
+    cv, sv = _quant_np(rng.standard_normal((B, Hkv, S, hd)))
+    lengths = np.asarray([40, 0], np.int32)  # slot 1 inactive
+
+    out, ck2, cv2, sk2, sv2 = decode_attn.dense_decode_attention_q8(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(ck), jnp.asarray(cv), jnp.asarray(sk), jnp.asarray(sv),
+        jnp.asarray(lengths), rope_theta=10000.0, interpret=True)
+    out, ck2, cv2 = np.asarray(out), np.asarray(ck2), np.asarray(cv2)
+    sk2, sv2 = np.asarray(sk2), np.asarray(sv2)
+
+    # inactive slot: no output, no write
+    assert np.abs(out[1]).max() == 0.0
+    np.testing.assert_array_equal(ck2[1], ck[1])
+    np.testing.assert_array_equal(sk2[1], sk[1])
+
+    b, n = 0, 40
+    last = n - 1
+    knq, kns = _quant_np(_rope_np(kn[b], np.full(Hkv, last)))
+    vnq, vns = _quant_np(vn[b])
+    ck_m, sk_m = ck.copy(), sk.copy()
+    cv_m, sv_m = cv.copy(), sv.copy()
+    ck_m[b, :, last], sk_m[b, :, last] = knq, kns
+    cv_m[b, :, last], sv_m[b, :, last] = vnq, vns
+    # v (no rope): shared quantize math -> bit-exact
+    np.testing.assert_array_equal(cv2[b], cv_m[b])
+    np.testing.assert_array_equal(sv2[b], sv_m[b])
+    # k: untouched rows exact; the rope'd row tolerates 1 ulp (see the
+    # paged q8 decode test for why)
+    keep = np.arange(S) != last
+    np.testing.assert_array_equal(ck2[b][:, keep], ck[b][:, keep])
+    np.testing.assert_array_equal(sk2[b][:, keep], sk[b][:, keep])
+    np.testing.assert_allclose(sk2[b][:, last], kns, rtol=3e-7)
+    assert np.abs(ck2[b][:, last].astype(np.int32)
+                  - knq.astype(np.int32)).max() <= 1
+
+    rows_k = ck_m[b, :, :n].astype(np.float32) * sk_m[b, :, :n]
+    rows_v = cv_m[b, :, :n].astype(np.float32) * sv_m[b, :, :n]
+    qr = _rope_np(q[b], np.full(H, last))
+    for hh in range(H):
+        kvh = hh // g
+        lg = rows_k[kvh].astype(np.float64) @ qr[hh] / np.sqrt(hd)
+        w = np.exp(lg - lg.max())
+        w /= w.sum()
+        want = w @ rows_v[kvh].astype(np.float64)
+        np.testing.assert_allclose(out[0, hh], want, rtol=2e-5, atol=2e-5)
+
+
+def test_q8_dense_engine_generate_tokens_close():
+    """engine.Engine with cache_dtype='int8' (XLA decode path: quantize
+    at insert + dequant at read) completes and tracks the f32-cache
+    engine on a tiny model."""
+    from squeezellm_tpu import engine as engine_mod
+
+    config, specs, params = _small_model()
+    prompt = np.asarray([[1, 2, 3, 4, 5]], np.int32)
+    ef = engine_mod.Engine("llama", config, specs, params, backend="xla")
+    e8 = engine_mod.Engine("llama", config, specs, params, backend="xla",
+                           cache_dtype="int8")
+    # int8 cache token axis rounds to 32
+    c8 = e8.new_cache(1, 40)
+    assert c8[0]["k"].dtype == jnp.int8 and c8[0]["k"].shape[2] == 64
+    assert c8[0]["ks"].shape == c8[0]["k"].shape[:3] + (1,)
+    tf = ef.generate(prompt, 8)[0, 5:]
+    t8 = e8.generate(prompt, 8)[0, 5:]
+    agree = np.mean(np.asarray(tf) == np.asarray(t8))
+    assert agree >= 0.5, (tf, t8)
+
+
+def test_q8_dense_serving_engine_completes():
+    """Dense-slot continuous batching over an int8 cache: multi-slot run
+    completes with the right token counts and tracks the f32 engine."""
+    config, specs, params = _small_model()
+
+    def run(cd):
+        eng = serving.ContinuousBatchEngine(
+            "llama", config, specs, params, slots=2, backend="xla",
+            cache_dtype=cd)
+        return eng.run([[1, 2, 3], list(range(5, 5 + 9)), [11, 13]],
+                       max_new_tokens=5)
+
+    rf, r8 = run(jnp.float32), run("int8")
+    assert sorted(r8) == sorted(rf)
+    for rid in r8:
+        assert len(r8[rid]) == 5
+        agree = np.mean(np.asarray(r8[rid]) == np.asarray(rf[rid]))
+        assert agree >= 0.4, (rid, r8[rid], rf[rid])
+
+
 def test_q8_model_logits_within_quant_tolerance():
     """decode_step with int8 pools vs f32 pools holding the same
     history: logits agree to quantization tolerance (the pools start
