@@ -104,19 +104,23 @@ def init_kv_cache(batch: int, max_seq: int, n_layers: int, n_kv_heads: int,
     (B,H,S,D) without any relayout of the cached keys/values.
 
     dtype "int8" (or jnp.int8): quantized dense cache — int8 codes plus a
-    per-(token row, kv head) f32 scale sidecar 'ks'/'vs' of shape
-    (B, H_kv, max_seq, 1) (format: ops/kv_quant.py). Attention bytes halve
-    vs bf16 at the same context; writes quantize at insert
-    (update_kv_cache / the fused q8 decode kernel)."""
+    lane-major f32 scale sidecar 'ks'/'vs' of shape
+    (B, H_kv, *kv_quant.sidecar_shape(max_seq)) (layout rationale:
+    ops/kv_quant.py). Attention bytes ~halve vs bf16 at the same
+    context; writes quantize at insert (update_kv_cache / the fused q8
+    decode kernel)."""
     if dtype == "int8" or dtype == jnp.int8:
+        from squeezellm_tpu.ops import kv_quant
+
+        side = (batch, n_kv_heads) + kv_quant.sidecar_shape(max_seq)
         return [
             {
                 "k": jnp.zeros((batch, n_kv_heads, max_seq, head_dim),
                                jnp.int8),
                 "v": jnp.zeros((batch, n_kv_heads, max_seq, head_dim),
                                jnp.int8),
-                "ks": jnp.zeros((batch, n_kv_heads, max_seq, 1), jnp.float32),
-                "vs": jnp.zeros((batch, n_kv_heads, max_seq, 1), jnp.float32),
+                "ks": jnp.zeros(side, jnp.float32),
+                "vs": jnp.zeros(side, jnp.float32),
             }
             for _ in range(n_layers)
         ]
@@ -136,8 +140,10 @@ def read_kv(cache, dtype):
     if "ks" in cache:
         from squeezellm_tpu.ops import kv_quant
 
-        return (kv_quant.dequantize_rows(cache["k"], cache["ks"]).astype(dtype),
-                kv_quant.dequantize_rows(cache["v"], cache["vs"]).astype(dtype))
+        ks = kv_quant.unpack_scales(cache["ks"])
+        vs = kv_quant.unpack_scales(cache["vs"])
+        return (kv_quant.dequantize_rows(cache["k"], ks).astype(dtype),
+                kv_quant.dequantize_rows(cache["v"], vs).astype(dtype))
     return cache["k"].astype(dtype), cache["v"].astype(dtype)
 
 
@@ -225,8 +231,8 @@ def update_kv_window(cache, k_new, v_new, pos):
         return {
             "k": jax.vmap(one)(cache["k"], kq, pos),
             "v": jax.vmap(one)(cache["v"], vq, pos),
-            "ks": jax.vmap(one)(cache["ks"], ks, pos),
-            "vs": jax.vmap(one)(cache["vs"], vs, pos),
+            "ks": jax.vmap(kv_quant.set_scales)(cache["ks"], ks, pos),
+            "vs": jax.vmap(kv_quant.set_scales)(cache["vs"], vs, pos),
         }
     return {
         "k": jax.vmap(one)(cache["k"], k_new, pos),
@@ -246,18 +252,24 @@ def update_kv_cache(cache, k_new, v_new, pos):
 
         kq, ks = kv_quant.quantize_rows(k_new)
         vq, vs = kv_quant.quantize_rows(v_new)
-        parts = {"k": kq, "v": vq, "ks": ks, "vs": vs}
+        parts = {"k": kq, "v": vq}
+        scales = {"ks": ks, "vs": vs}
     else:
         parts = {"k": k_new, "v": v_new}
+        scales = {}
     out = {}
     if pos.ndim == 0:
         for name, new in parts.items():
             out[name] = jax.lax.dynamic_update_slice(
                 cache[name], new.astype(cache[name].dtype), (0, 0, pos, 0))
+        for name, new in scales.items():
+            out[name] = kv_quant.set_scales(cache[name], new, pos)
     else:
         b = k_new.shape[0]
         idx = jnp.arange(b)
         for name, new in parts.items():
             out[name] = cache[name].at[idx, :, pos, :].set(
                 new[:, :, 0, :].astype(cache[name].dtype))
+        for name, new in scales.items():
+            out[name] = jax.vmap(kv_quant.set_scales)(cache[name], new, pos)
     return out

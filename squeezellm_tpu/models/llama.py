@@ -309,15 +309,17 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         else:
             # prefill: write [start, start+s)
             start = 0 if pos is None else pos
+            cache = dict(cache)
             if "ks" in cache:  # int8: quantize rows at insert
                 from squeezellm_tpu.ops import kv_quant
 
                 kq, ks = kv_quant.quantize_rows(k)
                 vq, vs = kv_quant.quantize_rows(v)
-                parts = {"k": kq, "v": vq, "ks": ks, "vs": vs}
+                parts = {"k": kq, "v": vq}
+                cache["ks"] = kv_quant.set_scales(cache["ks"], ks, start)
+                cache["vs"] = kv_quant.set_scales(cache["vs"], vs, start)
             else:
                 parts = {"k": k, "v": v}
-            cache = dict(cache)
             for name, new in parts.items():
                 cache[name] = jax.lax.dynamic_update_slice(
                     cache[name], new.astype(cache[name].dtype),

@@ -310,15 +310,19 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
     counterpart of ops/paged_attn._paged_attn_kernel_q8 (same quantize
     math, page table replaced by direct row addressing):
 
-      * caches hold int8 codes (B, Hkv, S, hd) plus a per-(token row,
-        kv head) f32 scale sidecar (B, Hkv, S, 1) — see ops/kv_quant.py;
+      * caches hold int8 codes (B, Hkv, S, hd) plus a lane-major f32
+        scale sidecar (B, Hkv, NG*8, L): tokens [jL, (j+1)L) keep their
+        scales in lane row 8j, rows 8j+1..8j+7 pad to the f32 tile so
+        every scale DMA is a full (8, L) tile — see ops/kv_quant.py;
       * write: the rope'd current k and its v are quantized IN-KERNEL
         (`ops.paged_attn._quant_kv_rows`, the exact math of
-        ops.kv_quant.quantize_rows) and RMW-patched into an aligned
-        32-row slab (int8 Mosaic tile height; bf16 is 16, f32 8);
-      * read: each chunk is dequantized on its VMEM buffer — convert +
-        one broadcast multiply per element — so decode attention streams
-        ~half the bytes of a bf16 cache at the same context length.
+        ops.kv_quant.quantize_rows); codes RMW-patch an aligned 32-row
+        slab (int8 Mosaic tile height), scales patch lane last%L of
+        group last//L;
+      * read: the body iterates L-token chunks (chunk == L) and applies
+        the scales POST-matmul along lanes — logits (g, L) by the k-row
+        (1, L), p by the v-row — so the int8 codes feed the MXU raw and
+        no lane<->sublane relayout exists. ~0.56x the bytes of bf16.
     """
     from squeezellm_tpu.ops.paged_attn import _quant_kv_rows
 
@@ -336,6 +340,8 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
     slab = 32 if S % 32 == 0 else S
     off2 = jax.lax.div(last, slab) * slab
     sub = last - off2
+    gi = jax.lax.div(last, chunk)  # scale group of the current token
+    li = jax.lax.rem(last, chunk)  # its lane within the group row
 
     kn = kn_ref[0].astype(jnp.float32)  # (1, hd)
     if rope_theta is not None:
@@ -350,9 +356,9 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
         rv = pltpu.make_async_copy(
             cv_ref.at[b, h, pl.ds(off2, slab)], pairv, wsem.at[1])
         rsk = pltpu.make_async_copy(
-            sk_ref.at[b, h, pl.ds(off2, slab)], pairsk, wsem.at[2])
+            sk_ref.at[b, h, pl.ds(8 * gi, 8)], pairsk, wsem.at[2])
         rsv = pltpu.make_async_copy(
-            sv_ref.at[b, h, pl.ds(off2, slab)], pairsv, wsem.at[3])
+            sv_ref.at[b, h, pl.ds(8 * gi, 8)], pairsv, wsem.at[3])
         for c in (rk, rv, rsk, rsv):
             c.start()
         for c in (rk, rv, rsk, rsv):
@@ -360,16 +366,19 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
         pairk[:] = jnp.where(rows == sub, knq, pairk[:])
         pairv[:] = jnp.where(rows == sub, vnq, pairv[:])
-        pairsk[:] = jnp.where(rows == sub, kns, pairsk[:])
-        pairsv[:] = jnp.where(rows == sub, vns, pairsv[:])
+        srow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        spot = (srow == 0) & (lane == li)  # (8, chunk)
+        pairsk[:] = jnp.where(spot, kns, pairsk[:])
+        pairsv[:] = jnp.where(spot, vns, pairsv[:])
         wk = pltpu.make_async_copy(
             pairk, ck_ref.at[b, h, pl.ds(off2, slab)], wsem.at[0])
         wv = pltpu.make_async_copy(
             pairv, cv_ref.at[b, h, pl.ds(off2, slab)], wsem.at[1])
         wsk = pltpu.make_async_copy(
-            pairsk, sk_ref.at[b, h, pl.ds(off2, slab)], wsem.at[2])
+            pairsk, sk_ref.at[b, h, pl.ds(8 * gi, 8)], wsem.at[2])
         wsv = pltpu.make_async_copy(
-            pairsv, sv_ref.at[b, h, pl.ds(off2, slab)], wsem.at[3])
+            pairsv, sv_ref.at[b, h, pl.ds(8 * gi, 8)], wsem.at[3])
         for c in (wk, wv, wsk, wsv):
             c.start()
         for c in (wk, wv, wsk, wsv):
@@ -384,10 +393,10 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
                 cv_ref.at[b, h, pl.ds(p * chunk, chunk)], vbuf.at[slot],
                 vsem.at[slot]),
             pltpu.make_async_copy(
-                sk_ref.at[b, h, pl.ds(p * chunk, chunk)], skbuf.at[slot],
+                sk_ref.at[b, h, pl.ds(8 * p, 8)], skbuf.at[slot],
                 sksem.at[slot]),
             pltpu.make_async_copy(
-                sv_ref.at[b, h, pl.ds(p * chunk, chunk)], svbuf.at[slot],
+                sv_ref.at[b, h, pl.ds(8 * p, 8)], svbuf.at[slot],
                 svsem.at[slot]),
         )
 
@@ -412,13 +421,15 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
 
         for c in copies(p, slot):
             c.wait()
-        k = kbuf[slot].astype(jnp.float32) * skbuf[slot]  # (chunk, hd)
-        v = vbuf[slot].astype(jnp.float32) * svbuf[slot]
+        k = kbuf[slot].astype(jnp.float32)  # (chunk, hd) int8 codes
+        v = vbuf[slot].astype(jnp.float32)
+        ks_row = skbuf[slot][0:1]  # (1, chunk) lane-major group scales
+        vs_row = svbuf[slot][0:1]
 
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (g, chunk)
+        ) * (ks_row * scale)  # (g, chunk): dequant folded in post-matmul
         kpos = p * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         logits = jnp.where((kpos < n) & (kpos >= lo), logits, NEG_INF)
 
@@ -426,7 +437,7 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
         alpha = jnp.exp(m - m2)
         pexp = jnp.exp(logits - m2)
         l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
-        acc2 = acc * alpha + jnp.dot(pexp, v,
+        acc2 = acc * alpha + jnp.dot(pexp * vs_row, v,  # v dequant folded
                                      preferred_element_type=jnp.float32)
         return m2, l2, acc2
 
@@ -442,26 +453,30 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
 def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
                               sliding_window=None, rope_theta=None,
                               interpret: bool = False):
-    """:func:`dense_decode_attention` over int8 caches with per-row f32
-    scale sidecars (format + rationale: ops/kv_quant.py).
+    """:func:`dense_decode_attention` over int8 caches with lane-major
+    f32 scale sidecars (format + rationale: ops/kv_quant.py).
 
     ck/cv: (B, Hkv, S, hd) int8 (aliased in->out)
-    sk/sv: (B, Hkv, S, 1) f32 (aliased in->out)
+    sk/sv: (B, Hkv, NG*8, L) f32, L = kv_quant.group_len(S) (aliased)
 
     Returns (attn_out (B, H, hd) f32, ck, cv, sk, sv).
     """
+    from squeezellm_tpu.ops import kv_quant
+
     B, H, hd = q.shape
     Hkv, S = ck.shape[1], ck.shape[2]
     assert ck.dtype == jnp.int8 and cv.dtype == jnp.int8
     assert ck.shape == cv.shape == (B, Hkv, S, hd), (ck.shape, q.shape)
-    assert sk.shape == sv.shape == (B, Hkv, S, 1), sk.shape
+    side = (B, Hkv) + kv_quant.sidecar_shape(S)
+    assert sk.shape == sv.shape == side, (sk.shape, side)
     g = H // Hkv
     assert g * Hkv == H, (H, Hkv)
-    align = 32 if S % 32 == 0 else S  # tiny interpret-mode tests only
-    chunk = _pick_chunk(S, align=align)
-    if chunk is None:
+    # the body iterates one scale group per chunk: L tokens (128, or S
+    # itself for tiny interpret-mode tests)
+    chunk = kv_quant.group_len(S)
+    if S % 32 != 0 and S % chunk != 0:
         raise ValueError(
-            f"max_seq={S} is not a multiple of 32 — no int8-tile-aligned "
+            f"max_seq={S} is not 32-row alignable — no int8-tile-aligned "
             "chunking exists; use the XLA attention chain for this cache "
             "(the model-level fused-branch gate should have caught this)")
     scale = 1.0 / (hd ** 0.5)
@@ -500,12 +515,12 @@ def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
         scratch_shapes=[
             pltpu.VMEM((2, chunk, hd), jnp.int8),
             pltpu.VMEM((2, chunk, hd), jnp.int8),
-            pltpu.VMEM((2, chunk, 1), jnp.float32),
-            pltpu.VMEM((2, chunk, 1), jnp.float32),
+            pltpu.VMEM((2, 8, chunk), jnp.float32),
+            pltpu.VMEM((2, 8, chunk), jnp.float32),
             pltpu.VMEM((slab, hd), jnp.int8),
             pltpu.VMEM((slab, hd), jnp.int8),
-            pltpu.VMEM((slab, 1), jnp.float32),
-            pltpu.VMEM((slab, 1), jnp.float32),
+            pltpu.VMEM((8, chunk), jnp.float32),
+            pltpu.VMEM((8, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

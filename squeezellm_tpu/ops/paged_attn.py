@@ -177,15 +177,19 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
                           *, ps: int, maxp: int, scale: float, rope_theta,
                           window: int):
     """int8-KV twin of :func:`_paged_attn_kernel`. Pools hold int8 codes
-    plus a per-(token row, kv head) f32 scale sidecar (P, Hkv, ps, 1):
+    plus a per-page f32 scale sidecar (P, Hkv, 8, ps) — row 0 carries
+    the page's per-token scales LANE-major, rows 1-7 are f32-tile
+    padding (layout rationale: ops/kv_quant.py):
 
       * write: the current token's rope'd k and its v are quantized
         IN-KERNEL (`_quant_kv_rows`, the exact math of
-        ops.kv_quant.quantize_rows) and RMW-patched into an aligned
-        32-row slab (int8 Mosaic tile height is 32, vs 16 bf16 / 8 f32);
-      * read: each page chunk is dequantized on its VMEM buffer —
-        convert + one broadcast multiply per element — so HBM streams
-        ~half the bytes of the bf16 pool at the same context length.
+        ops.kv_quant.quantize_rows); codes RMW-patch a 32-row slab (int8
+        Mosaic tile height), the scale patches lane `loff` of the page's
+        (8, ps) sidecar block;
+      * read: scales apply POST-matmul along lanes — logits (g, ps)
+        scale by the k-row (1, ps), p by the v-row — so the int8 codes
+        feed the MXU directly and no lane<->sublane relayout exists
+        anywhere. HBM streams ~0.56x the bytes of the bf16 pool.
     """
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -202,7 +206,6 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
     slab = 32 if ps % 32 == 0 else ps
     off2 = jax.lax.div(loff, slab) * slab
     sub = loff - off2
-    sslab = slab  # f32 scale slab: same rows (f32 tile height 8 divides 32)
 
     kn = kn_ref[0, 0].astype(jnp.float32)  # (1, hd)
     if rope_theta is not None:
@@ -217,9 +220,9 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
         rv = pltpu.make_async_copy(
             pv_ref.at[lpid, h, pl.ds(off2, slab)], pairv, wsem.at[1])
         rsk = pltpu.make_async_copy(
-            sk_ref.at[lpid, h, pl.ds(off2, sslab)], pairsk, wsem.at[2])
+            sk_ref.at[lpid, h], pairsk, wsem.at[2])
         rsv = pltpu.make_async_copy(
-            sv_ref.at[lpid, h, pl.ds(off2, sslab)], pairsv, wsem.at[3])
+            sv_ref.at[lpid, h], pairsv, wsem.at[3])
         for c in (rk, rv, rsk, rsv):
             c.start()
         for c in (rk, rv, rsk, rsv):
@@ -227,16 +230,19 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
         pairk[:] = jnp.where(rows == sub, knq, pairk[:])
         pairv[:] = jnp.where(rows == sub, vnq, pairv[:])
-        pairsk[:] = jnp.where(rows == sub, kns, pairsk[:])
-        pairsv[:] = jnp.where(rows == sub, vns, pairsv[:])
+        srow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+        spot = (srow == 0) & (lane == loff)  # (8, ps)
+        pairsk[:] = jnp.where(spot, kns, pairsk[:])
+        pairsv[:] = jnp.where(spot, vns, pairsv[:])
         wk = pltpu.make_async_copy(
             pairk, pk_ref.at[lpid, h, pl.ds(off2, slab)], wsem.at[0])
         wv = pltpu.make_async_copy(
             pairv, pv_ref.at[lpid, h, pl.ds(off2, slab)], wsem.at[1])
         wsk = pltpu.make_async_copy(
-            pairsk, sk_ref.at[lpid, h, pl.ds(off2, sslab)], wsem.at[2])
+            pairsk, sk_ref.at[lpid, h], wsem.at[2])
         wsv = pltpu.make_async_copy(
-            pairsv, sv_ref.at[lpid, h, pl.ds(off2, sslab)], wsem.at[3])
+            pairsv, sv_ref.at[lpid, h], wsem.at[3])
         for c in (wk, wv, wsk, wsv):
             c.start()
         for c in (wk, wv, wsk, wsv):
@@ -276,13 +282,15 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
 
         for c in copies(p, slot):
             c.wait()
-        k = kbuf[slot].astype(jnp.float32) * skbuf[slot]  # (ps, hd)
-        v = vbuf[slot].astype(jnp.float32) * svbuf[slot]
+        k = kbuf[slot].astype(jnp.float32)  # (ps, hd) int8 codes as f32
+        v = vbuf[slot].astype(jnp.float32)
+        ks_row = skbuf[slot][0:1]  # (1, ps) lane-major page scales
+        vs_row = svbuf[slot][0:1]
 
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (g, ps)
+        ) * (ks_row * scale)  # (g, ps): dequant folded in post-matmul
         pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
         logits = jnp.where((pos < n) & (pos >= lo), logits, NEG_INF)
 
@@ -290,7 +298,7 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
         alpha = jnp.exp(m - m2)
         pexp = jnp.exp(logits - m2)
         l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
-        acc2 = acc * alpha + jnp.dot(pexp, v,
+        acc2 = acc * alpha + jnp.dot(pexp * vs_row, v,  # v dequant folded
                                      preferred_element_type=jnp.float32)
         return m2, l2, acc2
 
@@ -309,11 +317,11 @@ def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
                               scale_k, scale_v, page_tables, lengths, *,
                               page_size: int, rope_theta=None,
                               sliding_window=None, interpret: bool = False):
-    """:func:`paged_decode_attention` over int8 pools with per-row f32
-    scale sidecars (see ops/kv_quant.py for the format and the rationale).
+    """:func:`paged_decode_attention` over int8 pools with lane-major
+    per-page f32 scale sidecars (format + rationale: ops/kv_quant.py).
 
     pool_k/v:   (P, Hkv, ps, hd) int8 (aliased in->out)
-    scale_k/v:  (P, Hkv, ps, 1) f32 (aliased in->out)
+    scale_k/v:  (P, Hkv, 8, ps) f32, row 0 live (aliased in->out)
 
     Returns (attn_out, pool_k, pool_v, scale_k, scale_v).
     """
@@ -321,7 +329,7 @@ def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
     Hkv = pool_k.shape[1]
     ps = page_size
     assert pool_k.dtype == jnp.int8 and pool_v.dtype == jnp.int8
-    assert scale_k.shape == (pool_k.shape[0], Hkv, ps, 1), scale_k.shape
+    assert scale_k.shape == (pool_k.shape[0], Hkv, 8, ps), scale_k.shape
     maxp = page_tables.shape[1]
     g = H // Hkv
     scale = 1.0 / (hd ** 0.5)
@@ -359,12 +367,12 @@ def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
         scratch_shapes=[
             pltpu.VMEM((2, ps, hd), jnp.int8),
             pltpu.VMEM((2, ps, hd), jnp.int8),
-            pltpu.VMEM((2, ps, 1), jnp.float32),
-            pltpu.VMEM((2, ps, 1), jnp.float32),
+            pltpu.VMEM((2, 8, ps), jnp.float32),
+            pltpu.VMEM((2, 8, ps), jnp.float32),
             pltpu.VMEM((slab, hd), jnp.int8),
             pltpu.VMEM((slab, hd), jnp.int8),
-            pltpu.VMEM((slab, 1), jnp.float32),
-            pltpu.VMEM((slab, 1), jnp.float32),
+            pltpu.VMEM((8, ps), jnp.float32),
+            pltpu.VMEM((8, ps), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -492,8 +500,9 @@ def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
                             window: int):
     """int8-KV twin of :func:`_paged_verify_kernel` (W-token speculative
     verify window): each window row is quantized in-kernel
-    (`_quant_kv_rows`) and RMW-patched into the int8 pool + f32 scale
-    sidecar; page reads dequantize on the VMEM chunk."""
+    (`_quant_kv_rows`) and RMW-patched into the int8 pool + the page's
+    lane-major (8, ps) scale block (ops/kv_quant.py layout); reads apply
+    the scales post-matmul along lanes."""
     b = pl.program_id(0)
     h = pl.program_id(1)
     start = start_ref[b]
@@ -523,9 +532,9 @@ def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
             rv = pltpu.make_async_copy(
                 pv_ref.at[pid, h, pl.ds(off2, slab)], pairv, wsem.at[1])
             rsk = pltpu.make_async_copy(
-                sk_ref.at[pid, h, pl.ds(off2, slab)], pairsk, wsem.at[2])
+                sk_ref.at[pid, h], pairsk, wsem.at[2])
             rsv = pltpu.make_async_copy(
-                sv_ref.at[pid, h, pl.ds(off2, slab)], pairsv, wsem.at[3])
+                sv_ref.at[pid, h], pairsv, wsem.at[3])
             for c in (rk, rv, rsk, rsv):
                 c.start()
             for c in (rk, rv, rsk, rsv):
@@ -533,16 +542,19 @@ def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
             rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
             pairk[:] = jnp.where(rows == sub, knq[w:w + 1], pairk[:])
             pairv[:] = jnp.where(rows == sub, vnq[w:w + 1], pairv[:])
-            pairsk[:] = jnp.where(rows == sub, kns[w:w + 1], pairsk[:])
-            pairsv[:] = jnp.where(rows == sub, vns[w:w + 1], pairsv[:])
+            srow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+            spot = (srow == 0) & (lane == off)  # (8, ps)
+            pairsk[:] = jnp.where(spot, kns[w:w + 1], pairsk[:])
+            pairsv[:] = jnp.where(spot, vns[w:w + 1], pairsv[:])
             wk = pltpu.make_async_copy(
                 pairk, pk_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[0])
             wv = pltpu.make_async_copy(
                 pairv, pv_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[1])
             wsk = pltpu.make_async_copy(
-                pairsk, sk_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[2])
+                pairsk, sk_ref.at[pid, h], wsem.at[2])
             wsv = pltpu.make_async_copy(
-                pairsv, sv_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[3])
+                pairsv, sv_ref.at[pid, h], wsem.at[3])
             for c in (wk, wv, wsk, wsv):
                 c.start()
             for c in (wk, wv, wsk, wsv):
@@ -584,13 +596,15 @@ def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
 
         for c in copies(p, slot):
             c.wait()
-        k = kbuf[slot].astype(jnp.float32) * skbuf[slot]  # (ps, hd)
-        v = vbuf[slot].astype(jnp.float32) * svbuf[slot]
+        k = kbuf[slot].astype(jnp.float32)  # (ps, hd) int8 codes as f32
+        v = vbuf[slot].astype(jnp.float32)
+        ks_row = skbuf[slot][0:1]  # (1, ps) lane-major page scales
+        vs_row = svbuf[slot][0:1]
 
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (R, ps)
+        ) * (ks_row * scale)  # (R, ps): dequant folded in post-matmul
         kpos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
         logits = jnp.where((kpos <= qpos) & (kpos > qpos - window),
                            logits, NEG_INF)
@@ -599,7 +613,7 @@ def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
         alpha = jnp.exp(m - m2)
         pexp = jnp.exp(logits - m2)
         l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
-        acc2 = acc * alpha + jnp.dot(pexp, v,
+        acc2 = acc * alpha + jnp.dot(pexp * vs_row, v,  # v dequant folded
                                      preferred_element_type=jnp.float32)
         return m2, l2, acc2
 
@@ -618,13 +632,14 @@ def paged_verify_attention_q8(q, k_new, v_new, pool_k, pool_v,
                               scale_k, scale_v, page_tables, start, *,
                               page_size: int, rope_theta=None,
                               sliding_window=None, interpret: bool = False):
-    """:func:`paged_verify_attention` over int8 pools + f32 scale
-    sidecars (see ops/kv_quant.py). Returns
+    """:func:`paged_verify_attention` over int8 pools + lane-major
+    per-page (8, ps) f32 scale sidecars (see ops/kv_quant.py). Returns
     (attn_out (B, H, W, hd), pool_k, pool_v, scale_k, scale_v)."""
     B, H, W, hd = q.shape
     Hkv = pool_k.shape[1]
     ps = page_size
     assert pool_k.dtype == jnp.int8 and pool_v.dtype == jnp.int8
+    assert scale_k.shape == (pool_k.shape[0], Hkv, 8, ps), scale_k.shape
     maxp = page_tables.shape[1]
     g = H // Hkv
     scale = 1.0 / (hd ** 0.5)
@@ -660,12 +675,12 @@ def paged_verify_attention_q8(q, k_new, v_new, pool_k, pool_v,
         scratch_shapes=[
             pltpu.VMEM((2, ps, hd), jnp.int8),
             pltpu.VMEM((2, ps, hd), jnp.int8),
-            pltpu.VMEM((2, ps, 1), jnp.float32),
-            pltpu.VMEM((2, ps, 1), jnp.float32),
+            pltpu.VMEM((2, 8, ps), jnp.float32),
+            pltpu.VMEM((2, 8, ps), jnp.float32),
             pltpu.VMEM((slab, hd), jnp.int8),
             pltpu.VMEM((slab, hd), jnp.int8),
-            pltpu.VMEM((slab, 1), jnp.float32),
-            pltpu.VMEM((slab, 1), jnp.float32),
+            pltpu.VMEM((8, ps), jnp.float32),
+            pltpu.VMEM((8, ps), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -467,8 +467,8 @@ def make_tp_serving_fns(model_type: str, config, local_specs, pspecs,
 
 def pool_pspecs(n_layers: int, quantized: bool = False):
     """Paged KV pools (P_pages, H_kv, ps, D) sharded over kv heads.
-    `quantized`: int8 pools carry (P_pages, H_kv, ps, 1) f32 scale
-    sidecars (ops/kv_quant.py), sharded over the same head axis."""
+    `quantized`: int8 pools carry (P_pages, H_kv, 8, ps) lane-major f32
+    scale sidecars (ops/kv_quant.py), sharded over the same head axis."""
     one = {"pk": P(None, AXIS, None, None), "pv": P(None, AXIS, None, None)}
     if quantized:
         one = dict(one, sk=P(None, AXIS, None, None),

@@ -273,10 +273,12 @@ class ContinuousBatchEngine:
             )
 
         self._insert = _insert
-        # token axis rounded to 16 (32 for int8 codes): keeps the fused
+        # token axis rounded to 16 (128 for int8 codes): keeps the fused
         # decode attention kernel's tile-aligned chunking engaged for any
-        # max_seq (extra rows sit beyond every position, never attended)
-        calign = 32 if cache_dtype in ("int8", jnp.int8) else 16
+        # max_seq (extra rows sit beyond every position, never attended).
+        # int8 rounds to the scale-group width so the lane-major sidecar
+        # (ops/kv_quant.py) stays GROUP-aligned on hardware.
+        calign = 128 if cache_dtype in ("int8", jnp.int8) else 16
         self.cache = common.init_kv_cache(
             slots, -(-self.max_seq // calign) * calign, config.n_layers,
             config.n_kv_heads, config.head_dim, cache_dtype,
@@ -712,8 +714,10 @@ def _prime_dense_impl(pools, dense, pids, *, ps: int, max_seq: int):
             return out
         kv = jax.lax.map(one, pids)
         if q8:
-            kv = {"k": kv_quant.dequantize_rows(kv["k"], kv["sk"]),
-                  "v": kv_quant.dequantize_rows(kv["v"], kv["sv"])}
+            kv = {"k": kv_quant.dequantize_rows(
+                      kv["k"], kv_quant.unpack_scales(kv["sk"])),
+                  "v": kv_quant.dequantize_rows(
+                      kv["v"], kv_quant.unpack_scales(kv["sv"]))}
 
         def to_dense(a):
             m = a.shape[0]
@@ -748,6 +752,8 @@ def _scatter_all_impl(pools, dense, pids, first_page, cnt, *, ps: int):
                     pk, pv, sk, sv = pools_kv
                     qk, ssk = kv_quant.quantize_rows(src_k)
                     qv, ssv = kv_quant.quantize_rows(src_v)
+                    ssk = kv_quant.pack_scales(ssk)  # (Hkv, 8, ps)
+                    ssv = kv_quant.pack_scales(ssv)
                     pk = jax.lax.dynamic_update_slice_in_dim(
                         pk, qk[None], pids[i], axis=0)
                     pv = jax.lax.dynamic_update_slice_in_dim(
@@ -796,9 +802,9 @@ class PagedKVPool:
                                  jnp.int8),
                  "pv": jnp.zeros((n_pages, n_kv_heads, page_size, head_dim),
                                  jnp.int8),
-                 "sk": jnp.zeros((n_pages, n_kv_heads, page_size, 1),
+                 "sk": jnp.zeros((n_pages, n_kv_heads, 8, page_size),
                                  jnp.float32),
-                 "sv": jnp.zeros((n_pages, n_kv_heads, page_size, 1),
+                 "sv": jnp.zeros((n_pages, n_kv_heads, 8, page_size),
                                  jnp.float32)}
                 for _ in range(n_layers)
             ]
