@@ -98,10 +98,20 @@ def test_cli_serve_bench_kv_int8(ckpt_dir, capsys):
     assert out["throughput_tok_s"] > 0
 
 
-def test_cli_kv_int8_requires_paged(ckpt_dir):
+def test_cli_kv_int8_dense_single_device(ckpt_dir, capsys):
+    # dense single-device engines grew int8 KV support; the run must work
+    cli.main(["serve-bench", ckpt_dir, "--slots", "2", "--requests", "1",
+              "--max-new-tokens", "2", "--seqlen", "64",
+              "--backend", "xla", "--kv-dtype", "int8"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["total_tokens"] == 2
+
+
+def test_cli_kv_int8_rejects_tp_dense(ckpt_dir):
     import pytest
 
+    # TP dense cache paths are bf16/f32 only; int8 KV needs --paged under TP
     with pytest.raises(SystemExit):
         cli.main(["serve-bench", ckpt_dir, "--slots", "2", "--requests", "1",
-                  "--max-new-tokens", "2", "--seqlen", "64",
+                  "--max-new-tokens", "2", "--seqlen", "64", "--tp", "2",
                   "--backend", "xla", "--kv-dtype", "int8"])
