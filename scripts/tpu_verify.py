@@ -221,10 +221,11 @@ def main():
     print(f"{'OK ' if ok else 'BAD'} paged_verify: write err {werr:.1e} "
           f"attn err {aerr:.2e}", flush=True)
 
-    # int8 KV paged decode (q8): quantized pools + f32 row-scale sidecar,
-    # in-kernel quantize at the write, dequant on chunk load. The narrow
-    # (32, 1) f32 scale DMA is the hardware-risk piece (interpret mode
-    # can't catch Mosaic slice-alignment rules).
+    # int8 KV paged decode (q8): quantized pools + lane-major f32 scale
+    # sidecar (kv_quant.pack_scales layout), in-kernel quantize at the
+    # write, dequant on chunk load. The (8, ps) f32 sidecar tile DMA is
+    # the hardware-risk piece (interpret mode can't catch Mosaic
+    # slice-alignment rules).
     from squeezellm_tpu.ops import kv_quant
 
     B, Hkv, g, hd, ps, P, maxp = 2, 4, 2, 128, 128, 8, 4
@@ -235,6 +236,7 @@ def main():
     hist_v = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
     qk, sk = kv_quant.quantize_rows(jnp.asarray(hist_k))
     qv_, sv = kv_quant.quantize_rows(jnp.asarray(hist_v))
+    sk, sv = kv_quant.pack_scales(sk), kv_quant.pack_scales(sv)
     q = rng.standard_normal((B, H, hd)).astype(np.float32)
     kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
     vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
@@ -242,8 +244,8 @@ def main():
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn), qk, qv_, sk, sv,
         jnp.asarray(pt), jnp.asarray(lengths), page_size=ps)
     out = np.asarray(out)
-    kd = np.asarray(kv_quant.dequantize_rows(pk2, sk2))
-    vd = np.asarray(kv_quant.dequantize_rows(pv2, sv2))
+    kd = np.asarray(kv_quant.dequantize_rows(pk2, kv_quant.unpack_scales(sk2)))
+    vd = np.asarray(kv_quant.dequantize_rows(pv2, kv_quant.unpack_scales(sv2)))
     werr = 0.0
     for b in range(B):
         n = int(lengths[b])
@@ -278,6 +280,7 @@ def main():
     hist_v = rng.standard_normal((10, 2, 128, 128)).astype(np.float32)
     qk, sk = kv_quant.quantize_rows(jnp.asarray(hist_k))
     qv_, sv = kv_quant.quantize_rows(jnp.asarray(hist_v))
+    sk, sv = kv_quant.pack_scales(sk), kv_quant.pack_scales(sv)
     qw = rng.standard_normal((2, 4, Wq, 128)).astype(np.float32)
     knw = rng.standard_normal((2, 2, Wq, 128)).astype(np.float32)
     vnw = rng.standard_normal((2, 2, Wq, 128)).astype(np.float32)
@@ -286,8 +289,8 @@ def main():
         qk, qv_, sk, sv, jnp.asarray(ptq), jnp.asarray(startq),
         page_size=128)
     outw = np.asarray(outw)
-    kd = np.asarray(kv_quant.dequantize_rows(pk2, sk2))
-    vd = np.asarray(kv_quant.dequantize_rows(pv2, sv2))
+    kd = np.asarray(kv_quant.dequantize_rows(pk2, kv_quant.unpack_scales(sk2)))
+    vd = np.asarray(kv_quant.dequantize_rows(pv2, kv_quant.unpack_scales(sv2)))
     werr = aerr = 0.0
     for b in range(2):
         for w in range(Wq):
@@ -308,6 +311,41 @@ def main():
     ok = werr < 0.05 and aerr < 5e-2
     failures += not ok
     print(f"{'OK ' if ok else 'BAD'} paged_verify_q8: write err {werr:.1e} "
+          f"attn err {aerr:.2e}", flush=True)
+
+    # int8 DENSE-cache decode (q8 twin of dense_decode_attention): slab
+    # RMW on the int8 cache + (8, L) sidecar tiles, multi-group S
+    from squeezellm_tpu.ops import decode_attn as _da
+
+    Bd, Hkvd, gd, hdd, Sd = 2, 2, 2, 128, 256
+    Hd = gd * Hkvd
+    lengths_d = np.asarray([5, 200], np.int32)
+    hist_k = rng.standard_normal((Bd, Hkvd, Sd, hdd)).astype(np.float32)
+    hist_v = rng.standard_normal((Bd, Hkvd, Sd, hdd)).astype(np.float32)
+    qk, sk = kv_quant.quantize_rows(jnp.asarray(hist_k))
+    qv_, sv = kv_quant.quantize_rows(jnp.asarray(hist_v))
+    sk, sv = kv_quant.pack_scales(sk), kv_quant.pack_scales(sv)
+    qd = rng.standard_normal((Bd, Hd, hdd)).astype(np.float32)
+    knd = rng.standard_normal((Bd, Hkvd, hdd)).astype(np.float32)
+    vnd = rng.standard_normal((Bd, Hkvd, hdd)).astype(np.float32)
+    outd, ck2, cv2, sk2, sv2 = _da.dense_decode_attention_q8(
+        jnp.asarray(qd), jnp.asarray(knd), jnp.asarray(vnd),
+        qk, qv_, sk, sv, jnp.asarray(lengths_d))
+    outd = np.asarray(outd)
+    kd = np.asarray(kv_quant.dequantize_rows(ck2, kv_quant.unpack_scales(sk2)))
+    vd = np.asarray(kv_quant.dequantize_rows(cv2, kv_quant.unpack_scales(sv2)))
+    werr = aerr = 0.0
+    for b in range(Bd):
+        n = int(lengths_d[b])
+        werr = max(werr, np.abs(kd[b, :, n - 1] - knd[b]).max())
+        for h in range(Hd):
+            kh = h // gd
+            lg = (kd[b, kh, :n].astype(np.float64) @ qd[b, h]) / np.sqrt(hdd)
+            pr = np.exp(lg - lg.max()); pr /= pr.sum()
+            aerr = max(aerr, np.abs(outd[b, h] - pr @ vd[b, kh, :n]).max())
+    ok = werr < 0.05 and aerr < 5e-2
+    failures += not ok
+    print(f"{'OK ' if ok else 'BAD'} dense_attn_q8: write err {werr:.1e} "
           f"attn err {aerr:.2e}", flush=True)
 
     # flash prefill attention vs the dense-math oracle (causal + GQA +
@@ -347,6 +385,9 @@ def main():
     # in-kernel rope: kernel(pre-rope q/k, rope_theta) vs host-rope oracle
     from squeezellm_tpu.models import common
 
+    # local dims: earlier blocks leave B=2 behind, this one runs 3 slots
+    B, Hkv, g, hd, S = 3, 4, 2, 128, 2048
+    H = g * Hkv
     lengths = np.asarray([900, 1, 0], np.int32)
     q = rng.standard_normal((B, H, hd)).astype(np.float32)
     kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)

@@ -347,10 +347,19 @@ def cmd_generate(args):
     eng = engine_mod.Engine(model_type, config, specs, params,
                             backend=args.backend, fuse=args.fuse)
     prompt = np.asarray([int(t) for t in args.prompt_tokens.split(",")], np.int32)[None]
-    if args.draft_model:
+    if args.draft_model or args.draft_layers:
         if args.temperature > 0:
-            raise SystemExit("--draft-model is greedy-only (exactness)")
-        d_type, d_config, d_specs, d_params = _load_any(args.draft_model)
+            raise SystemExit("draft speculation is greedy-only (exactness)")
+        if args.draft_model and args.draft_layers:
+            raise SystemExit("--draft-model and --draft-layers are "
+                             "mutually exclusive")
+        if args.draft_model:
+            d_type, d_config, d_specs, d_params = _load_any(args.draft_model)
+        else:
+            # early-exit draft: first k layers of the target, weights shared
+            d_type = model_type
+            d_config, d_specs, d_params = engine_mod.truncate_for_draft(
+                config, specs, params, args.draft_layers)
         draft = engine_mod.Engine(d_type, d_config, d_specs, d_params,
                                   backend=args.backend)
         out = eng.generate_draft_speculative(prompt, args.max_new_tokens,
@@ -542,6 +551,10 @@ def main(argv=None):
     g.add_argument("--draft-model", default=None,
                    help="checkpoint dir of a smaller same-vocab model: "
                         "two-model speculative decoding (greedy-exact)")
+    g.add_argument("--draft-layers", type=int, default=0,
+                   help="early-exit draft: speculate with the target's "
+                        "first K layers (weights shared, no second "
+                        "checkpoint; greedy-exact)")
     g.add_argument("--draft-len", type=int, default=8)
     g.add_argument("--ngram", type=int, default=2)
     g.add_argument("--fuse", action="store_true")

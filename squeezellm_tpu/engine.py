@@ -545,6 +545,29 @@ class Engine:
         return int(sum(x.size * x.dtype.itemsize for x in leaves))
 
 
+def truncate_for_draft(config, specs, params, n_layers: int):
+    """Early-exit draft construction: the first ``n_layers`` decoder layers
+    of the target plus its embedding, final norm, and lm_head, with every
+    array SHARED with the target tree (zero extra weight HBM — the draft
+    engine only adds its own KV cache).
+
+    Gives two-model speculative decoding (:meth:`Engine.
+    generate_draft_speculative`) a draft without a second checkpoint: a
+    k-layer prefix is the standard "early exit" draft, and on a trained
+    model its argmax agrees with the full model often enough to pay for
+    the K cheap steps per verify window.
+    """
+    import dataclasses
+
+    assert 0 < n_layers <= config.n_layers, (n_layers, config.n_layers)
+    cfg = dataclasses.replace(config, n_layers=n_layers)
+    sp = dict(specs)
+    pr = dict(params)
+    sp["layers"] = tuple(specs["layers"][:n_layers])
+    pr["layers"] = tuple(params["layers"][:n_layers])
+    return cfg, sp, pr
+
+
 def _lookup_draft(ctx, ngram: int, k: int):
     """Prompt-lookup draft: continuation of the most recent PRIOR
     occurrence of the last `ngram` tokens (vectorized window match)."""

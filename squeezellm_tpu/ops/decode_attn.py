@@ -69,7 +69,10 @@ def _rope_rows(x, pos, theta: float):
     (slice cos/sin at pos, broadcast, mul/add for q and k)."""
     r, hd = x.shape
     d2 = hd // 2
-    i = jax.lax.broadcasted_iota(jnp.float32, (1, d2), 1)
+    # integer iota + cast: Mosaic's tpu.iota is integer-only (a direct
+    # f32 broadcasted_iota verifies in interpret mode but fails hardware
+    # lowering with "result #0 must be vector of integer or index values")
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, d2), 1).astype(jnp.float32)
     inv_freq = jnp.exp(i * (-2.0 / hd) * jnp.log(jnp.float32(theta)))
     ang = pos.astype(jnp.float32) * inv_freq  # (1|r, d2)
     cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=1)

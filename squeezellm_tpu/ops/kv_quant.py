@@ -2,9 +2,13 @@
 
 The paged serving engine can store KV pages as int8 with one f32 scale
 per (token row, kv head): `s = max|row| / 127`, `q = round(row / s)`.
-Storage drops from 2 bytes/elem (bf16) to ~1.03 (int8 + scale/hd), so the
-page pool holds ~2x the tokens and decode attention streams ~half the
-bytes at long context. The reference framework has no KV quantization
+Storage drops from 2 bytes/elem (bf16) to 1.25 at hd=128 (int8 codes +
+the tile-aligned scale sidecar below: one (8, L) f32 tile per L-token
+group, 7/8 of it DMA-alignment padding -> 32 B/token), so the page pool
+holds ~1.6x the tokens and decode attention streams ~0.6x the bytes at
+long context. (Packing 8 groups' scales into one tile would cut the
+sidecar to 4 B/token at the cost of page-indexed tile rows — noted in
+ROADMAP, not yet needed.) The reference framework has no KV quantization
 (its scope ends at weight quantization, `/root/reference/llama.py:33-132`
 uses the torch fp16 cache); this extends the serving layer the same way
 vLLM's fp8 KV cache does, rebuilt TPU-native.

@@ -89,6 +89,20 @@ def test_cli_generate_draft_model(ckpt_dir, tmp_path, capsys):
     assert out["spec_stats"]["windows"] >= 1
 
 
+def test_cli_generate_draft_layers(ckpt_dir, capsys):
+    """Early-exit (truncated-layer) draft speculation: greedy-exact vs the
+    plain run, no second checkpoint needed."""
+    cli.main(["generate", ckpt_dir, "--prompt-tokens", "1,2,3",
+              "--max-new-tokens", "6", "--backend", "xla"])
+    want = json.loads(capsys.readouterr().out.strip())["tokens"]
+    cli.main(["generate", ckpt_dir, "--prompt-tokens", "1,2,3",
+              "--max-new-tokens", "6", "--backend", "xla",
+              "--draft-layers", "1", "--draft-len", "3"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["tokens"] == want
+    assert out["spec_stats"]["windows"] >= 1
+
+
 def test_cli_serve_bench_kv_int8(ckpt_dir, capsys):
     cli.main(["serve-bench", ckpt_dir, "--slots", "2", "--requests", "3",
               "--max-new-tokens", "3", "--seqlen", "64", "--backend", "xla",

@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from squeezellm_tpu import serving
 from squeezellm_tpu.models import llama
 from squeezellm_tpu.ops import paged_attn
-from squeezellm_tpu.ops.kv_quant import dequantize_rows, quantize_rows
+from squeezellm_tpu.ops.kv_quant import (dequantize_rows, pack_scales,
+                                         quantize_rows, sidecar_shape,
+                                         unpack_scales)
 from squeezellm_tpu.quantize import pipeline
 
 
@@ -76,11 +78,14 @@ def test_q8_decode_kernel_matches_mirror():
 
     out, pk2, pv2, sk2, sv2 = paged_attn.paged_decode_attention_q8(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(sk), jnp.asarray(sv),
+        jnp.asarray(pk), jnp.asarray(pv),
+        pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
         jnp.asarray(pt), jnp.asarray(lengths), page_size=ps,
         rope_theta=10000.0, interpret=True)
-    out, pk2, sk2 = np.asarray(out), np.asarray(pk2), np.asarray(sk2)
-    pv2, sv2 = np.asarray(pv2), np.asarray(sv2)
+    out, pk2, pv2 = np.asarray(out), np.asarray(pk2), np.asarray(pv2)
+    # back to (P, Hkv, ps, 1) row scales for the mirror comparison
+    sk2 = np.asarray(unpack_scales(sk2))
+    sv2 = np.asarray(unpack_scales(sv2))
 
     # inactive slot: no output, no write
     assert np.abs(out[1]).max() == 0.0
@@ -143,12 +148,14 @@ def test_q8_verify_kernel_matches_mirror():
 
     out, pk2, pv2, sk2, sv2 = paged_attn.paged_verify_attention_q8(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(sk), jnp.asarray(sv),
+        jnp.asarray(pk), jnp.asarray(pv),
+        pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
         jnp.asarray(pt), jnp.asarray(start), page_size=ps,
         rope_theta=10000.0, interpret=True)
     out = np.asarray(out)
     pk2, pv2 = np.asarray(pk2), np.asarray(pv2)
-    sk2, sv2 = np.asarray(sk2), np.asarray(sv2)
+    sk2 = np.asarray(unpack_scales(sk2))
+    sv2 = np.asarray(unpack_scales(sv2))
 
     assert np.abs(out[1]).max() == 0.0
 
@@ -215,7 +222,7 @@ def _paged(config, specs, params, cache_dtype, slots=2, n_pages=24, **kw):
         page_size=PS, backend="xla", cache_dtype=cache_dtype, **kw)
 
 
-def test_q8_pool_memory_is_half():
+def test_q8_pool_memory_layout():
     config, specs, params = _small_model()
     e8 = _paged(config, specs, params, "int8")
     e16 = _paged(config, specs, params, jnp.bfloat16)
@@ -223,12 +230,15 @@ def test_q8_pool_memory_is_half():
                  for v in e8.pool.pools[0].values())
     bytes16 = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                   for v in e16.pool.pools[0].values())
-    # int8 codes + f32 scale/row: (1 + 4/hd) bytes/elem vs 2 for bf16.
-    # The tiny test model has hd=16, so the ratio is (1+4/16)/2 = 0.625;
-    # at a real model's hd=128 it is 0.516.
-    hd = config.head_dim
-    assert bytes8 == bytes16 // 2 + bytes16 * 2 // hd
-    assert bytes8 / bytes16 == (1 + 4 / hd) / 2
+    # int8 codes halve the data bytes; the lane-major scale sidecar adds
+    # one (8, L) f32 tile per page-head (kv_quant.pack_scales: row 0
+    # live, 7 zero rows for f32 DMA-tile alignment). At the test's tiny
+    # hd=16/ps=8 the sidecar dominates; at real dims (hd=128, ps=128) it
+    # is 32 bytes/token, i.e. (1 + 32/hd)/2 = 0.625x the bf16 pool.
+    n_pages = 24  # _paged default
+    side_elems = int(np.prod(sidecar_shape(PS)))
+    scale_bytes = 2 * n_pages * config.n_kv_heads * side_elems * 4
+    assert bytes8 == bytes16 // 2 + scale_bytes
 
 
 def test_q8_engine_completes_and_tokens_close():
@@ -304,10 +314,12 @@ def test_q8_dense_decode_kernel_matches_mirror():
 
     out, ck2, cv2, sk2, sv2 = decode_attn.dense_decode_attention_q8(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        jnp.asarray(ck), jnp.asarray(cv), jnp.asarray(sk), jnp.asarray(sv),
+        jnp.asarray(ck), jnp.asarray(cv),
+        pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
         jnp.asarray(lengths), rope_theta=10000.0, interpret=True)
     out, ck2, cv2 = np.asarray(out), np.asarray(ck2), np.asarray(cv2)
-    sk2, sv2 = np.asarray(sk2), np.asarray(sv2)
+    sk2 = np.asarray(unpack_scales(sk2))
+    sv2 = np.asarray(unpack_scales(sv2))
 
     # inactive slot: no output, no write
     assert np.abs(out[1]).max() == 0.0
@@ -360,7 +372,7 @@ def test_q8_dense_engine_generate_tokens_close():
     # int8 cache token axis rounds to 32
     c8 = e8.new_cache(1, 40)
     assert c8[0]["k"].dtype == jnp.int8 and c8[0]["k"].shape[2] == 64
-    assert c8[0]["ks"].shape == c8[0]["k"].shape[:3] + (1,)
+    assert c8[0]["ks"].shape == (1, config.n_kv_heads) + sidecar_shape(64)
     tf = ef.generate(prompt, 8)[0, 5:]
     t8 = e8.generate(prompt, 8)[0, 5:]
     agree = np.mean(np.asarray(tf) == np.asarray(t8))
@@ -413,7 +425,8 @@ def test_q8_model_logits_within_quant_tolerance():
             qv, sv = _quant_np(hist_v)
             if q8:
                 c = {"pk": jnp.asarray(qk), "pv": jnp.asarray(qv),
-                     "sk": jnp.asarray(sk), "sv": jnp.asarray(sv)}
+                     "sk": pack_scales(jnp.asarray(sk)),
+                     "sv": pack_scales(jnp.asarray(sv))}
             else:
                 c = {"pk": jnp.asarray(qk.astype(np.float32) * sk),
                      "pv": jnp.asarray(qv.astype(np.float32) * sv)}
