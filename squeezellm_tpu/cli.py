@@ -506,9 +506,10 @@ def main(argv=None):
                     choices=["auto", "xla", "pallas", "pallas-bf16"])
     sb.add_argument("--kv-dtype", default=None,
                     choices=["bf16", "f32", "int8"],
-                    help="KV-cache storage dtype; int8 (paged only) stores "
-                         "codes + per-row f32 scales (ops/kv_quant.py), "
-                         "~2x tokens per HBM byte")
+                    help="KV-cache storage dtype; int8 stores codes + "
+                         "per-row f32 scales (ops/kv_quant.py), ~2x tokens "
+                         "per HBM byte (dense engines: single-device only; "
+                         "--tp needs --paged)")
     sb.add_argument("--prefill-chunk", type=int, default=None,
                     help="admit long prompts in N-token chunks interleaved "
                          "with decode windows (all four engines)")
@@ -532,7 +533,8 @@ def main(argv=None):
                     choices=["auto", "xla", "pallas", "pallas-bf16"])
     sv.add_argument("--kv-dtype", default=None,
                     choices=["bf16", "f32", "int8"],
-                    help="KV-cache storage dtype (int8 requires --paged)")
+                    help="KV-cache storage dtype (int8: dense single-device "
+                         "or any paged engine; --tp needs --paged)")
     sv.add_argument("--prefill-chunk", type=int, default=None,
                     help="admit long prompts in N-token chunks interleaved "
                          "with decode windows (all four engines)")

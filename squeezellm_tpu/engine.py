@@ -559,7 +559,11 @@ def truncate_for_draft(config, specs, params, n_layers: int):
     """
     import dataclasses
 
-    assert 0 < n_layers <= config.n_layers, (n_layers, config.n_layers)
+    if not 0 < n_layers <= config.n_layers:
+        raise ValueError(
+            f"draft layer count must be in [1, {config.n_layers}] "
+            f"(model has {config.n_layers} layers), got {n_layers}"
+        )
     cfg = dataclasses.replace(config, n_layers=n_layers)
     sp = dict(specs)
     pr = dict(params)

@@ -235,7 +235,7 @@ def test_q8_pool_memory_layout():
     # live, 7 zero rows for f32 DMA-tile alignment). At the test's tiny
     # hd=16/ps=8 the sidecar dominates; at real dims (hd=128, ps=128) it
     # is 32 bytes/token, i.e. (1 + 32/hd)/2 = 0.625x the bf16 pool.
-    n_pages = 24  # _paged default
+    n_pages = int(e8.pool.pools[0]["sk"].shape[0])
     side_elems = int(np.prod(sidecar_shape(PS)))
     scale_bytes = 2 * n_pages * config.n_kv_heads * side_elems * 4
     assert bytes8 == bytes16 // 2 + scale_bytes
