@@ -707,20 +707,25 @@ def lut_matmul(
         return y.reshape(*lead, out_features)
 
     if not o_blk:
-        o_blk = 1024 if batch <= 8 else 512
+        o_blk = 1024 if batch <= 64 else 512
     if not w_blk:
         # decode sweep (v5e): w512/o1024 streams packed words at ~530-730
         # GB/s vs ~380-480 at w128/w256 — big w-blocks amortize DMA issue.
         # Distribute rows evenly over ceil(nw/512) steps: a fixed 512 would
         # spend a mostly-OOB tail block (e.g. nw=1101 -> 512/512/77 rows
         # burns ~28% of the kernel's compute on masked garbage).
-        if batch <= 8:
+        if batch <= 64:
+            # serving-pool batches (<=64) keep the GEMV-style wide blocks:
+            # the w128 narrow-block branch measured 1.5x slower at b=16
+            # (scripts/batch_anatomy.py — 70.9us vs 46.1us for the 7B qkv
+            # shape). VMEM still fits: x block cpw*b x 512 and one
+            # 512x1024 dequant plane.
             # x2's lane dim is blocked by w_blk: multiple blocks need a
             # 128-multiple; a single block may equal the array dim (8-mult)
             n_i = max(1, _cdiv(nw, 512))
             w_blk = _round_up(_cdiv(nw, n_i), 8 if n_i == 1 else 128)
         else:
-            w_blk = 128  # batched: b_blk 512 dominates VMEM; narrow w fits
+            w_blk = 128  # large batch: b_blk 512 dominates VMEM; narrow w fits
 
     if batch <= 8:
         # GEMV: block the batch dim at its true size — rounding 1 -> 8 makes
