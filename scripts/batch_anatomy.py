@@ -100,10 +100,12 @@ def main():
         ck = jnp.zeros((b, Hkv, S, hd), jnp.bfloat16)
         cv = jnp.zeros((b, Hkv, S, hd), jnp.bfloat16)
         lengths = jnp.full((b,), 512, jnp.int32)
+        from squeezellm_tpu.models import common as _c
+        rcos, rsin = _c.rope_cos_sin(lengths - 1, hd, 10000.0)
 
         def attn(a, ck=ck, cv=cv, kn=kn, vn=vn, lengths=lengths):
             o, _, _ = decode_attn.dense_decode_attention(
-                a, kn, vn, ck, cv, lengths, rope_theta=10000.0)
+                a, kn, vn, ck, cv, lengths, rope_cos=rcos, rope_sin=rsin)
             return o
 
         t_at = bench(attn, q, K=32)

@@ -73,6 +73,8 @@ def main():
         pt = jnp.asarray(
             np.arange(1, P).reshape(B, npages_slot), jnp.int32)
         lengths = jnp.full((B,), ctx - 1, jnp.int32)  # steady state: full
+        from squeezellm_tpu.models import common as _c
+        rcos, rsin = _c.rope_cos_sin(lengths - 1, hd, 10000.0)
         hist = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
 
         # bf16 pools
@@ -83,7 +85,7 @@ def main():
             q_, pk_, pv_, s = c
             out, pk2, pv2 = paged_attn.paged_decode_attention(
                 q_, kn, vn, pk_, pv_, pt, lengths, page_size=ps,
-                rope_theta=10000.0, interpret=not on_tpu)
+                rope_cos=rcos, rope_sin=rsin, interpret=not on_tpu)
             s2 = jnp.sum(out) * 1e-30
             return (q * (1.0 + s2), pk2, pv2, s + s2)
 
@@ -97,7 +99,7 @@ def main():
             q_, pk_, pv_, sk_, sv_, s = c
             out, pk2, pv2, sk2, sv2 = paged_attn.paged_decode_attention_q8(
                 q_, kn, vn, pk_, pv_, sk_, sv_, pt, lengths, page_size=ps,
-                rope_theta=10000.0, interpret=not on_tpu)
+                rope_cos=rcos, rope_sin=rsin, interpret=not on_tpu)
             s2 = jnp.sum(out) * 1e-30
             return (q * (1.0 + s2), pk2, pv2, sk2, sv2, s + s2)
 

@@ -382,7 +382,10 @@ def main():
         print(f"{'OK ' if ok else 'BAD'} flash Sq={Sq} off={off} win={win} "
               f"g={gg}: attn err {aerr:.2e}", flush=True)
 
-    # in-kernel rope: kernel(pre-rope q/k, rope_theta) vs host-rope oracle
+    # in-kernel rope: kernel(pre-rope q/k + cos/sin operand rows) vs
+    # host-rope oracle — exact parity by construction (the kernel applies
+    # the SAME cos/sin values; an earlier rope-from-theta variant
+    # diverged 6.5e-3 on hardware via Mosaic's large-angle sin/cos)
     from squeezellm_tpu.models import common
 
     # local dims: earlier blocks leave B=2 behind, this one runs 3 slots
@@ -394,12 +397,12 @@ def main():
     vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
     ck = rng.standard_normal((B, Hkv, S, hd)).astype(np.float32)
     cv = rng.standard_normal((B, Hkv, S, hd)).astype(np.float32)
+    pos = np.maximum(lengths - 1, 0)
+    cos, sin = common.rope_cos_sin(jnp.asarray(pos), hd, 10000.0)
     out_r, ck_r, _ = decode_attn.dense_decode_attention(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
         jnp.asarray(ck), jnp.asarray(cv), jnp.asarray(lengths),
-        rope_theta=10000.0)
-    pos = np.maximum(lengths - 1, 0)
-    cos, sin = common.rope_cos_sin(jnp.asarray(pos), hd, 10000.0)
+        rope_cos=cos, rope_sin=sin)
     qr = np.asarray(common.apply_rope(
         jnp.asarray(q)[:, :, None, :], cos[:, None, :], sin[:, None, :]))
     knr = np.asarray(common.apply_rope(

@@ -203,15 +203,22 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         # dense-cache decode: fused rope + cache-write + chunked attention
         # in one Pallas launch (ops/decode_attn.py) — replaces the rope/
         # update/mask/repeat_kv/softmax chain AND reads only the valid
-        # cache prefix. q/k go in PRE-rope (the kernel rotates at
-        # position lengths-1). SQUEEZELLM_FUSED_ATTN=0 restores the XLA
-        # chain (A/B: pallas in-place aliasing through lax.scan carries
-        # can force cache copies — see ops/pallas_ops.py notes). NOTE:
-        # the env var is read at TRACE time — set it before the first
-        # jit of a decode step (A/B probes run fresh processes); it is
-        # not part of the jit cache key.
+        # cache prefix. q/k go in PRE-rope with the step's precomputed
+        # cos/sin rows passed as kernel operands (exact
+        # common.rope_cos_sin values — an in-kernel rope-from-theta
+        # diverged from the XLA chain on hardware, see
+        # ops/decode_attn._rope_apply). SQUEEZELLM_FUSED_ATTN=0 restores
+        # the XLA chain (A/B: pallas in-place aliasing through lax.scan
+        # carries can force cache copies — see ops/pallas_ops.py notes).
+        # NOTE: the env var is read at TRACE time — set it before the
+        # first jit of a decode step (A/B probes run fresh processes);
+        # it is not part of the jit cache key.
         from squeezellm_tpu.ops import decode_attn
 
+        rc = cos if cos.ndim == 3 else jnp.broadcast_to(
+            cos[None], (b,) + cos.shape)
+        rs = sin if sin.ndim == 3 else jnp.broadcast_to(
+            sin[None], (b,) + sin.shape)
         lengths = jnp.broadcast_to(
             jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
         if dense_q8:  # int8 cache + f32 scale sidecar (ops/kv_quant.py)
@@ -219,7 +226,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                 q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
                 cache["k"], cache["v"], cache["ks"], cache["vs"], lengths,
                 sliding_window=config.sliding_window,
-                rope_theta=config.rope_theta,
+                rope_cos=rc[:, 0], rope_sin=rs[:, 0],
                 interpret=jax.default_backend() not in ("tpu",))
             cache = {"k": ck2, "v": cv2, "ks": sk2, "vs": sv2}
         else:
@@ -227,7 +234,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                 q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
                 cache["k"], cache["v"], lengths,
                 sliding_window=config.sliding_window,
-                rope_theta=config.rope_theta,
+                rope_cos=rc[:, 0], rope_sin=rs[:, 0],
                 interpret=jax.default_backend() not in ("tpu",))
             cache = {"k": ck2, "v": cv2}
         out = out3[:, :, None, :].astype(x.dtype)
@@ -242,13 +249,18 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         # attention in one Pallas launch (ops/paged_attn.py). pos is the
         # (B,) 0-based position of the FIRST token here; s == 1 is the
         # decode step, s > 1 the speculative verify window. q/k go in
-        # PRE-rope — the kernel rotates at each row's own position.
+        # PRE-rope — the kernel rotates each row by the step's
+        # precomputed cos/sin operand rows (each row's own position).
         # Sliding-window models (Mistral) mask in-kernel and skip pages
         # wholly below the window.
         from squeezellm_tpu.ops import paged_attn
 
         interp = jax.default_backend() not in ("tpu",)
         q8 = "sk" in cache  # int8 pool + f32 scale sidecar (ops/kv_quant.py)
+        rc = cos if cos.ndim == 3 else jnp.broadcast_to(
+            cos[None], (b,) + cos.shape)
+        rs = sin if sin.ndim == 3 else jnp.broadcast_to(
+            sin[None], (b,) + sin.shape)
         if s == 1:
             lengths = jnp.broadcast_to(
                 jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
@@ -257,7 +269,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                     q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
                     cache["pk"], cache["pv"], cache["sk"], cache["sv"],
                     cache["pt"], lengths, page_size=cache["pk"].shape[2],
-                    rope_theta=config.rope_theta,
+                    rope_cos=rc[:, 0], rope_sin=rs[:, 0],
                     sliding_window=config.sliding_window, interpret=interp,
                 )
             else:
@@ -265,7 +277,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                     q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
                     cache["pk"], cache["pv"], cache["pt"], lengths,
                     page_size=cache["pk"].shape[2],
-                    rope_theta=config.rope_theta,
+                    rope_cos=rc[:, 0], rope_sin=rs[:, 0],
                     sliding_window=config.sliding_window, interpret=interp,
                 )
             out3 = out3[:, :, None, :]
@@ -277,14 +289,14 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                     q, k, v, cache["pk"], cache["pv"], cache["sk"],
                     cache["sv"], cache["pt"], starts,
                     page_size=cache["pk"].shape[2],
-                    rope_theta=config.rope_theta,
+                    rope_cos=rc, rope_sin=rs,
                     sliding_window=config.sliding_window, interpret=interp,
                 )
             else:
                 out3, pk2, pv2 = paged_attn.paged_verify_attention(
                     q, k, v, cache["pk"], cache["pv"], cache["pt"], starts,
                     page_size=cache["pk"].shape[2],
-                    rope_theta=config.rope_theta,
+                    rope_cos=rc, rope_sin=rs,
                     sliding_window=config.sliding_window, interpret=interp,
                 )
         cache = (dict(cache, pk=pk2, pv=pv2, sk=sk2, sv=sv2) if q8

@@ -60,37 +60,36 @@ def _pick_chunk(S: int, cap: int = 512, align: int = 16):
     return align
 
 
-def _rope_rows(x, pos, theta: float):
-    """Rotate rows of x (r, hd) by RoPE angle at position `pos` — a traced
-    scalar (all rows share it) or an (r, 1) per-row vector (HF rotate-half
-    convention, models/common.rope_cos_sin parity). cos/sin are recomputed
-    in-kernel from `theta` — a handful of VPU transcendentals per grid
-    step instead of ~12 XLA ops per layer per token on the decode path
-    (slice cos/sin at pos, broadcast, mul/add for q and k)."""
-    r, hd = x.shape
-    d2 = hd // 2
-    # integer iota + cast: Mosaic's tpu.iota is integer-only (a direct
-    # f32 broadcasted_iota verifies in interpret mode but fails hardware
-    # lowering with "result #0 must be vector of integer or index values")
-    i = jax.lax.broadcasted_iota(jnp.int32, (1, d2), 1).astype(jnp.float32)
-    inv_freq = jnp.exp(i * (-2.0 / hd) * jnp.log(jnp.float32(theta)))
-    ang = pos.astype(jnp.float32) * inv_freq  # (1|r, d2)
-    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=1)
-    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=1)
+def _rope_apply(x, cos, sin):
+    """Rotate rows of x (r, hd) by precomputed cos/sin rows ((1|r, hd), HF
+    rotate-half convention — the exact values of models/common.rope_cos_sin,
+    passed in as kernel operands). An earlier revision recomputed cos/sin
+    IN-kernel from rope_theta; that verified in interpret mode but
+    diverged ~6.5e-3 from the XLA chain on hardware (Mosaic's large-angle
+    sin/cos approximation differs from XLA:TPU's), so cache rows written
+    by decode disagreed with prefill-written rows. The host computes
+    cos/sin ONCE per decode step (shared by all layers) and the kernel is
+    left with 3 VPU mul/adds — faster AND bit-identical to the host rope."""
+    d2 = x.shape[1] // 2
     rot = jnp.concatenate([-x[:, d2:], x[:, :d2]], axis=1)
     return x * cos + rot * sin
 
 
-def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
+def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
+                       ck_in, cv_in,
                        ck_ref, cv_ref, out_ref,
                        kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
                        *, S: int, chunk: int, scale: float, window: int,
-                       rope_theta):
+                       rope: bool):
     """One (slot b, kv-head h) grid step.
 
     len_ref: (B,) int32 valid tokens per slot INCLUDING the current one
     q_ref:   (1, g, hd) f32 — query heads of this kv group (pre-rope
-             when rope_theta is set, rope'd by the caller otherwise).
+             when `rope` — the kernel rotates q/k_new by the cos/sin
+             operand rows — rope'd by the caller otherwise).
+    cos/sin: (1, 1, hd) f32 — rope rows at this slot's position
+             (models/common.rope_cos_sin values; identity rows when the
+             model has no rope).
              q/kn/vn/out are (B*Hkv, ...)-shaped host-side so every
              BlockSpec index lands on the LEADING axis — a varying block
              index on a middle axis of a 3D/4D array is the Mosaic
@@ -126,8 +125,8 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
     sub = last - off2
 
     kn = kn_ref[0].astype(jnp.float32)  # (1, hd)
-    if rope_theta is not None:
-        kn = _rope_rows(kn, last, rope_theta)
+    if rope:
+        kn = _rope_apply(kn, cos_ref[0], sin_ref[0])
 
     @pl.when(n > 0)
     def _write():
@@ -169,8 +168,8 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
         v_copy(c0, jax.lax.rem(c0, 2)).start()
 
     q = q_ref[0].astype(jnp.float32)  # (g, hd)
-    if rope_theta is not None:
-        q = _rope_rows(q, last, rope_theta)
+    if rope:
+        q = _rope_apply(q, cos_ref[0], sin_ref[0])
     g, hd = q.shape
 
     def body(p, carry):
@@ -209,17 +208,28 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, ck_in, cv_in,
     out_ref[0] = acc / jnp.maximum(l, 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("sliding_window", "rope_theta",
-                                             "interpret"))
+def _rope_operand_rows(rope_cos, rope_sin, B, R, hd):
+    """Kernel-shaped (B, R, hd) f32 rope rows; identity placeholders (and
+    rope=False so the kernel skips the mul/adds) when the model has no
+    rope (OPT)."""
+    if rope_cos is None:
+        z = jnp.zeros((B, R, hd), jnp.float32)
+        return z, z, False
+    return (rope_cos.reshape(B, R, hd).astype(jnp.float32),
+            rope_sin.reshape(B, R, hd).astype(jnp.float32), True)
+
+
+@functools.partial(jax.jit, static_argnames=("sliding_window", "interpret"))
 def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
-                           sliding_window=None, rope_theta=None,
+                           sliding_window=None, rope_cos=None, rope_sin=None,
                            interpret: bool = False):
     """Fused cache-write + attention for one dense-cache decode step.
 
     Args:
-      q:       (B, H, hd) queries — PRE-rope when rope_theta is given
-               (the kernel rotates q and k_new at position lengths-1,
-               models/common.rope_cos_sin parity), rope'd otherwise
+      q:       (B, H, hd) queries — PRE-rope when rope_cos/rope_sin are
+               given ((B, hd) rows at position lengths-1, the values of
+               models/common.rope_cos_sin — the kernel rotates q and
+               k_new by them), rope'd otherwise
       k_new:   (B, Hkv, hd) current token's keys (same rope contract)
       v_new:   (B, Hkv, hd) values
       ck/cv:   (B, Hkv, S, hd) dense KV cache (DONATED/aliased: the updated
@@ -251,6 +261,7 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
     q4 = q.reshape(B * Hkv, g, hd).astype(jnp.float32)
     kn4 = k_new.reshape(B * Hkv, 1, hd).astype(jnp.float32)
     vn4 = v_new.reshape(B * Hkv, 1, hd).astype(jnp.float32)
+    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -261,6 +272,10 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
             pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -284,31 +299,31 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
 
     ck_out, cv_out, out = pl.pallas_call(
         functools.partial(_dense_attn_kernel, S=S, chunk=chunk, scale=scale,
-                          window=window, rope_theta=rope_theta),
+                          window=window, rope=rope),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(ck.shape, ck.dtype),
             jax.ShapeDtypeStruct(cv.shape, cv.dtype),
             jax.ShapeDtypeStruct((B * Hkv, g, hd), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1},  # cache in -> out (in-place)
+        input_output_aliases={6: 0, 7: 1},  # cache in -> out (in-place)
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, q4, kn4, vn4, ck, cv)
+    )(lengths, q4, kn4, vn4, cos4, sin4, ck, cv)
 
     return out.reshape(B, H, hd), ck_out, cv_out
 
 
-def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
+def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
                           ck_in, cv_in, sk_in, sv_in,
                           ck_ref, cv_ref, sk_ref, sv_ref, out_ref,
                           kbuf, vbuf, skbuf, svbuf,
                           pairk, pairv, pairsk, pairsv,
                           ksem, vsem, sksem, svsem, wsem,
                           *, S: int, chunk: int, scale: float, window: int,
-                          rope_theta):
+                          rope: bool):
     """int8-KV twin of :func:`_dense_attn_kernel` — the dense-cache
     counterpart of ops/paged_attn._paged_attn_kernel_q8 (same quantize
     math, page table replaced by direct row addressing):
@@ -347,8 +362,8 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
     li = jax.lax.rem(last, chunk)  # its lane within the group row
 
     kn = kn_ref[0].astype(jnp.float32)  # (1, hd)
-    if rope_theta is not None:
-        kn = _rope_rows(kn, last, rope_theta)
+    if rope:
+        kn = _rope_apply(kn, cos_ref[0], sin_ref[0])
     knq, kns = _quant_kv_rows(kn)
     vnq, vns = _quant_kv_rows(vn_ref[0].astype(jnp.float32))
 
@@ -409,8 +424,8 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
             c.start()
 
     q = q_ref[0].astype(jnp.float32)  # (g, hd)
-    if rope_theta is not None:
-        q = _rope_rows(q, last, rope_theta)
+    if rope:
+        q = _rope_apply(q, cos_ref[0], sin_ref[0])
     g, hd = q.shape
 
     def body(p, carry):
@@ -451,11 +466,10 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref,
     out_ref[0] = acc / jnp.maximum(l, 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("sliding_window", "rope_theta",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=("sliding_window", "interpret"))
 def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
-                              sliding_window=None, rope_theta=None,
-                              interpret: bool = False):
+                              sliding_window=None, rope_cos=None,
+                              rope_sin=None, interpret: bool = False):
     """:func:`dense_decode_attention` over int8 caches with lane-major
     f32 scale sidecars (format + rationale: ops/kv_quant.py).
 
@@ -491,6 +505,7 @@ def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
     # v quantizes in-kernel (not cast host-side): rounding must match the
     # XLA mirror's f32 math
     vn4 = v_new.reshape(B * Hkv, 1, hd).astype(jnp.float32)
+    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -501,6 +516,10 @@ def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
             pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -534,7 +553,7 @@ def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
 
     ck_out, cv_out, sk_out, sv_out, out = pl.pallas_call(
         functools.partial(_dense_attn_kernel_q8, S=S, chunk=chunk,
-                          scale=scale, window=window, rope_theta=rope_theta),
+                          scale=scale, window=window, rope=rope),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(ck.shape, ck.dtype),
@@ -543,11 +562,11 @@ def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
             jax.ShapeDtypeStruct(sv.shape, sv.dtype),
             jax.ShapeDtypeStruct((B * Hkv, g, hd), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, q4, kn4, vn4, ck, cv, sk, sv)
+    )(lengths, q4, kn4, vn4, cos4, sin4, ck, cv, sk, sv)
 
     return out.reshape(B, H, hd), ck_out, cv_out, sk_out, sv_out

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from squeezellm_tpu.ops.decode_attn import _rope_rows
+from squeezellm_tpu.ops.decode_attn import _rope_apply, _rope_operand_rows
 from squeezellm_tpu.ops.kv_quant import _EPS, _QMAX, _RQMAX
 
 NEG_INF = -1e30
@@ -48,18 +48,20 @@ def _quant_kv_rows(x):
 
 
 def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
+                       cos_ref, sin_ref,
                        pk_in, pv_in, pk_ref, pv_ref, out_ref,
                        kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
-                       *, ps: int, maxp: int, scale: float, rope_theta,
+                       *, ps: int, maxp: int, scale: float, rope: bool,
                        window: int):
     """One (slot b, kv-head h) grid step.
 
     pt_ref:  (B, maxp) int32 page table (scalar prefetch, SMEM)
     len_ref: (B,) int32 valid tokens per slot INCLUDING the current one
     q_ref:   (1, 1, g, hd) f32 — query heads of this kv group (pre-rope
-             when rope_theta is set — rotated in-kernel at lengths-1,
-             see ops/decode_attn._rope_rows — rope'd by the caller
-             otherwise)
+             when `rope` — rotated in-kernel by the precomputed cos/sin
+             operand rows, see ops/decode_attn._rope_apply — rope'd by
+             the caller otherwise)
+    cos/sin: (1, 1, hd) f32 rope rows at this slot's position
     kn/vn:   (1, 1, 1, hd) f32 — current token's k/v for this kv head
     pk/pv:   (P, Hkv, ps, hd) pool, ANY memory space, aliased in->out
     out_ref: (1, 1, g, hd) f32
@@ -87,8 +89,8 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
     sub = loff - off2
 
     kn = kn_ref[0, 0].astype(jnp.float32)  # (1, hd)
-    if rope_theta is not None:
-        kn = _rope_rows(kn, last, rope_theta)
+    if rope:
+        kn = _rope_apply(kn, cos_ref[0], sin_ref[0])
 
     @pl.when(n > 0)
     def _write():
@@ -128,8 +130,8 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
         v_copy(p0, jax.lax.rem(p0, 2)).start()
 
     q = q_ref[0, 0].astype(jnp.float32)  # (g, hd)
-    if rope_theta is not None:
-        q = _rope_rows(q, last, rope_theta)
+    if rope:
+        q = _rope_apply(q, cos_ref[0], sin_ref[0])
     g, hd = q.shape
 
     def body(p, carry):
@@ -169,12 +171,13 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
 
 
 def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
+                          cos_ref, sin_ref,
                           pk_in, pv_in, sk_in, sv_in,
                           pk_ref, pv_ref, sk_ref, sv_ref, out_ref,
                           kbuf, vbuf, skbuf, svbuf,
                           pairk, pairv, pairsk, pairsv,
                           ksem, vsem, sksem, svsem, wsem,
-                          *, ps: int, maxp: int, scale: float, rope_theta,
+                          *, ps: int, maxp: int, scale: float, rope: bool,
                           window: int):
     """int8-KV twin of :func:`_paged_attn_kernel`. Pools hold int8 codes
     plus a per-page f32 scale sidecar (P, Hkv, 8, ps) — row 0 carries
@@ -208,8 +211,8 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
     sub = loff - off2
 
     kn = kn_ref[0, 0].astype(jnp.float32)  # (1, hd)
-    if rope_theta is not None:
-        kn = _rope_rows(kn, last, rope_theta)
+    if rope:
+        kn = _rope_apply(kn, cos_ref[0], sin_ref[0])
     knq, kns = _quant_kv_rows(kn)
     vnq, vns = _quant_kv_rows(vn_ref[0, 0].astype(jnp.float32))
 
@@ -267,8 +270,8 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
             c.start()
 
     q = q_ref[0, 0].astype(jnp.float32)  # (g, hd)
-    if rope_theta is not None:
-        q = _rope_rows(q, last, rope_theta)
+    if rope:
+        q = _rope_apply(q, cos_ref[0], sin_ref[0])
     g, hd = q.shape
 
     def body(p, carry):
@@ -310,12 +313,11 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("page_size", "rope_theta", "sliding_window",
-                              "interpret"),
+    jax.jit, static_argnames=("page_size", "sliding_window", "interpret"),
 )
 def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
                               scale_k, scale_v, page_tables, lengths, *,
-                              page_size: int, rope_theta=None,
+                              page_size: int, rope_cos=None, rope_sin=None,
                               sliding_window=None, interpret: bool = False):
     """:func:`paged_decode_attention` over int8 pools with lane-major
     per-page f32 scale sidecars (format + rationale: ops/kv_quant.py).
@@ -339,6 +341,7 @@ def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
     # v is quantized in-kernel (not cast host-side): rounding must match
     # the XLA mirror's f32 math
     vn4 = v_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
+    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
 
     slab = 32 if ps % 32 == 0 else ps
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -350,6 +353,10 @@ def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
             pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -383,7 +390,7 @@ def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
 
     pk_out, pv_out, sk_out, sv_out, out = pl.pallas_call(
         functools.partial(_paged_attn_kernel_q8, ps=ps, maxp=maxp,
-                          scale=scale, rope_theta=rope_theta,
+                          scale=scale, rope=rope,
                           window=(maxp * ps + 1 if sliding_window is None
                                   else int(sliding_window))),
         grid_spec=grid_spec,
@@ -394,28 +401,30 @@ def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
             jax.ShapeDtypeStruct(scale_v.shape, scale_v.dtype),
             jax.ShapeDtypeStruct((B, Hkv, g, hd), jnp.float32),
         ],
-        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_tables, lengths, q4, kn4, vn4, pool_k, pool_v, scale_k, scale_v)
+    )(page_tables, lengths, q4, kn4, vn4, cos4, sin4,
+      pool_k, pool_v, scale_k, scale_v)
 
     return out.reshape(B, H, hd), pk_out, pv_out, sk_out, sv_out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("page_size", "rope_theta", "sliding_window",
-                              "interpret"),
+    jax.jit, static_argnames=("page_size", "sliding_window", "interpret"),
 )
 def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
-                           lengths, *, page_size: int, rope_theta=None,
+                           lengths, *, page_size: int, rope_cos=None,
+                           rope_sin=None,
                            sliding_window=None, interpret: bool = False):
     """Fused cache-write + paged attention for one decode step.
 
     Args:
-      q:        (B, H, hd) f32/bf16 queries — PRE-rope when rope_theta is
-                given (rotated in-kernel at lengths-1), rope'd otherwise
+      q:        (B, H, hd) f32/bf16 queries — PRE-rope when rope_cos/
+                rope_sin ((B, hd) rows at position lengths-1) are given
+                (rotated in-kernel by them), rope'd otherwise
       k_new:    (B, Hkv, hd) current token's keys (same rope contract)
       v_new:    (B, Hkv, hd) values
       pool_k/v: (P, Hkv, ps, hd) page pools (DONATED/aliased: updated pools
@@ -438,6 +447,7 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
     # to pool dtype at the cache write); v is cast host-side as before
     kn4 = k_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
     vn4 = v_new.reshape(B, Hkv, 1, hd).astype(pool_v.dtype)
+    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -448,6 +458,10 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
             pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -471,7 +485,7 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
 
     pool_k_out, pool_v_out, out = pl.pallas_call(
         functools.partial(_paged_attn_kernel, ps=ps, maxp=maxp, scale=scale,
-                          rope_theta=rope_theta,
+                          rope=rope,
                           window=(maxp * ps + 1 if sliding_window is None
                                   else int(sliding_window))),
         grid_spec=grid_spec,
@@ -480,23 +494,24 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
             jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
             jax.ShapeDtypeStruct((B, Hkv, g, hd), jnp.float32),
         ],
-        input_output_aliases={5: 0, 6: 1},  # pools in -> out (in-place)
+        input_output_aliases={7: 0, 8: 1},  # pools in -> out (in-place)
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_tables, lengths, q4, kn4, vn4, pool_k, pool_v)
+    )(page_tables, lengths, q4, kn4, vn4, cos4, sin4, pool_k, pool_v)
 
     return out.reshape(B, H, hd), pool_k_out, pool_v_out
 
 
 def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
+                            cos_ref, sin_ref,
                             pk_in, pv_in, sk_in, sv_in,
                             pk_ref, pv_ref, sk_ref, sv_ref, out_ref,
                             kbuf, vbuf, skbuf, svbuf,
                             pairk, pairv, pairsk, pairsv,
                             ksem, vsem, sksem, svsem, wsem,
-                            *, ps: int, W: int, scale: float, rope_theta,
+                            *, ps: int, W: int, scale: float, rope: bool,
                             window: int):
     """int8-KV twin of :func:`_paged_verify_kernel` (W-token speculative
     verify window): each window row is quantized in-kernel
@@ -513,9 +528,8 @@ def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
     slab = 32 if ps % 32 == 0 else ps
 
     kn = kn_ref[0, 0].astype(jnp.float32)  # (W, hd)
-    if rope_theta is not None:
-        wrow = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-        kn = _rope_rows(kn, start + wrow, rope_theta)
+    if rope:
+        kn = _rope_apply(kn, cos_ref[0], sin_ref[0])  # per-row cos/sin
     knq, kns = _quant_kv_rows(kn)
     vnq, vns = _quant_kv_rows(vn_ref[0, 0].astype(jnp.float32))
 
@@ -582,8 +596,13 @@ def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
     R, hd = q.shape
     rw = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0), W)
     qpos = start + rw
-    if rope_theta is not None:
-        q = _rope_rows(q, qpos, rope_theta)
+    if rope:
+        # row r is head r//W at window offset r%W -> tile the (W, hd)
+        # cos/sin rows g times (g is static and small)
+        g = R // W
+        qcos = jnp.concatenate([cos_ref[0]] * g) if g > 1 else cos_ref[0]
+        qsin = jnp.concatenate([sin_ref[0]] * g) if g > 1 else sin_ref[0]
+        q = _rope_apply(q, qcos, qsin)
 
     def body(p, carry):
         m, l, acc = carry
@@ -625,12 +644,11 @@ def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("page_size", "rope_theta", "sliding_window",
-                              "interpret"),
+    jax.jit, static_argnames=("page_size", "sliding_window", "interpret"),
 )
 def paged_verify_attention_q8(q, k_new, v_new, pool_k, pool_v,
                               scale_k, scale_v, page_tables, start, *,
-                              page_size: int, rope_theta=None,
+                              page_size: int, rope_cos=None, rope_sin=None,
                               sliding_window=None, interpret: bool = False):
     """:func:`paged_verify_attention` over int8 pools + lane-major
     per-page (8, ps) f32 scale sidecars (see ops/kv_quant.py). Returns
@@ -647,6 +665,7 @@ def paged_verify_attention_q8(q, k_new, v_new, pool_k, pool_v,
     q4 = q.reshape(B, Hkv, g * W, hd).astype(jnp.float32)
     kn4 = k_new.reshape(B, Hkv, W, hd).astype(jnp.float32)
     vn4 = v_new.reshape(B, Hkv, W, hd).astype(jnp.float32)
+    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, W, hd)
 
     slab = 32 if ps % 32 == 0 else ps
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -658,6 +677,10 @@ def paged_verify_attention_q8(q, k_new, v_new, pool_k, pool_v,
             pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, hd), lambda b, h, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, hd), lambda b, h, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -691,7 +714,7 @@ def paged_verify_attention_q8(q, k_new, v_new, pool_k, pool_v,
 
     pk_out, pv_out, sk_out, sv_out, out = pl.pallas_call(
         functools.partial(_paged_verify_kernel_q8, ps=ps, W=W, scale=scale,
-                          rope_theta=rope_theta,
+                          rope=rope,
                           window=(maxp * ps + W + 1 if sliding_window is None
                                   else int(sliding_window))),
         grid_spec=grid_spec,
@@ -702,20 +725,22 @@ def paged_verify_attention_q8(q, k_new, v_new, pool_k, pool_v,
             jax.ShapeDtypeStruct(scale_v.shape, scale_v.dtype),
             jax.ShapeDtypeStruct((B, Hkv, g * W, hd), jnp.float32),
         ],
-        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_tables, start, q4, kn4, vn4, pool_k, pool_v, scale_k, scale_v)
+    )(page_tables, start, q4, kn4, vn4, cos4, sin4,
+      pool_k, pool_v, scale_k, scale_v)
 
     return out.reshape(B, H, W, hd), pk_out, pv_out, sk_out, sv_out
 
 
 def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
+                         cos_ref, sin_ref,
                          pk_in, pv_in, pk_ref, pv_ref, out_ref,
                          kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
-                         *, ps: int, W: int, scale: float, rope_theta,
+                         *, ps: int, W: int, scale: float, rope: bool,
                          window: int):
     """One (slot b, kv-head h) grid step of the W-token verify window
     (speculative decoding): write W k/v rows at positions
@@ -723,7 +748,7 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
     the W query rows of each q head over (prefix + window).
 
     q_ref:  (1, 1, g*W, hd) — row r is query head r // W, window offset
-            r % W (pre-rope when rope_theta is set)
+            r % W (pre-rope when cos/sin rope operands are given)
     kn/vn:  (1, 1, W, hd) — window k/v rows for this kv head
     start_ref: (B,) int32 — 0-based position of the FIRST window token;
             < 0 marks an inactive slot (no write, zero output).
@@ -740,9 +765,8 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
     slab = min(16, ps)
 
     kn = kn_ref[0, 0].astype(jnp.float32)  # (W, hd)
-    if rope_theta is not None:
-        wrow = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-        kn = _rope_rows(kn, start + wrow, rope_theta)
+    if rope:
+        kn = _rope_apply(kn, cos_ref[0], sin_ref[0])  # per-row cos/sin
 
     # ---- write the window's k/v rows (start >= 0) ----------------------
     # W is small (draft_len+1); each row is an aligned-slab RMW through
@@ -797,8 +821,11 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
     R, hd = q.shape
     rw = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0), W)
     qpos = start + rw  # (R, 1) — each query row's own position
-    if rope_theta is not None:
-        q = _rope_rows(q, qpos, rope_theta)
+    if rope:
+        g = R // W  # row r is head r//W at offset r%W: tile rows g times
+        qcos = jnp.concatenate([cos_ref[0]] * g) if g > 1 else cos_ref[0]
+        qsin = jnp.concatenate([sin_ref[0]] * g) if g > 1 else sin_ref[0]
+        q = _rope_apply(q, qcos, qsin)
 
     def body(p, carry):
         m, l, acc = carry
@@ -838,17 +865,18 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("page_size", "rope_theta", "sliding_window",
-                              "interpret"),
+    jax.jit, static_argnames=("page_size", "sliding_window", "interpret"),
 )
 def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
-                           start, *, page_size: int, rope_theta=None,
+                           start, *, page_size: int, rope_cos=None,
+                           rope_sin=None,
                            sliding_window=None, interpret: bool = False):
     """Fused W-token cache-write + causal paged attention (speculative
     verify window — the s>1 generalization of paged_decode_attention).
 
     Args:
-      q:        (B, H, W, hd) queries — PRE-rope when rope_theta is given
+      q:        (B, H, W, hd) queries — PRE-rope when rope_cos/rope_sin
+                ((B, W, hd) rows at positions start..start+W-1) are given
       k_new:    (B, Hkv, W, hd) window keys (same rope contract)
       v_new:    (B, Hkv, W, hd) values
       pool_k/v: (P, Hkv, ps, hd) page pools (aliased in->out)
@@ -870,6 +898,7 @@ def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
     q4 = q.reshape(B, Hkv, g * W, hd).astype(jnp.float32)
     kn4 = k_new.reshape(B, Hkv, W, hd).astype(jnp.float32)
     vn4 = v_new.reshape(B, Hkv, W, hd).astype(pool_v.dtype)
+    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, W, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -880,6 +909,10 @@ def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
             pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, hd), lambda b, h, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, hd), lambda b, h, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -903,7 +936,7 @@ def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
 
     pool_k_out, pool_v_out, out = pl.pallas_call(
         functools.partial(_paged_verify_kernel, ps=ps, W=W, scale=scale,
-                          rope_theta=rope_theta,
+                          rope=rope,
                           window=(maxp * ps + W + 1 if sliding_window is None
                                   else int(sliding_window))),
         grid_spec=grid_spec,
@@ -912,11 +945,11 @@ def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
             jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
             jax.ShapeDtypeStruct((B, Hkv, g * W, hd), jnp.float32),
         ],
-        input_output_aliases={5: 0, 6: 1},
+        input_output_aliases={7: 0, 8: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_tables, start, q4, kn4, vn4, pool_k, pool_v)
+    )(page_tables, start, q4, kn4, vn4, cos4, sin4, pool_k, pool_v)
 
     return out.reshape(B, H, W, hd), pool_k_out, pool_v_out

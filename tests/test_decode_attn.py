@@ -66,8 +66,9 @@ def test_fused_dense_decode_attention_parity(g, window):
 @pytest.mark.parametrize("theta,lengths", [(10000.0, [37, 1, 0]),
                                            (1e6, [64, 9, 3])])
 def test_fused_dense_decode_rope_parity(theta, lengths):
-    """rope_theta: kernel rotates PRE-rope q/k_new at lengths-1; must match
-    apply_rope (models/common.py HF rotate-half convention) + attention."""
+    """rope operands: kernel rotates PRE-rope q/k_new by the cos/sin rows
+    at lengths-1; must match apply_rope (models/common.py HF rotate-half
+    convention) + attention."""
     rng = np.random.default_rng(2)
     B, Hkv, S, hd, g = 3, 2, 64, 32, 2
     H = g * Hkv
@@ -78,14 +79,14 @@ def test_fused_dense_decode_rope_parity(theta, lengths):
     cv = rng.normal(size=(B, Hkv, S, hd)).astype(np.float32)
     lengths = np.asarray(lengths, np.int32)
 
+    pos = np.maximum(lengths - 1, 0)
+    cos, sin = common.rope_cos_sin(jnp.asarray(pos), hd, theta)
     out, ck2, cv2 = decode_attn.dense_decode_attention(
         jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
         jnp.asarray(ck), jnp.asarray(cv), jnp.asarray(lengths),
-        rope_theta=theta, interpret=True)
+        rope_cos=cos, rope_sin=sin, interpret=True)
 
     # oracle: rope each slot's q/k at its own position, then the XLA chain
-    pos = np.maximum(lengths - 1, 0)
-    cos, sin = common.rope_cos_sin(jnp.asarray(pos), hd, theta)
     qr = common.apply_rope(jnp.asarray(q)[:, :, None, :],
                            cos[:, None, :], sin[:, None, :])[:, :, 0, :]
     kr = common.apply_rope(jnp.asarray(k_new)[:, :, None, :],

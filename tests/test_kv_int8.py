@@ -30,14 +30,24 @@ from squeezellm_tpu.quantize import pipeline
 
 
 def _rope_np(x, pos, theta=10000.0):
-    """Mirror rope via the kernel's own jnp `_rope_rows` (f32): its parity
-    with the HF convention is covered by test_paged_attn rope tests —
-    here the target is the QUANTIZATION math, so the rotation must be
-    bit-identical between kernel and mirror."""
-    from squeezellm_tpu.ops.decode_attn import _rope_rows
+    """Mirror rope via the kernel's own `_rope_apply` with the same
+    rope_cos_sin operand rows the kernel receives: parity with the HF
+    convention is covered by test_paged_attn rope tests — here the target
+    is the QUANTIZATION math, so the rotation must be bit-identical
+    between kernel and mirror."""
+    from squeezellm_tpu.models import common
+    from squeezellm_tpu.ops.decode_attn import _rope_apply
 
-    posv = jnp.asarray(pos, jnp.int32).reshape(-1, 1)
-    return np.asarray(_rope_rows(jnp.asarray(x, jnp.float32), posv, theta))
+    posv = jnp.asarray(pos, jnp.int32).reshape(-1)
+    cos, sin = common.rope_cos_sin(posv, x.shape[-1], theta)
+    return np.asarray(_rope_apply(jnp.asarray(x, jnp.float32), cos, sin))
+
+
+def _rope_cs(pos, hd, theta=10000.0):
+    """cos/sin operand rows for the kernel calls (f32 jnp arrays)."""
+    from squeezellm_tpu.models import common
+
+    return common.rope_cos_sin(jnp.asarray(pos, jnp.int32), hd, theta)
 
 
 def _quant_np(x):
@@ -81,7 +91,9 @@ def test_q8_decode_kernel_matches_mirror():
         jnp.asarray(pk), jnp.asarray(pv),
         pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
         jnp.asarray(pt), jnp.asarray(lengths), page_size=ps,
-        rope_theta=10000.0, interpret=True)
+        rope_cos=_rope_cs(np.maximum(lengths - 1, 0), hd)[0],
+        rope_sin=_rope_cs(np.maximum(lengths - 1, 0), hd)[1],
+        interpret=True)
     out, pk2, pv2 = np.asarray(out), np.asarray(pk2), np.asarray(pv2)
     # back to (P, Hkv, ps, 1) row scales for the mirror comparison
     sk2 = np.asarray(unpack_scales(sk2))
@@ -151,7 +163,9 @@ def test_q8_verify_kernel_matches_mirror():
         jnp.asarray(pk), jnp.asarray(pv),
         pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
         jnp.asarray(pt), jnp.asarray(start), page_size=ps,
-        rope_theta=10000.0, interpret=True)
+        rope_cos=_rope_cs(start[:, None] + np.arange(W), hd)[0],
+        rope_sin=_rope_cs(start[:, None] + np.arange(W), hd)[1],
+        interpret=True)
     out = np.asarray(out)
     pk2, pv2 = np.asarray(pk2), np.asarray(pv2)
     sk2 = np.asarray(unpack_scales(sk2))
@@ -316,7 +330,10 @@ def test_q8_dense_decode_kernel_matches_mirror():
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
         jnp.asarray(ck), jnp.asarray(cv),
         pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
-        jnp.asarray(lengths), rope_theta=10000.0, interpret=True)
+        jnp.asarray(lengths),
+        rope_cos=_rope_cs(np.maximum(lengths - 1, 0), hd)[0],
+        rope_sin=_rope_cs(np.maximum(lengths - 1, 0), hd)[1],
+        interpret=True)
     out, ck2, cv2 = np.asarray(out), np.asarray(ck2), np.asarray(cv2)
     sk2 = np.asarray(unpack_scales(sk2))
     sv2 = np.asarray(unpack_scales(sv2))

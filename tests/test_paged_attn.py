@@ -103,8 +103,9 @@ def test_inactive_slot_zero_length():
 
 
 def test_paged_attention_rope_parity():
-    """rope_theta: kernel(pre-rope q/k) == kernel(host-rope'd q/k, no
-    rope_theta) — write AND attention (models/common.py rope convention)."""
+    """rope operands: kernel(pre-rope q/k + cos/sin rows) ==
+    kernel(host-rope'd q/k, no rope) — write AND attention
+    (models/common.py rope convention)."""
     from squeezellm_tpu.models import common
 
     rng = np.random.default_rng(3)
@@ -119,15 +120,15 @@ def test_paged_attention_rope_parity():
     k_new = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
     v_new = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
 
+    pos = np.maximum(lengths - 1, 0)
+    cos, sin = common.rope_cos_sin(jnp.asarray(pos), hd, 10000.0)
     out_r, pk_r, pv_r = paged_attn.paged_decode_attention(
         jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
         jnp.asarray(pool_k), jnp.asarray(pool_v),
         jnp.asarray(page_tables), jnp.asarray(lengths),
-        page_size=ps, rope_theta=10000.0, interpret=True,
+        page_size=ps, rope_cos=cos, rope_sin=sin, interpret=True,
     )
 
-    pos = np.maximum(lengths - 1, 0)
-    cos, sin = common.rope_cos_sin(jnp.asarray(pos), hd, 10000.0)
     qr = common.apply_rope(jnp.asarray(q)[:, :, None, :],
                            cos[:, None, :], sin[:, None, :])[:, :, 0, :]
     kr = common.apply_rope(jnp.asarray(k_new)[:, :, None, :],
@@ -204,8 +205,8 @@ def test_paged_verify_window_matches_oracle():
 
 
 def test_paged_verify_window_rope_parity():
-    """rope_theta: verify kernel rotates each window row at its own
-    position — must match host-side apply_rope at positions start+w."""
+    """rope operands: verify kernel rotates each window row by its own
+    cos/sin row — must match host-side apply_rope at positions start+w."""
     from squeezellm_tpu.models import common
 
     rng = np.random.default_rng(5)
@@ -219,14 +220,14 @@ def test_paged_verify_window_rope_parity():
     k_new = rng.standard_normal((B, Hkv, W, hd)).astype(np.float32)
     v_new = rng.standard_normal((B, Hkv, W, hd)).astype(np.float32)
 
+    positions = start[:, None] + np.arange(W)  # (B, W)
+    cos, sin = common.rope_cos_sin(jnp.asarray(positions), hd, 10000.0)
     out_r, pk_r, pv_r = paged_attn.paged_verify_attention(
         jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
         jnp.asarray(pool_k), jnp.asarray(pool_v),
         jnp.asarray(page_tables), jnp.asarray(start),
-        page_size=ps, rope_theta=10000.0, interpret=True,
+        page_size=ps, rope_cos=cos, rope_sin=sin, interpret=True,
     )
-    positions = start[:, None] + np.arange(W)  # (B, W)
-    cos, sin = common.rope_cos_sin(jnp.asarray(positions), hd, 10000.0)
     qr = common.apply_rope(jnp.asarray(q), cos, sin)
     kr = common.apply_rope(jnp.asarray(k_new), cos, sin)
     out_x, pk_x, pv_x = paged_attn.paged_verify_attention(
