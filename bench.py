@@ -27,7 +27,8 @@ import time
 import numpy as np
 
 
-def _build_quantized_llama(config, bits, sparsity, key=None):
+def _build_quantized_llama(config, bits, sparsity, key=None,
+                           quant_head: bool = False):
     """Random quantized LLaMA (specs, params) built HOST-SIDE in numpy.
 
     Host-side generation matters doubly on the axon tunnel: device-side RNG
@@ -96,8 +97,13 @@ def _build_quantized_llama(config, bits, sparsity, key=None):
         spec_layers.append(spec_d)
         param_layers.append(param_d)
 
-    # embed/lm_head in bf16: the bf16 baseline holds them in bf16 too, and
-    # the f32 lm_head read alone costs ~0.6 ms/token at 7B vocab
+    # embed in bf16: the bf16 baseline holds it in bf16 too, and the f32
+    # read would cost ~0.6 ms/token at 7B vocab. lm_head: quantized at the
+    # model's bit-width when quant_head (the flagship default — streaming
+    # the 262 MB bf16 head costs ~0.35 ms/token, ~4% of a w4 step; the
+    # offline pipeline quantizes it with the same NUQ machinery), bf16
+    # otherwise (the reference always keeps lm_head dense,
+    # /root/reference/llama.py:172-174).
     import ml_dtypes
 
     params = {
@@ -106,14 +112,25 @@ def _build_quantized_llama(config, bits, sparsity, key=None):
         ).astype(np.float32) * 0.02).astype(ml_dtypes.bfloat16),
         "layers": param_layers,
         "final_norm": np.ones((config.hidden_size,), np.float32),
-        "lm_head": {"w": (rng.standard_normal(
-            (config.vocab_size, config.hidden_size)
-        ).astype(np.float32) * 0.02).astype(ml_dtypes.bfloat16)},
     }
+    if quant_head:
+        head_arrays, _ = module_arrays(config.vocab_size,
+                                       config.hidden_size, 0)
+        params["lm_head"] = dict(head_arrays)
+        head_spec = LinearSpec(
+            in_features=config.hidden_size, out_features=config.vocab_size,
+            quant=QuantLinearSpec(bits=bits,
+                                  in_features=config.hidden_size,
+                                  out_features=config.vocab_size))
+    else:
+        params["lm_head"] = {"w": (rng.standard_normal(
+            (config.vocab_size, config.hidden_size)
+        ).astype(np.float32) * 0.02).astype(ml_dtypes.bfloat16)}
+        head_spec = LinearSpec(in_features=config.hidden_size,
+                               out_features=config.vocab_size)
     specs = {
         "layers": tuple(spec_layers),
-        "lm_head": LinearSpec(in_features=config.hidden_size,
-                              out_features=config.vocab_size),
+        "lm_head": head_spec,
     }
     return specs, params
 
@@ -216,24 +233,41 @@ def _phase_quant():
     on_tpu = jax.default_backend() == "tpu"
     config, n_tokens = _flagship_config(on_tpu)
     roofline = _roofline_baseline_tok_s(config)
-    specs, params = _build_quantized_llama(
-        config, bits=4, sparsity=0.0045, key=jax.random.PRNGKey(0)
-    )
-    if on_tpu:
-        from squeezellm_tpu.models import fuse
 
-        specs, params = fuse.fuse_for_decode("llama", specs, params)
-    params = put_dedup(params)
-    # pallas-bf16: bf16-rounded dequant + activations (the same numeric
-    # regime as the reference's fp16 decode benchmark, README.md:139-142);
-    # the spmv plans handle the sparse sidecar
-    eng = engine_mod.Engine("llama", config, specs, params,
-                            backend="pallas-bf16" if on_tpu else "xla",
-                            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                            cache_dtype=jnp.bfloat16)
-    tok_s, _ = _decode_tok_s(eng, n_tokens, config.vocab_size)
-    print(json.dumps({"tok_s": tok_s, "roofline_baseline_tok_s": roofline,
-                      "on_tpu": on_tpu}))
+    def build_and_run(bits):
+        # quant_head on TPU: the flagship ships a quantized lm_head (the
+        # bf16 head alone streams 262 MB/token); pipeline parity exists
+        # (cli quantize --quantize-lm-head). CPU smoke keeps the bf16 head.
+        specs, params = _build_quantized_llama(
+            config, bits=bits, sparsity=0.0045, key=jax.random.PRNGKey(0),
+            quant_head=on_tpu,
+        )
+        if on_tpu:
+            from squeezellm_tpu.models import fuse
+
+            specs, params = fuse.fuse_for_decode("llama", specs, params)
+        params = put_dedup(params)
+        # pallas-bf16: bf16-rounded dequant + activations (the same numeric
+        # regime as the reference's fp16 decode benchmark, README.md:
+        # 139-142); the spmv plans handle the sparse sidecar
+        eng = engine_mod.Engine("llama", config, specs, params,
+                                backend="pallas-bf16" if on_tpu else "xla",
+                                dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                                cache_dtype=jnp.bfloat16)
+        tok_s, _ = _decode_tok_s(eng, n_tokens, config.vocab_size)
+        return tok_s
+
+    tok_s = build_and_run(bits=4)
+    result = {"tok_s": tok_s, "roofline_baseline_tok_s": roofline,
+              "on_tpu": on_tpu}
+    if on_tpu:
+        # the reference's headline 3-bit config, same protocol (a second
+        # engine in the same process: both models fit HBM side by side)
+        try:
+            result["w3s45_tok_s"] = build_and_run(bits=3)
+        except Exception as e:  # never lose the flagship number to the tail
+            print(f"w3 flagship phase failed: {e!r}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 def _phase_baseline():
@@ -317,7 +351,10 @@ def main():
                           "value": None, "unit": "tokens/s",
                           "vs_baseline": None}))
         return 1
-    baseline = _run_phase("baseline", timeout_s=600,
+    # 900 s: with a cold compile cache the bf16 7B build alone costs
+    # several minutes over the tunnel — a 600 s budget timed out in r03
+    # and silently demoted vs_baseline to the roofline estimate
+    baseline = _run_phase("baseline", timeout_s=900,
                           env_override=_cpu_env() if cpu_fallback else None)
     base_tok_s = baseline["tok_s"] if baseline else quant["roofline_baseline_tok_s"]
     result = {
@@ -327,6 +364,14 @@ def main():
         "unit": "tokens/s",
         "vs_baseline": round(quant["tok_s"] / base_tok_s, 3) if base_tok_s else None,
     }
+    if baseline is None:
+        result["baseline_kind"] = "roofline_estimate"  # bf16 phase failed
+    if "w3s45_tok_s" in quant:
+        # the reference's headline 3-bit config, same protocol/chip
+        result["w3s45_tok_s"] = round(quant["w3s45_tok_s"], 2)
+        if base_tok_s:
+            result["w3s45_vs_baseline"] = round(
+                quant["w3s45_tok_s"] / base_tok_s, 3)
     if cpu_fallback:
         result["note"] = ("default-backend quant phase failed (timeout or "
                           "crash — see stderr); CPU smoke fallback, not "

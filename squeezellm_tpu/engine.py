@@ -460,23 +460,30 @@ class Engine:
         check: bool = False,
         warmup: int = 3,
         max_seq: Optional[int] = None,
-        window: int = 32,
+        window: Optional[int] = None,
     ) -> Dict[str, Any]:
         """Reference-protocol decode benchmark (llama.py:223-249): feed
         tokens one at a time with the KV cache; optional next-token ppl check.
 
-        Timing protocol: decode steps are chained through the KV cache and
-        enqueued back-to-back; the wall clock is sampled every `window`
-        tokens by fetching one logit scalar to host. (On some transports —
-        e.g. the axon tunnel — block_until_ready returns at enqueue, so a
-        host transfer is the only reliable fence. Per-window timing also
-        excludes per-step dispatch overhead, like CUDA-graph-style decode.)
+        Timing protocol: all T decode steps are dispatched individually and
+        chain through the KV cache on device; the wall clock is fenced by
+        fetching one logit scalar to host (block_until_ready returns at
+        enqueue on some transports, e.g. the axon tunnel, so a host
+        transfer is the only reliable fence). By default ONE fence ends the
+        whole run: the reference's per-token `torch.cuda.synchronize`
+        costs ~microseconds over local PCIe, but a fence on a tunneled
+        transport costs a full RTT (~29 ms here) — per-window fencing
+        (window=N) would bill ~RTT/N ms/token of pure measurement overhead
+        to the decode step (measured: ~0.9 ms/token at window=32, ~9% of a
+        7B w4 step). With one fence the RTT amortizes to RTT/T.
 
         input_ids: (1, T). Token 0 seeds the loop; tokens 1..T-1 are the
         'generated' sequence whose prediction quality --check measures.
         """
         ids = np.asarray(input_ids).reshape(1, -1).astype(np.int32)
         T = ids.shape[1]
+        if window is None:
+            window = T
         cache = self.new_cache(1, max_seq)
 
         @jax.jit

@@ -4,9 +4,11 @@ Layers of checking:
   * quantize/dequant roundtrip error bound (the format's contract);
   * the q8 decode/verify kernels vs a numpy mirror that reimplements the
     exact same quantize math — EXACT agreement on everything except the
-    rope'd k rows, which tolerate 1 ulp (in-kernel rope vs the
-    standalone _rope_rows compilation fuse differently); any drift
-    between the in-kernel expressions and ops.kv_quant fails here;
+    rope'd k rows, which tolerate 1 ulp: the kernel's _rope_apply
+    (x*cos + rot*sin over the cos/sin operand rows) runs under Mosaic,
+    the mirror under numpy, and the two may contract mul+add to FMA
+    differently in the last f32 bit; any drift between the in-kernel
+    expressions and ops.kv_quant fails here;
   * model-level decode logits with int8 pools vs f32 pools primed with
     the identical history — within quantization tolerance;
   * engine-level: the int8 paged engine completes multi-slot runs,
@@ -86,13 +88,13 @@ def test_q8_decode_kernel_matches_mirror():
     pt = np.asarray([[1, 3, 5], [2, 4, 6]], np.int32)
     lengths = np.asarray([40, 0], np.int32)  # slot 1 inactive
 
+    rcos, rsin = _rope_cs(np.maximum(lengths - 1, 0), hd)
     out, pk2, pv2, sk2, sv2 = paged_attn.paged_decode_attention_q8(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
         jnp.asarray(pk), jnp.asarray(pv),
         pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
         jnp.asarray(pt), jnp.asarray(lengths), page_size=ps,
-        rope_cos=_rope_cs(np.maximum(lengths - 1, 0), hd)[0],
-        rope_sin=_rope_cs(np.maximum(lengths - 1, 0), hd)[1],
+        rope_cos=rcos, rope_sin=rsin,
         interpret=True)
     out, pk2, pv2 = np.asarray(out), np.asarray(pk2), np.asarray(pv2)
     # back to (P, Hkv, ps, 1) row scales for the mirror comparison
@@ -118,9 +120,9 @@ def test_q8_decode_kernel_matches_mirror():
     np.testing.assert_array_equal(pv2[pid], pv_m[pid])
     np.testing.assert_array_equal(sv2[pid], sv_m[pid])
     # k: every row EXCEPT the patched one is untouched (exact); the
-    # patched row went through rope, and the in-kernel rope vs the
-    # standalone _rope_rows compilation can differ in the last f32 bit
-    # (XLA fuses differently per context) -> scale within 1 ulp, codes
+    # patched row went through _rope_apply on the cos/sin operand rows,
+    # and Mosaic may contract its mul+add to FMA differently from the
+    # numpy mirror in the last f32 bit -> scale within 1 ulp, codes
     # within +-1 where the rounding boundary moved
     keep = np.arange(ps) != off
     np.testing.assert_array_equal(pk2[pid][:, keep], pk[pid][:, keep])
@@ -158,13 +160,13 @@ def test_q8_verify_kernel_matches_mirror():
     pt = np.asarray([[0, 2, 4], [1, 3, 0]], np.int32)
     start = np.asarray([30, -1], np.int32)  # window crosses a page; b1 off
 
+    rcos, rsin = _rope_cs(start[:, None] + np.arange(W), hd)
     out, pk2, pv2, sk2, sv2 = paged_attn.paged_verify_attention_q8(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
         jnp.asarray(pk), jnp.asarray(pv),
         pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
         jnp.asarray(pt), jnp.asarray(start), page_size=ps,
-        rope_cos=_rope_cs(start[:, None] + np.arange(W), hd)[0],
-        rope_sin=_rope_cs(start[:, None] + np.arange(W), hd)[1],
+        rope_cos=rcos, rope_sin=rsin,
         interpret=True)
     out = np.asarray(out)
     pk2, pv2 = np.asarray(pk2), np.asarray(pv2)
@@ -185,9 +187,9 @@ def test_q8_verify_kernel_matches_mirror():
         pk_m[pid, 0, off], sk_m[pid, 0, off] = knq[w], kns[w]
         pv_m[pid, 0, off], sv_m[pid, 0, off] = vnq[w], vns[w]
         patched[pid, off] = True
-    # v (no rope) bit-exact everywhere; k rows that went through the
-    # in-kernel rope may sit 1 ulp off the standalone _rope_rows
-    # compilation (see the decode test) -> scale 1 ulp, codes +-1
+    # v (no rope) bit-exact everywhere; k rows that went through
+    # _rope_apply may sit 1 ulp off the numpy mirror's rope (Mosaic FMA
+    # contraction; see the decode test) -> scale 1 ulp, codes +-1
     np.testing.assert_array_equal(pv2, pv_m)
     np.testing.assert_array_equal(sv2, sv_m)
     keep = ~patched
@@ -326,13 +328,13 @@ def test_q8_dense_decode_kernel_matches_mirror():
     cv, sv = _quant_np(rng.standard_normal((B, Hkv, S, hd)))
     lengths = np.asarray([40, 0], np.int32)  # slot 1 inactive
 
+    rcos, rsin = _rope_cs(np.maximum(lengths - 1, 0), hd)
     out, ck2, cv2, sk2, sv2 = decode_attn.dense_decode_attention_q8(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
         jnp.asarray(ck), jnp.asarray(cv),
         pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
         jnp.asarray(lengths),
-        rope_cos=_rope_cs(np.maximum(lengths - 1, 0), hd)[0],
-        rope_sin=_rope_cs(np.maximum(lengths - 1, 0), hd)[1],
+        rope_cos=rcos, rope_sin=rsin,
         interpret=True)
     out, ck2, cv2 = np.asarray(out), np.asarray(ck2), np.asarray(cv2)
     sk2 = np.asarray(unpack_scales(sk2))
