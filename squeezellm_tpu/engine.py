@@ -74,7 +74,7 @@ class Engine:
             tokens equal to the greedy token, so accidental matches in
             clamped/garbage drafts are still correct."""
             K = draft_len
-            max_ctx = cache[0]["k"].shape[2]
+            max_ctx = cache[0]["k"].shape[1]
             s = prompt.shape[1]
             logits, cache = mod.prefill(config, specs, params, prompt,
                                         cache, backend=backend, dtype=dtype)
@@ -143,7 +143,7 @@ class Engine:
         # round the cache's token axis up to 16 (32 for int8 codes) so the
         # fused decode attention kernel's tile-aligned chunking always
         # engages (extra rows sit beyond every position, never attended)
-        align = 32 if self.cache_dtype in ("int8", jnp.int8) else 16
+        align = 128 if self.cache_dtype in ("int8", jnp.int8) else 16
         s = -(-(max_seq or c.max_seq) // align) * align
         return common.init_kv_cache(
             batch, s, c.n_layers, c.n_kv_heads, c.head_dim,
@@ -287,7 +287,7 @@ class Engine:
         d_backend, d_dtype = draft.backend, draft.dtype
 
         def loop(tp, dp, prompt, tcache, dcache, max_new, K):
-            max_ctx = tcache[0]["k"].shape[2]
+            max_ctx = tcache[0]["k"].shape[1]
             s = prompt.shape[1]
             logits, tcache = t_mod.prefill(t_config, t_specs, tp, prompt,
                                            tcache, backend=backend,
@@ -485,37 +485,49 @@ class Engine:
         if window is None:
             window = T
         cache = self.new_cache(1, max_seq)
+        mod, config, specs = self._mod, self.config, self.specs
+        backend, dtype = self.backend, self.dtype
 
-        @jax.jit
-        def nll_step(nll, logits, next_id):
-            logp = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
-            return nll - logp[next_id]
+        # One dispatch per token, ZERO per-step host->device transfers:
+        # the token ids live on device once, the position and the nll
+        # accumulator chain through the step as device values. (The
+        # earlier loop uploaded a fresh token + position scalar every
+        # step; on a tunneled transport each tiny H2D serializes against
+        # the compute stream — measured ~1-2 ms/step of decode-rate loss
+        # at 7B.)
+        def _bench_step(params, ids_all, pos, nll, cache):
+            tok = jax.lax.dynamic_slice(ids_all, (0, pos), (1, 1))
+            logits, cache = mod.decode_step(config, specs, params, tok, pos,
+                                            cache, backend=backend,
+                                            dtype=dtype)
+            if check:
+                nxt = jax.lax.dynamic_slice(
+                    ids_all, (0, jnp.minimum(pos + 1, T - 1)), (1, 1))[0, 0]
+                logp = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+                nll = nll - jnp.where(pos < T - 1, logp[nxt], 0.0)
+            return logits, pos + 1, nll, cache
 
+        step = jax.jit(_bench_step, donate_argnums=(4,))
+
+        ids_dev = jnp.asarray(ids)
         # warmup / compile (pos as device scalar: one trace for all positions)
-        tok0 = jnp.asarray(ids[:, :1])
-        zero = jnp.asarray(0, jnp.int32)
-        logits, cache = self._decode(self.params, tok0, zero, cache)
-        if check:
-            _ = nll_step(jnp.float32(0), logits, jnp.asarray(0))
+        pos = jnp.asarray(0, jnp.int32)
+        nll = jnp.float32(0.0)
+        logits, _, _, cache = step(self.params, ids_dev, pos, nll, cache)
         float(logits[0, -1, 0])  # fence
-        for w in range(warmup):
-            logits, cache = self._decode(self.params, tok0, zero, cache)
+        for _ in range(warmup):
+            logits, _, _, cache = step(self.params, ids_dev, pos, nll, cache)
         float(logits[0, -1, 0])
         # reset cache state
         cache = self.new_cache(1, max_seq)
         jax.block_until_ready(cache)
 
         window_times = []
-        nll = jnp.float32(0.0)
         done = 0
         tick = time.perf_counter()
         for i in range(T):
-            tok = jnp.asarray(ids[:, i : i + 1])
-            logits, cache = self._decode(
-                self.params, tok, jnp.asarray(i, jnp.int32), cache
-            )
-            if check and i < T - 1:
-                nll = nll_step(nll, logits, jnp.asarray(ids[0, i + 1]))
+            logits, pos, nll, cache = step(self.params, ids_dev, pos, nll,
+                                           cache)
             if (i + 1) % window == 0 or i == T - 1:
                 float(logits[0, -1, 0])  # host fence ends the window
                 now = time.perf_counter()

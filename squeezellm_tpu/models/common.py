@@ -91,6 +91,21 @@ def apply_rope(x, cos, sin):
     return x * cos + rotated * sin
 
 
+def apply_rope_tm(x, cos, sin):
+    """x: (B, S, H, D) TOKEN-major (the projection-natural layout);
+    cos/sin: (B, S, D) or (S, D). Same rotate-half math as
+    :func:`apply_rope`."""
+    if cos.ndim == x.ndim - 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rotated * sin
+
+
 # ---------------------------------------------------------------------------
 # Attention with preallocated KV cache
 # ---------------------------------------------------------------------------
@@ -98,26 +113,32 @@ def apply_rope(x, cos, sin):
 
 def init_kv_cache(batch: int, max_seq: int, n_layers: int, n_kv_heads: int,
                   head_dim: int, dtype=jnp.float32):
-    """Per-layer list of {'k','v'} of shape (B, H_kv, max_seq, D).
+    """Per-layer list of {'k','v'} of shape (B, max_seq, H_kv * D).
 
-    Head-major layout: the decode-step attention contracts (B,H,1,D) x
-    (B,H,S,D) without any relayout of the cached keys/values.
+    TOKEN-MAJOR layout (round 4): a token's row is contiguous across
+    heads, which is (a) the projection-natural layout — k_proj emits
+    (B, S, H_kv*D) directly, so prefill writes need no transpose — and
+    (b) what makes the fused decode attention kernel
+    (ops/decode_attn.py) one-DMA-per-chunk instead of one per head
+    (measured 8x on v5e). The XLA attention chain reads it back
+    head-major via :func:`read_kv` (a transpose XLA fuses into the
+    attention einsums).
 
-    dtype "int8" (or jnp.int8): quantized dense cache — int8 codes plus a
-    lane-major f32 scale sidecar 'ks'/'vs' of shape
-    (B, H_kv, *kv_quant.sidecar_shape(max_seq)) (layout rationale:
-    ops/kv_quant.py). Attention bytes ~halve vs bf16 at the same
-    context; writes quantize at insert (update_kv_cache / the fused q8
-    decode kernel)."""
+    dtype "int8" (or jnp.int8): quantized dense cache — int8 codes plus
+    HEAD-MAJOR f32 scale sidecars 'ks'/'vs' of shape (B, Hkv8, max_seq)
+    (kv-head rows padded to the 8-sublane f32 tile, token axis on lanes
+    — the layout the fused q8 kernel DMAs; ops/decode_attn.py).
+    Attention bytes ~halve vs bf16 at the same context; writes quantize
+    at insert (update_kv_cache / the fused q8 decode kernel)."""
     if dtype == "int8" or dtype == jnp.int8:
-        from squeezellm_tpu.ops import kv_quant
+        from squeezellm_tpu.ops import decode_attn
 
-        side = (batch, n_kv_heads) + kv_quant.sidecar_shape(max_seq)
+        side = (batch,) + decode_attn.q8_sidecar_shape(n_kv_heads, max_seq)
         return [
             {
-                "k": jnp.zeros((batch, n_kv_heads, max_seq, head_dim),
+                "k": jnp.zeros((batch, max_seq, n_kv_heads * head_dim),
                                jnp.int8),
-                "v": jnp.zeros((batch, n_kv_heads, max_seq, head_dim),
+                "v": jnp.zeros((batch, max_seq, n_kv_heads * head_dim),
                                jnp.int8),
                 "ks": jnp.zeros(side, jnp.float32),
                 "vs": jnp.zeros(side, jnp.float32),
@@ -126,25 +147,31 @@ def init_kv_cache(batch: int, max_seq: int, n_layers: int, n_kv_heads: int,
         ]
     return [
         {
-            "k": jnp.zeros((batch, n_kv_heads, max_seq, head_dim), dtype),
-            "v": jnp.zeros((batch, n_kv_heads, max_seq, head_dim), dtype),
+            "k": jnp.zeros((batch, max_seq, n_kv_heads * head_dim), dtype),
+            "v": jnp.zeros((batch, max_seq, n_kv_heads * head_dim), dtype),
         }
         for _ in range(n_layers)
     ]
 
 
-def read_kv(cache, dtype):
-    """Dequantized (k, v) views of a dense cache — identity cast for
-    f32/bf16 caches, codes * row-scale for int8 ones (the XLA mirror of
-    the fused q8 kernels' in-VMEM dequant; ops/kv_quant.py)."""
-    if "ks" in cache:
-        from squeezellm_tpu.ops import kv_quant
+def read_kv(cache, dtype, n_kv_heads: int):
+    """Dequantized HEAD-MAJOR (k, v) views (B, H_kv, S, D) of a
+    token-major dense cache — cast + transpose for f32/bf16 caches,
+    codes * row-scale for int8 ones (the XLA mirror of the fused q8
+    kernel's in-VMEM dequant). The transpose is consumed by attention
+    einsums and fuses away under XLA."""
+    B, S, KV = cache["k"].shape
+    hd = KV // n_kv_heads
 
-        ks = kv_quant.unpack_scales(cache["ks"])
-        vs = kv_quant.unpack_scales(cache["vs"])
-        return (kv_quant.dequantize_rows(cache["k"], ks).astype(dtype),
-                kv_quant.dequantize_rows(cache["v"], vs).astype(dtype))
-    return cache["k"].astype(dtype), cache["v"].astype(dtype)
+    def hm(a):  # (B, S, KV) -> (B, Hkv, S, hd)
+        return a.reshape(B, S, n_kv_heads, hd).transpose(0, 2, 1, 3)
+
+    if "ks" in cache:
+        ks = cache["ks"][:, :n_kv_heads, :, None]  # (B, Hkv, S, 1)
+        vs = cache["vs"][:, :n_kv_heads, :, None]
+        return ((hm(cache["k"]).astype(jnp.float32) * ks).astype(dtype),
+                (hm(cache["v"]).astype(jnp.float32) * vs).astype(dtype))
+    return hm(cache["k"]).astype(dtype), hm(cache["v"]).astype(dtype)
 
 
 def repeat_kv(x, n_rep: int):
@@ -213,63 +240,86 @@ def window_mask(sq: int, max_seq: int, pos,
     return m
 
 
+def _q8_scale_rows(s_new, hkv8: int):
+    """(B, s, Hkv, 1) row scales -> (B, Hkv8, s) sidecar rows (kv-head
+    rows padded to the 8-sublane tile)."""
+    rows = jnp.swapaxes(s_new[..., 0], 1, 2)  # (B, Hkv, s)
+    pad = hkv8 - rows.shape[1]
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad), (0, 0)))
+    return rows
+
+
 def update_kv_window(cache, k_new, v_new, pos):
-    """Write an s-token window's k/v (B, H, s, D) at per-slot positions
-    pos (B,): slot b's rows land at [pos_b, pos_b + s).
+    """Write an s-token window's k/v (B, s, H_kv, D), TOKEN-MAJOR, at
+    per-slot positions pos (B,): slot b's rows land at [pos_b, pos_b+s).
 
     int8 caches ('ks' sidecar present) quantize each row at insert via
     the ops/kv_quant.py math."""
-    def one(cb, nb, pb):
+    B, s, Hkv, hd = k_new.shape
+
+    def one(cb, nb, pb):  # cb (S, KV), nb (s, KV)
         return jax.lax.dynamic_update_slice_in_dim(
-            cb, nb.astype(cb.dtype), pb, axis=1)  # cb (H, S, D)
+            cb, nb.astype(cb.dtype), pb, axis=0)
 
     if "ks" in cache:
         from squeezellm_tpu.ops import kv_quant
 
         kq, ks = kv_quant.quantize_rows(k_new)
         vq, vs = kv_quant.quantize_rows(v_new)
+        hkv8 = cache["ks"].shape[1]
+
+        def one_sc(sc, rows, pb):  # sc (Hkv8, S), rows (Hkv8, s)
+            return jax.lax.dynamic_update_slice(sc, rows, (0, pb))
+
         return {
-            "k": jax.vmap(one)(cache["k"], kq, pos),
-            "v": jax.vmap(one)(cache["v"], vq, pos),
-            "ks": jax.vmap(kv_quant.set_scales)(cache["ks"], ks, pos),
-            "vs": jax.vmap(kv_quant.set_scales)(cache["vs"], vs, pos),
+            "k": jax.vmap(one)(cache["k"], kq.reshape(B, s, -1), pos),
+            "v": jax.vmap(one)(cache["v"], vq.reshape(B, s, -1), pos),
+            "ks": jax.vmap(one_sc)(cache["ks"], _q8_scale_rows(ks, hkv8),
+                                   pos),
+            "vs": jax.vmap(one_sc)(cache["vs"], _q8_scale_rows(vs, hkv8),
+                                   pos),
         }
     return {
-        "k": jax.vmap(one)(cache["k"], k_new, pos),
-        "v": jax.vmap(one)(cache["v"], v_new, pos),
+        "k": jax.vmap(one)(cache["k"], k_new.reshape(B, s, -1), pos),
+        "v": jax.vmap(one)(cache["v"], v_new.reshape(B, s, -1), pos),
     }
 
 
 def update_kv_cache(cache, k_new, v_new, pos):
-    """Write one new token's k/v (B, H, 1, D) at position(s) pos.
+    """Write one new token's k/v (B, 1, H_kv, D), TOKEN-MAJOR, at
+    position(s) pos.
 
     pos scalar: one dynamic_update_slice (decode batch shares a position).
     pos (B,): per-slot positions via a deterministic scatter (continuous
     batching). int8 caches quantize each row at insert (ops/kv_quant.py)."""
     pos = jnp.asarray(pos)
+    B = k_new.shape[0]
     if "ks" in cache:
         from squeezellm_tpu.ops import kv_quant
 
         kq, ks = kv_quant.quantize_rows(k_new)
         vq, vs = kv_quant.quantize_rows(v_new)
-        parts = {"k": kq, "v": vq}
-        scales = {"ks": ks, "vs": vs}
+        hkv8 = cache["ks"].shape[1]
+        parts = {"k": kq.reshape(B, 1, -1), "v": vq.reshape(B, 1, -1)}
+        scales = {"ks": _q8_scale_rows(ks, hkv8),
+                  "vs": _q8_scale_rows(vs, hkv8)}  # (B, Hkv8, 1)
     else:
-        parts = {"k": k_new, "v": v_new}
+        parts = {"k": k_new.reshape(B, 1, -1), "v": v_new.reshape(B, 1, -1)}
         scales = {}
     out = {}
     if pos.ndim == 0:
         for name, new in parts.items():
             out[name] = jax.lax.dynamic_update_slice(
-                cache[name], new.astype(cache[name].dtype), (0, 0, pos, 0))
+                cache[name], new.astype(cache[name].dtype), (0, pos, 0))
         for name, new in scales.items():
-            out[name] = kv_quant.set_scales(cache[name], new, pos)
+            out[name] = jax.lax.dynamic_update_slice(
+                cache[name], new, (0, 0, pos))
     else:
-        b = k_new.shape[0]
-        idx = jnp.arange(b)
+        idx = jnp.arange(B)
         for name, new in parts.items():
-            out[name] = cache[name].at[idx, :, pos, :].set(
-                new[:, :, 0, :].astype(cache[name].dtype))
+            out[name] = cache[name].at[idx, pos, :].set(
+                new[:, 0, :].astype(cache[name].dtype))
         for name, new in scales.items():
-            out[name] = jax.vmap(kv_quant.set_scales)(cache[name], new, pos)
+            out[name] = cache[name].at[idx, :, pos].set(new[:, :, 0])
     return out

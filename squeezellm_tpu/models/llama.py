@@ -189,16 +189,22 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
         k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
         v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
-    # head-major (B, H, S, D) throughout: matches the KV-cache layout
-    q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    # TOKEN-major (B, S, H, D) — the projection-natural layout and the
+    # dense KV cache's row order (models/common.init_kv_cache); only the
+    # XLA attention chain transposes to head-major, right before its
+    # einsums.
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, nkv, hd)
+    v = v.reshape(b, s, nkv, hd)
 
     dense_q8 = cache is not None and "pk" not in cache and "ks" in cache
     if (cache is not None and "pk" not in cache and s == 1
             and backend.startswith("pallas")
             # tile-aligned chunking: 16-row slabs (32 for int8 caches)
-            and cache["k"].shape[2] % (32 if dense_q8 else 16) == 0
+            and cache["k"].shape[1] % (32 if dense_q8 else 16) == 0
+            # hardware lane slicing wants whole-vreg head blocks; the
+            # interpret-mode path (CPU tests) has no such restriction
+            and (hd % 128 == 0 or jax.default_backend() != "tpu")
             and os.environ.get("SQUEEZELLM_FUSED_ATTN", "1") == "1"):
         # dense-cache decode: fused rope + cache-write + chunked attention
         # in one Pallas launch (ops/decode_attn.py) — replaces the rope/
@@ -221,9 +227,9 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
             sin[None], (b,) + sin.shape)
         lengths = jnp.broadcast_to(
             jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
-        if dense_q8:  # int8 cache + f32 scale sidecar (ops/kv_quant.py)
+        if dense_q8:  # int8 cache + f32 scale sidecar (ops/decode_attn.py)
             out3, ck2, cv2, sk2, sv2 = decode_attn.dense_decode_attention_q8(
-                q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                q[:, 0], k[:, 0], v[:, 0],
                 cache["k"], cache["v"], cache["ks"], cache["vs"], lengths,
                 sliding_window=config.sliding_window,
                 rope_cos=rc[:, 0], rope_sin=rs[:, 0],
@@ -231,14 +237,13 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
             cache = {"k": ck2, "v": cv2, "ks": sk2, "vs": sv2}
         else:
             out3, ck2, cv2 = decode_attn.dense_decode_attention(
-                q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                q[:, 0], k[:, 0], v[:, 0],
                 cache["k"], cache["v"], lengths,
                 sliding_window=config.sliding_window,
                 rope_cos=rc[:, 0], rope_sin=rs[:, 0],
                 interpret=jax.default_backend() not in ("tpu",))
             cache = {"k": ck2, "v": cv2}
-        out = out3[:, :, None, :].astype(x.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+        out = out3[:, None, :, :].astype(x.dtype).reshape(b, s, nh * hd)
         out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
         if axis_name is not None:
             out = jax.lax.psum(out, axis_name)
@@ -266,7 +271,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                 jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
             if q8:
                 out3, pk2, pv2, sk2, sv2 = paged_attn.paged_decode_attention_q8(
-                    q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                    q[:, 0], k[:, 0], v[:, 0],
                     cache["pk"], cache["pv"], cache["sk"], cache["sv"],
                     cache["pt"], lengths, page_size=cache["pk"].shape[2],
                     rope_cos=rc[:, 0], rope_sin=rs[:, 0],
@@ -274,7 +279,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                 )
             else:
                 out3, pk2, pv2 = paged_attn.paged_decode_attention(
-                    q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                    q[:, 0], k[:, 0], v[:, 0],
                     cache["pk"], cache["pv"], cache["pt"], lengths,
                     page_size=cache["pk"].shape[2],
                     rope_cos=rc[:, 0], rope_sin=rs[:, 0],
@@ -282,11 +287,15 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                 )
             out3 = out3[:, :, None, :]
         else:
+            # the paged verify kernels take head-major (B, H, s, hd)
+            qh = q.transpose(0, 2, 1, 3)
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
             starts = jnp.broadcast_to(
                 jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32)
             if q8:
                 out3, pk2, pv2, sk2, sv2 = paged_attn.paged_verify_attention_q8(
-                    q, k, v, cache["pk"], cache["pv"], cache["sk"],
+                    qh, kh, vh, cache["pk"], cache["pv"], cache["sk"],
                     cache["sv"], cache["pt"], starts,
                     page_size=cache["pk"].shape[2],
                     rope_cos=rc, rope_sin=rs,
@@ -294,7 +303,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                 )
             else:
                 out3, pk2, pv2 = paged_attn.paged_verify_attention(
-                    q, k, v, cache["pk"], cache["pv"], cache["pt"], starts,
+                    qh, kh, vh, cache["pk"], cache["pv"], cache["pt"], starts,
                     page_size=cache["pk"].shape[2],
                     rope_cos=rc, rope_sin=rs,
                     sliding_window=config.sliding_window, interpret=interp,
@@ -308,8 +317,8 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
             out = jax.lax.psum(out, axis_name)
         return out, cache
 
-    q = common.apply_rope(q, cos, sin)
-    k = common.apply_rope(k, cos, sin)
+    q = common.apply_rope_tm(q, cos, sin)
+    k = common.apply_rope_tm(k, cos, sin)
 
     if cache is not None:
         if s == 1:
@@ -319,27 +328,37 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
             # speculative verify window: per-slot start positions
             cache = common.update_kv_window(cache, k, v, jnp.asarray(pos))
         else:
-            # prefill: write [start, start+s)
+            # prefill: write [start, start+s) — token-major, so the
+            # projection output lands in the cache without a transpose
             start = 0 if pos is None else pos
             cache = dict(cache)
             if "ks" in cache:  # int8: quantize rows at insert
+                from squeezellm_tpu.models.common import _q8_scale_rows
                 from squeezellm_tpu.ops import kv_quant
 
                 kq, ks = kv_quant.quantize_rows(k)
                 vq, vs = kv_quant.quantize_rows(v)
-                parts = {"k": kq, "v": vq}
-                cache["ks"] = kv_quant.set_scales(cache["ks"], ks, start)
-                cache["vs"] = kv_quant.set_scales(cache["vs"], vs, start)
+                parts = {"k": kq.reshape(b, s, -1),
+                         "v": vq.reshape(b, s, -1)}
+                hkv8 = cache["ks"].shape[1]
+                cache["ks"] = jax.lax.dynamic_update_slice(
+                    cache["ks"], _q8_scale_rows(ks, hkv8), (0, 0, start))
+                cache["vs"] = jax.lax.dynamic_update_slice(
+                    cache["vs"], _q8_scale_rows(vs, hkv8), (0, 0, start))
             else:
-                parts = {"k": k, "v": v}
+                parts = {"k": k.reshape(b, s, -1), "v": v.reshape(b, s, -1)}
             for name, new in parts.items():
                 cache[name] = jax.lax.dynamic_update_slice(
                     cache[name], new.astype(cache[name].dtype),
-                    (0, 0, start, 0))
+                    (0, start, 0))
         # int8 caches dequantize here (the XLA mirror of the fused q8
-        # kernels' in-VMEM dequant) — prefill attention reads the same
-        # quantized history decode will
-        k, v = common.read_kv(cache, x.dtype)
+        # kernel's in-VMEM dequant) — prefill attention reads the same
+        # quantized history decode will. read_kv returns HEAD-major.
+        k, v = common.read_kv(cache, x.dtype, nkv)
+    else:
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+    q = q.transpose(0, 2, 1, 3)  # head-major for the attention einsums
 
     if (s > 1 and backend.startswith("pallas")
             and (pos is None or jnp.asarray(pos).ndim == 0)
@@ -443,7 +462,7 @@ def prefill(config: LlamaConfig, specs, params, tokens, cache, *,
     x = params["embed"][tokens].astype(dtype)
     positions = start + jnp.arange(s)
     cos, sin = common.rope_cos_sin(positions, config.head_dim, config.rope_theta, dtype)
-    max_seq = cache[0]["k"].shape[2]
+    max_seq = cache[0]["k"].shape[1]
     mask = common.causal_mask(s, max_seq, offset=start,
                               sliding_window=config.sliding_window)
     new_cache = []
@@ -473,7 +492,7 @@ def verify_window(config: LlamaConfig, specs, params, tokens, pos, cache, *,
     if "pk" in cache[0]:  # paged pool: masking happens inside the kernel
         mask = None
     else:
-        max_seq = cache[0]["k"].shape[2]
+        max_seq = cache[0]["k"].shape[1]
         mask = common.window_mask(s, max_seq, pos,
                                   sliding_window=config.sliding_window)
     new_cache = []
@@ -501,7 +520,7 @@ def decode_step(config: LlamaConfig, specs, params, token, pos, cache, *,
         max_seq = cache[0]["pt"].shape[1] * cache[0]["pk"].shape[2]
         mask = None
     else:
-        max_seq = cache[0]["k"].shape[2]
+        max_seq = cache[0]["k"].shape[1]
         mask = common.decode_mask(max_seq, pos,
                                   sliding_window=config.sliding_window)
     new_cache = []

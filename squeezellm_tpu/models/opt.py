@@ -179,10 +179,11 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
         q = common.apply_linear(specs["q"], params["q"], x, backend=backend)
         k = common.apply_linear(specs["k"], params["k"], x, backend=backend)
         v = common.apply_linear(specs["v"], params["v"], x, backend=backend)
-    # head-major (B, H, S, D), matching the KV-cache layout
-    q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    # TOKEN-major (B, S, H, D) — the projection-natural layout and the
+    # dense cache's row order (see models/llama.py / common.init_kv_cache)
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, nh, hd)
+    v = v.reshape(b, s, nh, hd)
 
     if cache is not None and "pk" in cache:
         # paged KV (serving): see models/llama.py — same fused kernels
@@ -197,29 +198,33 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
             if "sk" in cache:  # int8 pool (ops/kv_quant.py)
                 out3, pk2, pv2, sk2, sv2 = \
                     paged_attn.paged_decode_attention_q8(
-                        q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                        q[:, 0], k[:, 0], v[:, 0],
                         cache["pk"], cache["pv"], cache["sk"], cache["sv"],
                         cache["pt"], lengths,
                         page_size=cache["pk"].shape[2], interpret=interp)
             else:
                 out3, pk2, pv2 = paged_attn.paged_decode_attention(
-                    q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                    q[:, 0], k[:, 0], v[:, 0],
                     cache["pk"], cache["pv"], cache["pt"], lengths,
                     page_size=cache["pk"].shape[2], interpret=interp,
                 )
             out3 = out3[:, :, None, :]
         else:
+            # the paged verify kernels take head-major (B, H, s, hd)
+            qh = q.transpose(0, 2, 1, 3)
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
             starts = jnp.broadcast_to(
                 jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32)
             if "sk" in cache:
                 out3, pk2, pv2, sk2, sv2 = \
                     paged_attn.paged_verify_attention_q8(
-                        q, k, v, cache["pk"], cache["pv"], cache["sk"],
+                        qh, kh, vh, cache["pk"], cache["pv"], cache["sk"],
                         cache["sv"], cache["pt"], starts,
                         page_size=cache["pk"].shape[2], interpret=interp)
             else:
                 out3, pk2, pv2 = paged_attn.paged_verify_attention(
-                    q, k, v, cache["pk"], cache["pv"], cache["pt"], starts,
+                    qh, kh, vh, cache["pk"], cache["pv"], cache["pt"], starts,
                     page_size=cache["pk"].shape[2], interpret=interp,
                 )
         cache = (dict(cache, pk=pk2, pv=pv2, sk=sk2, sv=sv2)
@@ -234,7 +239,10 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
     dense_q8 = cache is not None and "pk" not in cache and "ks" in cache
     if (cache is not None and s == 1 and backend.startswith("pallas")
             # tile-aligned chunking: 16-row slabs (32 for int8 caches)
-            and cache["k"].shape[2] % (32 if dense_q8 else 16) == 0
+            and cache["k"].shape[1] % (32 if dense_q8 else 16) == 0
+            # hardware lane slicing wants whole-vreg head blocks (the
+            # interpret-mode CPU path has no such restriction)
+            and (hd % 128 == 0 or jax.default_backend() != "tpu")
             and os.environ.get("SQUEEZELLM_FUSED_ATTN", "1") == "1"):
         # dense-cache decode: fused cache-write + chunked attention
         # (ops/decode_attn.py; see models/llama.py — OPT has no GQA)
@@ -244,18 +252,17 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
             jnp.asarray(pos).reshape(-1), (b,)).astype(jnp.int32) + 1
         if dense_q8:  # int8 cache + f32 scale sidecar (ops/kv_quant.py)
             out3, ck2, cv2, sk2, sv2 = decode_attn.dense_decode_attention_q8(
-                q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                q[:, 0], k[:, 0], v[:, 0],
                 cache["k"], cache["v"], cache["ks"], cache["vs"], lengths,
                 interpret=jax.default_backend() not in ("tpu",))
             cache = {"k": ck2, "v": cv2, "ks": sk2, "vs": sv2}
         else:
             out3, ck2, cv2 = decode_attn.dense_decode_attention(
-                q[:, :, 0, :], k[:, :, 0, :], v[:, :, 0, :],
+                q[:, 0], k[:, 0], v[:, 0],
                 cache["k"], cache["v"], lengths,
                 interpret=jax.default_backend() not in ("tpu",))
             cache = {"k": ck2, "v": cv2}
-        out = out3[:, :, None, :].astype(x.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+        out = out3[:, None, :, :].astype(x.dtype).reshape(b, s, nh * hd)
         out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
         if axis_name is not None:
             out = jax.lax.psum(out, axis_name)
@@ -271,21 +278,31 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
             start = 0 if pos is None else pos
             cache = dict(cache)
             if "ks" in cache:  # int8: quantize rows at insert
+                from squeezellm_tpu.models.common import _q8_scale_rows
                 from squeezellm_tpu.ops import kv_quant
 
                 kq, ks = kv_quant.quantize_rows(k)
                 vq, vs = kv_quant.quantize_rows(v)
-                parts = {"k": kq, "v": vq}
-                cache["ks"] = kv_quant.set_scales(cache["ks"], ks, start)
-                cache["vs"] = kv_quant.set_scales(cache["vs"], vs, start)
+                parts = {"k": kq.reshape(b, s, -1),
+                         "v": vq.reshape(b, s, -1)}
+                hkv8 = cache["ks"].shape[1]
+                cache["ks"] = jax.lax.dynamic_update_slice(
+                    cache["ks"], _q8_scale_rows(ks, hkv8), (0, 0, start))
+                cache["vs"] = jax.lax.dynamic_update_slice(
+                    cache["vs"], _q8_scale_rows(vs, hkv8), (0, 0, start))
             else:
-                parts = {"k": k, "v": v}
+                parts = {"k": k.reshape(b, s, -1), "v": v.reshape(b, s, -1)}
             for name, new in parts.items():
                 cache[name] = jax.lax.dynamic_update_slice(
                     cache[name], new.astype(cache[name].dtype),
-                    (0, 0, start, 0))
-        # int8 caches dequantize here (XLA mirror of the fused q8 dequant)
-        k, v = common.read_kv(cache, x.dtype)
+                    (0, start, 0))
+        # int8 caches dequantize here (XLA mirror of the fused q8
+        # dequant). read_kv returns HEAD-major.
+        k, v = common.read_kv(cache, x.dtype, nh)
+    else:
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+    q = q.transpose(0, 2, 1, 3)  # head-major for the attention einsums
 
     if (s > 1 and backend.startswith("pallas")
             and (pos is None or jnp.asarray(pos).ndim == 0)
@@ -360,7 +377,7 @@ def prefill(config: OPTConfig, specs, params, tokens, cache, *, backend="auto",
     logits for every position (speculative verification)."""
     b, s = tokens.shape
     x = _embed(config, params, tokens, start, dtype)
-    max_seq = cache[0]["k"].shape[2]
+    max_seq = cache[0]["k"].shape[1]
     mask = common.causal_mask(s, max_seq, offset=start)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):
@@ -384,7 +401,7 @@ def verify_window(config: OPTConfig, specs, params, tokens, pos, cache, *,
     if "pk" in cache[0]:  # paged pool: masking happens inside the kernel
         mask = None
     else:
-        max_seq = cache[0]["k"].shape[2]
+        max_seq = cache[0]["k"].shape[1]
         mask = common.window_mask(s, max_seq, pos)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"],
@@ -408,7 +425,7 @@ def decode_step(config: OPTConfig, specs, params, token, pos, cache, *,
     if "pk" in cache[0]:  # paged pool: masking happens inside the kernel
         mask = None
     else:
-        max_seq = cache[0]["k"].shape[2]
+        max_seq = cache[0]["k"].shape[1]
         mask = common.decode_mask(max_seq, pos)
     new_cache = []
     for spec_d, param_d, layer_cache in zip(specs["layers"], params["layers"], cache):

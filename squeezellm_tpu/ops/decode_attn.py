@@ -4,30 +4,59 @@ The dense decode path (single-stream `engine.Engine` and the dense-slot
 `serving.ContinuousBatchEngine`) previously issued, per layer per token:
 two cache `dynamic_update_slice`s (or a batched scatter for per-slot
 positions), a `repeat_kv` broadcast, a mask build, and a 4-op masked
-softmax chain over the FULL (B, H, max_seq, hd) cache — ~10 small XLA ops
+softmax chain over the FULL (B, max_seq, Hkv*hd) cache — ~10 small XLA ops
 whose inter-op scheduling gaps dominate at decode (measured ~0.85 ms/step
 of gaps across ~550 ops at 7B; ROADMAP round-2 notes). The reference's
 CUDA decode has no analogue op-count problem (one fused attention kernel
 per step via torch SDPA at `/root/reference/llama.py:60-132` module
 forward), so this closes a TPU-specific gap, not a parity one.
 
-This kernel folds all of it into ONE Pallas launch per layer, the dense
-twin of `ops/paged_attn.py` (same manual-DMA + online-softmax structure,
-page table replaced by direct row addressing):
+Round-4 redesign — TOKEN-MAJOR cache, ALL KV HEADS PER GRID STEP:
 
-  * the current token's k/v are DMA-written into row `len-1` of the slot's
-    cache inside the kernel (aligned 16-row slab read-modify-write: token-
-    dim DMA slices must align to the dtype tile height — see
-    ops/paged_attn.py);
-  * attention streams the cache in `chunk`-row slabs with double-buffered
-    DMAs, reading ONLY ceil(len/chunk) chunks instead of all max_seq rows
-    (the XLA path reads + masks the whole cache every token: ~1 GB/token
-    at 7B/2048 — this reads just the valid prefix);
+  The round-2/3 kernel ran a (B, Hkv) grid over a head-major
+  (B, Hkv, S, hd) cache: 32 sequential grid steps per layer at 7B, each
+  paying its own serial DMA round-trips (slab RMW + chunk reads) —
+  measured 50 us/layer-step on v5e, ~1.6 ms/step at 32 layers, almost
+  all fixed latency. This kernel runs ONE grid step per slot over a
+  token-major (B, S, Hkv*hd) cache:
+
+  * a token row is CONTIGUOUS across heads, so the current token's k/v
+    write is one aligned 16-row slab RMW (2+2 DMAs total, was 4*Hkv) and
+    each attention chunk is one (chunk, Hkv*hd) contiguous DMA (2 per
+    chunk, was 2*Hkv);
+  * per-head attention folds into ONE MXU matmul via a BLOCK-DIAGONAL Q:
+    qbd (H, Hkv*hd) carries q[hg] in the lane block of kv head hg//g and
+    zeros elsewhere, so logits = qbd @ chunk^T gives logits[hg, t] =
+    q[hg] . k[h(hg), t] exactly — zero terms add exactly 0.0 in the f32
+    MXU accumulator, and the off-head FLOPs ride an otherwise idle MXU
+    (decode is DMA/latency-bound);
+  * p @ v runs the same way on the (chunk, Hkv*hd) v slab; only the
+    diagonal hd-block of each output row is kept.
+
+  Measured (v5e, 7B shape: B=1 Hkv=32 hd=128 S=128): 6.3 us/layer-step
+  vs 50.2 for the per-head-grid kernel — ~0.2 ms/step total at 32
+  layers, was 1.6 (scripts/attn_v2_probe.py).
+
+  Token-major is also the PROJECTION-NATURAL layout: k_proj emits
+  (B, S, Hkv*hd) directly, so prefill writes need no transpose.
+
+Other properties (unchanged from the earlier kernel):
+  * attention streams only ceil(len/chunk) chunks of the valid prefix
+    (the XLA chain reads + masks all max_seq rows every token);
   * sliding-window models (Mistral) skip chunks wholly below the window;
-  * GQA is grouped: one grid step per (slot, kv head) computes all
-    `H/Hkv` query heads of that group; softmax is the online (flash) form.
-
-Inactive slots (length 0) read nothing, write nothing, and emit zeros.
+  * rope (HF rotate-half) applies in-kernel to q and k_new from
+    precomputed cos/sin operand rows (models/common.rope_cos_sin values;
+    an in-kernel rope-from-theta diverged ~6.5e-3 from the XLA chain on
+    hardware — Mosaic's large-angle sin/cos differs from XLA:TPU's);
+  * online (flash) softmax; inactive slots (length 0) read nothing,
+    write nothing, emit zeros;
+  * int8 twin: codes cache (B, S, Hkv*hd) int8 + a head-major scale
+    sidecar (B, Hkv8, S) f32 (Hkv8 = Hkv rounded to the 8-sublane f32
+    tile; token axis on LANES so a chunk of scales is one (Hkv8, chunk)
+    DMA). The current token quantizes IN-KERNEL after rope (the exact
+    math of ops.kv_quant.quantize_rows); k scales fold into logits and
+    v scales into p POST-matmul via g-row-repeated (H, chunk) tiles, so
+    int8 codes feed the MXU raw.
 """
 
 from __future__ import annotations
@@ -44,12 +73,11 @@ NEG_INF = -1e30
 
 def _pick_chunk(S: int, cap: int = 512, align: int = 16):
     """Largest divisor of S that is <= cap and DMA-tile-aligned (multiple
-    of `align` rows — 16 is the bf16 tile height; f32 needs 8, 16 covers
-    both; int8 caches need 32). Returns None when no aligned chunking
-    exists (S not a multiple of `align`): chunk-loop DMAs would start at
-    misaligned token offsets and the write slab would overrun the cache —
-    callers must fall back to the XLA chain (see models/llama.py
-    fused-branch gate)."""
+    of `align` rows — 16 covers the bf16 tile height and f32's 8; int8
+    codes need 32). Returns None when no aligned chunking exists (S not a
+    multiple of `align`): chunk-loop DMAs would start at misaligned token
+    offsets and the write slab would overrun the cache — callers must
+    fall back to the XLA chain (see models/llama.py fused-branch gate)."""
     if S % align != 0:
         return None
     if S <= cap:
@@ -63,16 +91,40 @@ def _pick_chunk(S: int, cap: int = 512, align: int = 16):
 def _rope_apply(x, cos, sin):
     """Rotate rows of x (r, hd) by precomputed cos/sin rows ((1|r, hd), HF
     rotate-half convention — the exact values of models/common.rope_cos_sin,
-    passed in as kernel operands). An earlier revision recomputed cos/sin
-    IN-kernel from rope_theta; that verified in interpret mode but
-    diverged ~6.5e-3 from the XLA chain on hardware (Mosaic's large-angle
-    sin/cos approximation differs from XLA:TPU's), so cache rows written
-    by decode disagreed with prefill-written rows. The host computes
-    cos/sin ONCE per decode step (shared by all layers) and the kernel is
-    left with 3 VPU mul/adds — faster AND bit-identical to the host rope."""
+    passed in as kernel operands; see the module docstring for why not
+    recomputed in-kernel)."""
     d2 = x.shape[1] // 2
     rot = jnp.concatenate([-x[:, d2:], x[:, :d2]], axis=1)
     return x * cos + rot * sin
+
+
+def _block_diag_q(q, hkv: int, g: int):
+    """(H, hd) query rows -> (H, Hkv*hd) block-diagonal matrix: row hg
+    carries q[hg] in lane block hg // g, zeros elsewhere."""
+    H, hd = q.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, hd), 0) // g
+    return jnp.concatenate(
+        [jnp.where(row == j, q, 0.0) for j in range(hkv)], axis=1)
+
+
+def _extract_diag(acc, hkv: int, g: int, hd: int):
+    """(H, Hkv*hd) -> (H, hd): keep each row's own head block."""
+    H = acc.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, hd), 0) // g
+    o = jnp.zeros((H, hd), jnp.float32)
+    for j in range(hkv):
+        o = jnp.where(row == j, acc[:, j * hd:(j + 1) * hd], o)
+    return o
+
+
+def _repeat_rows(x, g: int):
+    """(Hkv, L) -> (Hkv*g, L): row j repeated g times (query-head order
+    hg = h * g + u)."""
+    if g == 1:
+        return x
+    hkv = x.shape[0]
+    return jnp.concatenate(
+        [x[j:j + 1] for j in range(hkv) for _ in range(g)], axis=0)
 
 
 def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
@@ -80,30 +132,23 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
                        ck_ref, cv_ref, out_ref,
                        kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
                        *, S: int, chunk: int, scale: float, window: int,
-                       rope: bool):
-    """One (slot b, kv-head h) grid step.
+                       rope: bool, hkv: int, g: int, hd: int):
+    """One grid step per slot b.
 
     len_ref: (B,) int32 valid tokens per slot INCLUDING the current one
-    q_ref:   (1, g, hd) f32 — query heads of this kv group (pre-rope
-             when `rope` — the kernel rotates q/k_new by the cos/sin
-             operand rows — rope'd by the caller otherwise).
+    q_ref:   (1, H, hd) f32 — all query heads (pre-rope when `rope` — the
+             kernel rotates q/k_new by the cos/sin operand rows — rope'd
+             by the caller otherwise)
+    kn/vn:   (1, Hkv, hd) f32 — current token's k/v rows
     cos/sin: (1, 1, hd) f32 — rope rows at this slot's position
-             (models/common.rope_cos_sin values; identity rows when the
-             model has no rope).
-             q/kn/vn/out are (B*Hkv, ...)-shaped host-side so every
-             BlockSpec index lands on the LEADING axis — a varying block
-             index on a middle axis of a 3D/4D array is the Mosaic
-             pattern that miscompiles silently on this TPU generation
-             (see ops/pallas_ops.py notes); leading-axis indices are the
-             hardware-verified form.
-    kn/vn:   (1, 1, hd) f32 — current token's k/v for this kv head
-    ck/cv:   (B, Hkv, S, hd) dense cache, ANY memory space, aliased in->out
-             (only ever addressed via `.at[b, h]` manual-DMA slices)
-    out_ref: (1, g, hd) f32
-    kbuf/vbuf: (2, chunk, hd) VMEM double buffers
+    ck/cv:   (B, S, Hkv*hd) dense cache, ANY memory space, aliased in->out
+             (only ever addressed via `.at[b, pl.ds(...)]` manual-DMA
+             token slabs — contiguous across heads)
+    out_ref: (1, H, hd) f32
+    kbuf/vbuf: (2, chunk, Hkv*hd) VMEM double buffers
+    pairk/pairv: (slab, Hkv*hd) write RMW staging
     """
     b = pl.program_id(0)
-    h = pl.program_id(1)
     # clamp: the dense serving engine advances pos for INACTIVE slots too
     # inside a decode window (their stale pos rides along) — without the
     # clamp a stale slot near max_seq would push the chunk loop past the
@@ -124,29 +169,32 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
     off2 = jax.lax.div(last, slab) * slab
     sub = last - off2
 
-    kn = kn_ref[0].astype(jnp.float32)  # (1, hd)
+    kn = kn_ref[0].astype(jnp.float32)  # (Hkv, hd)
     if rope:
         kn = _rope_apply(kn, cos_ref[0], sin_ref[0])
 
     @pl.when(n > 0)
     def _write():
         rk = pltpu.make_async_copy(
-            ck_ref.at[b, h, pl.ds(off2, slab)], pairk, wsem.at[0])
+            ck_ref.at[b, pl.ds(off2, slab)], pairk, wsem.at[0])
         rv = pltpu.make_async_copy(
-            cv_ref.at[b, h, pl.ds(off2, slab)], pairv, wsem.at[1])
+            cv_ref.at[b, pl.ds(off2, slab)], pairv, wsem.at[1])
         rk.start()
         rv.start()
         rk.wait()
         rv.wait()
-        rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
-        pairk[:] = jnp.where(rows == sub, kn.astype(pairk.dtype),
-                             pairk[:])
-        pairv[:] = jnp.where(rows == sub, vn_ref[0].astype(pairv.dtype),
-                             pairv[:])
+        hit = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0) == sub
+        vn = vn_ref[0]
+        for j in range(hkv):  # per-head lane blocks of the token row
+            sl = pl.ds(j * hd, hd)
+            pairk[:, sl] = jnp.where(hit, kn[j:j + 1].astype(pairk.dtype),
+                                     pairk[:, sl])
+            pairv[:, sl] = jnp.where(hit, vn[j:j + 1].astype(pairv.dtype),
+                                     pairv[:, sl])
         wk = pltpu.make_async_copy(
-            pairk, ck_ref.at[b, h, pl.ds(off2, slab)], wsem.at[0])
+            pairk, ck_ref.at[b, pl.ds(off2, slab)], wsem.at[0])
         wv = pltpu.make_async_copy(
-            pairv, cv_ref.at[b, h, pl.ds(off2, slab)], wsem.at[1])
+            pairv, cv_ref.at[b, pl.ds(off2, slab)], wsem.at[1])
         wk.start()
         wv.start()
         wk.wait()
@@ -154,12 +202,12 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
 
     def k_copy(p, slot):
         return pltpu.make_async_copy(
-            ck_ref.at[b, h, pl.ds(p * chunk, chunk)], kbuf.at[slot],
+            ck_ref.at[b, pl.ds(p * chunk, chunk)], kbuf.at[slot],
             ksem.at[slot])
 
     def v_copy(p, slot):
         return pltpu.make_async_copy(
-            cv_ref.at[b, h, pl.ds(p * chunk, chunk)], vbuf.at[slot],
+            cv_ref.at[b, pl.ds(p * chunk, chunk)], vbuf.at[slot],
             vsem.at[slot])
 
     @pl.when(c0 < nchunks)
@@ -167,10 +215,11 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
         k_copy(c0, jax.lax.rem(c0, 2)).start()
         v_copy(c0, jax.lax.rem(c0, 2)).start()
 
-    q = q_ref[0].astype(jnp.float32)  # (g, hd)
+    q = q_ref[0].astype(jnp.float32)  # (H, hd)
     if rope:
         q = _rope_apply(q, cos_ref[0], sin_ref[0])
-    g, hd = q.shape
+    H = hkv * g
+    qbd = _block_diag_q(q, hkv, g)  # (H, Hkv*hd)
 
     def body(p, carry):
         m, l, acc = carry
@@ -183,13 +232,13 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
 
         k_copy(p, slot).wait()
         v_copy(p, slot).wait()
-        k = kbuf[slot].astype(jnp.float32)  # (chunk, hd)
+        k = kbuf[slot].astype(jnp.float32)  # (chunk, Hkv*hd)
         v = vbuf[slot].astype(jnp.float32)
 
         logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            qbd, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (g, chunk)
+        ) * scale  # (H, chunk)
         kpos = p * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         logits = jnp.where((kpos < n) & (kpos >= lo), logits, NEG_INF)
 
@@ -201,20 +250,24 @@ def _dense_attn_kernel(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
                                      preferred_element_type=jnp.float32)
         return m2, l2, acc2
 
-    init = (jnp.full((g, 1), NEG_INF, jnp.float32),
-            jnp.zeros((g, 1), jnp.float32),
-            jnp.zeros((g, hd), jnp.float32))
+    init = (jnp.full((H, 1), NEG_INF, jnp.float32),
+            jnp.zeros((H, 1), jnp.float32),
+            jnp.zeros((H, hkv * hd), jnp.float32))
     m, l, acc = jax.lax.fori_loop(c0, nchunks, body, init)
-    out_ref[0] = acc / jnp.maximum(l, 1e-30)
+    out_ref[0] = _extract_diag(acc, hkv, g, hd) / jnp.maximum(l, 1e-30)
 
 
 def _rope_operand_rows(rope_cos, rope_sin, B, R, hd):
-    """Kernel-shaped (B, R, hd) f32 rope rows; identity placeholders (and
-    rope=False so the kernel skips the mul/adds) when the model has no
-    rope (OPT)."""
+    """Kernel-shaped (B, R, hd) f32 rope rows; TRUE identity rows (cos=1,
+    sin=0) and rope=False (so the kernel also skips the mul/adds) when the
+    model has no rope (OPT)."""
+    if (rope_cos is None) != (rope_sin is None):
+        raise ValueError(
+            "rope_cos and rope_sin must be passed together (got exactly "
+            "one of them)")
     if rope_cos is None:
-        z = jnp.zeros((B, R, hd), jnp.float32)
-        return z, z, False
+        return (jnp.ones((B, R, hd), jnp.float32),
+                jnp.zeros((B, R, hd), jnp.float32), False)
     return (rope_cos.reshape(B, R, hd).astype(jnp.float32),
             rope_sin.reshape(B, R, hd).astype(jnp.float32), True)
 
@@ -232,8 +285,8 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
                k_new by them), rope'd otherwise
       k_new:   (B, Hkv, hd) current token's keys (same rope contract)
       v_new:   (B, Hkv, hd) values
-      ck/cv:   (B, Hkv, S, hd) dense KV cache (DONATED/aliased: the updated
-               cache is returned)
+      ck/cv:   (B, S, Hkv*hd) TOKEN-MAJOR dense KV cache (DONATED/aliased:
+               the updated cache is returned)
       lengths: (B,) int32 — valid tokens per slot INCLUDING the current one
                (0 = inactive slot: no write, zero output).
       sliding_window: attend only the last `sliding_window` positions
@@ -242,11 +295,16 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
     Returns (attn_out (B, H, hd) f32, ck, cv).
     """
     B, H, hd = q.shape
-    Hkv, S = ck.shape[1], ck.shape[2]
-    assert ck.shape == cv.shape == (B, Hkv, S, hd), (ck.shape, q.shape)
+    Hkv = k_new.shape[1]
+    KV = Hkv * hd
+    S = ck.shape[1]
+    assert ck.shape == cv.shape == (B, S, KV), (ck.shape, q.shape)
     g = H // Hkv
     assert g * Hkv == H, (H, Hkv)
-    chunk = _pick_chunk(S)
+    # VMEM budget: 4 buffers of (chunk, KV) (k+v double-buffered); cap
+    # each at ~1 MB so 13B shapes (KV=5120) still fit comfortably
+    cap = max(16, (1024 * 1024) // (KV * ck.dtype.itemsize) // 16 * 16)
+    chunk = _pick_chunk(S, cap=cap)
     if chunk is None:
         raise ValueError(
             f"max_seq={S} is not a multiple of 16 — no tile-aligned "
@@ -255,27 +313,24 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
     scale = 1.0 / (hd ** 0.5)
     window = S + 1 if sliding_window is None else int(sliding_window)
 
-    # (B, Hkv) collapsed to one leading axis: all VMEM block indices are
-    # leading-axis only (middle-axis block indices miscompile — see the
-    # kernel docstring); the caches stay in ANY and are manually DMA'd.
-    q4 = q.reshape(B * Hkv, g, hd).astype(jnp.float32)
-    kn4 = k_new.reshape(B * Hkv, 1, hd).astype(jnp.float32)
-    vn4 = v_new.reshape(B * Hkv, 1, hd).astype(jnp.float32)
-    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
+    q3 = q.astype(jnp.float32)
+    kn3 = k_new.astype(jnp.float32)
+    vn3 = v_new.astype(jnp.float32)
+    cos3, sin3, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, g, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+            pl.BlockSpec((1, H, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+            pl.BlockSpec((1, Hkv, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+            pl.BlockSpec((1, Hkv, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -283,14 +338,14 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, g, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+            pl.BlockSpec((1, H, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, hd), ck.dtype),
-            pltpu.VMEM((2, chunk, hd), cv.dtype),
-            pltpu.VMEM((min(16, S), hd), ck.dtype),
-            pltpu.VMEM((min(16, S), hd), cv.dtype),
+            pltpu.VMEM((2, chunk, KV), ck.dtype),
+            pltpu.VMEM((2, chunk, KV), cv.dtype),
+            pltpu.VMEM((min(16, S), KV), ck.dtype),
+            pltpu.VMEM((min(16, S), KV), cv.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -299,21 +354,26 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
 
     ck_out, cv_out, out = pl.pallas_call(
         functools.partial(_dense_attn_kernel, S=S, chunk=chunk, scale=scale,
-                          window=window, rope=rope),
+                          window=window, rope=rope, hkv=Hkv, g=g, hd=hd),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(ck.shape, ck.dtype),
             jax.ShapeDtypeStruct(cv.shape, cv.dtype),
-            jax.ShapeDtypeStruct((B * Hkv, g, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, hd), jnp.float32),
         ],
         input_output_aliases={6: 0, 7: 1},  # cache in -> out (in-place)
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(lengths, q4, kn4, vn4, cos4, sin4, ck, cv)
+    )(lengths, q3, kn3, vn3, cos3, sin3, ck, cv)
 
-    return out.reshape(B, H, hd), ck_out, cv_out
+    return out, ck_out, cv_out
+
+
+# ---------------------------------------------------------------------------
+# int8 twin
+# ---------------------------------------------------------------------------
 
 
 def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
@@ -323,29 +383,28 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
                           pairk, pairv, pairsk, pairsv,
                           ksem, vsem, sksem, svsem, wsem,
                           *, S: int, chunk: int, scale: float, window: int,
-                          rope: bool):
-    """int8-KV twin of :func:`_dense_attn_kernel` — the dense-cache
-    counterpart of ops/paged_attn._paged_attn_kernel_q8 (same quantize
-    math, page table replaced by direct row addressing):
+                          rope: bool, hkv: int, hkv8: int, g: int, hd: int):
+    """int8-KV twin of :func:`_dense_attn_kernel` (same one-step-per-slot
+    structure; quantize math of ops.kv_quant inlined via
+    ops.paged_attn._quant_kv_rows):
 
-      * caches hold int8 codes (B, Hkv, S, hd) plus a lane-major f32
-        scale sidecar (B, Hkv, NG*8, L): tokens [jL, (j+1)L) keep their
-        scales in lane row 8j, rows 8j+1..8j+7 pad to the f32 tile so
-        every scale DMA is a full (8, L) tile — see ops/kv_quant.py;
-      * write: the rope'd current k and its v are quantized IN-KERNEL
-        (`ops.paged_attn._quant_kv_rows`, the exact math of
-        ops.kv_quant.quantize_rows); codes RMW-patch an aligned 32-row
-        slab (int8 Mosaic tile height), scales patch lane last%L of
-        group last//L;
-      * read: the body iterates L-token chunks (chunk == L) and applies
-        the scales POST-matmul along lanes — logits (g, L) by the k-row
-        (1, L), p by the v-row — so the int8 codes feed the MXU raw and
-        no lane<->sublane relayout exists. ~0.56x the bytes of bf16.
+      * codes cache (B, S, Hkv*hd) int8; scale sidecar (B, Hkv8, S) f32 —
+        head rows on SUBLANES (padded to the 8-row f32 tile), token axis
+        on LANES, so a chunk of scales is one (Hkv8, chunk) DMA and a
+        scale write is an RMW of the 128-lane group holding the token;
+      * write: the rope'd current k and its v are quantized IN-KERNEL;
+        codes RMW-patch an aligned 32-row slab (int8 tile height), scales
+        patch lane last%128 of lane-group last//128;
+      * read: k scales fold into logits POST-matmul and v scales into
+        pexp — both as g-row-repeated (H, chunk) tiles — so int8 codes
+        feed the MXU raw and no lane<->sublane relayout exists.
+        ~0.53x the bytes of bf16.
     """
     from squeezellm_tpu.ops.paged_attn import _quant_kv_rows
 
     b = pl.program_id(0)
-    h = pl.program_id(1)
+    KV = hkv * hd
+    H = hkv * g
     n = jnp.minimum(len_ref[b], S)  # clamp: see _dense_attn_kernel
     nchunks = jax.lax.div(n + chunk - 1, chunk)
     lo = jnp.maximum(n - window, 0)
@@ -353,50 +412,53 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
 
     last = n - 1
     # int8 token-dim DMA slices must align to 32 rows; S < 32 only in
-    # tiny interpret-mode tests (the wrapper asserts S % 32 == 0 else
-    # falls back)
+    # tiny interpret-mode tests (the wrapper falls back below 32)
     slab = 32 if S % 32 == 0 else S
     off2 = jax.lax.div(last, slab) * slab
     sub = last - off2
-    gi = jax.lax.div(last, chunk)  # scale group of the current token
-    li = jax.lax.rem(last, chunk)  # its lane within the group row
+    gi = jax.lax.div(last, chunk)  # 128-lane scale group of the token
+    li = jax.lax.rem(last, chunk)  # its lane within the group
 
-    kn = kn_ref[0].astype(jnp.float32)  # (1, hd)
+    kn = kn_ref[0].astype(jnp.float32)  # (Hkv, hd)
     if rope:
         kn = _rope_apply(kn, cos_ref[0], sin_ref[0])
-    knq, kns = _quant_kv_rows(kn)
+    knq, kns = _quant_kv_rows(kn)           # (Hkv, hd) int8, (Hkv, 1) f32
     vnq, vns = _quant_kv_rows(vn_ref[0].astype(jnp.float32))
+    if hkv8 != hkv:
+        pad = jnp.zeros((hkv8 - hkv, 1), jnp.float32)
+        kns = jnp.concatenate([kns, pad], axis=0)
+        vns = jnp.concatenate([vns, pad], axis=0)
 
     @pl.when(n > 0)
     def _write():
         rk = pltpu.make_async_copy(
-            ck_ref.at[b, h, pl.ds(off2, slab)], pairk, wsem.at[0])
+            ck_ref.at[b, pl.ds(off2, slab)], pairk, wsem.at[0])
         rv = pltpu.make_async_copy(
-            cv_ref.at[b, h, pl.ds(off2, slab)], pairv, wsem.at[1])
+            cv_ref.at[b, pl.ds(off2, slab)], pairv, wsem.at[1])
         rsk = pltpu.make_async_copy(
-            sk_ref.at[b, h, pl.ds(8 * gi, 8)], pairsk, wsem.at[2])
+            sk_ref.at[b, :, pl.ds(gi * chunk, chunk)], pairsk, wsem.at[2])
         rsv = pltpu.make_async_copy(
-            sv_ref.at[b, h, pl.ds(8 * gi, 8)], pairsv, wsem.at[3])
+            sv_ref.at[b, :, pl.ds(gi * chunk, chunk)], pairsv, wsem.at[3])
         for c in (rk, rv, rsk, rsv):
             c.start()
         for c in (rk, rv, rsk, rsv):
             c.wait()
-        rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
-        pairk[:] = jnp.where(rows == sub, knq, pairk[:])
-        pairv[:] = jnp.where(rows == sub, vnq, pairv[:])
-        srow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        spot = (srow == 0) & (lane == li)  # (8, chunk)
+        hit = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0) == sub
+        for j in range(hkv):
+            sl = pl.ds(j * hd, hd)
+            pairk[:, sl] = jnp.where(hit, knq[j:j + 1], pairk[:, sl])
+            pairv[:, sl] = jnp.where(hit, vnq[j:j + 1], pairv[:, sl])
+        spot = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) == li
         pairsk[:] = jnp.where(spot, kns, pairsk[:])
         pairsv[:] = jnp.where(spot, vns, pairsv[:])
         wk = pltpu.make_async_copy(
-            pairk, ck_ref.at[b, h, pl.ds(off2, slab)], wsem.at[0])
+            pairk, ck_ref.at[b, pl.ds(off2, slab)], wsem.at[0])
         wv = pltpu.make_async_copy(
-            pairv, cv_ref.at[b, h, pl.ds(off2, slab)], wsem.at[1])
+            pairv, cv_ref.at[b, pl.ds(off2, slab)], wsem.at[1])
         wsk = pltpu.make_async_copy(
-            pairsk, sk_ref.at[b, h, pl.ds(8 * gi, 8)], wsem.at[2])
+            pairsk, sk_ref.at[b, :, pl.ds(gi * chunk, chunk)], wsem.at[2])
         wsv = pltpu.make_async_copy(
-            pairsv, sv_ref.at[b, h, pl.ds(8 * gi, 8)], wsem.at[3])
+            pairsv, sv_ref.at[b, :, pl.ds(gi * chunk, chunk)], wsem.at[3])
         for c in (wk, wv, wsk, wsv):
             c.start()
         for c in (wk, wv, wsk, wsv):
@@ -405,16 +467,16 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
     def copies(p, slot):
         return (
             pltpu.make_async_copy(
-                ck_ref.at[b, h, pl.ds(p * chunk, chunk)], kbuf.at[slot],
+                ck_ref.at[b, pl.ds(p * chunk, chunk)], kbuf.at[slot],
                 ksem.at[slot]),
             pltpu.make_async_copy(
-                cv_ref.at[b, h, pl.ds(p * chunk, chunk)], vbuf.at[slot],
+                cv_ref.at[b, pl.ds(p * chunk, chunk)], vbuf.at[slot],
                 vsem.at[slot]),
             pltpu.make_async_copy(
-                sk_ref.at[b, h, pl.ds(8 * p, 8)], skbuf.at[slot],
+                sk_ref.at[b, :, pl.ds(p * chunk, chunk)], skbuf.at[slot],
                 sksem.at[slot]),
             pltpu.make_async_copy(
-                sv_ref.at[b, h, pl.ds(8 * p, 8)], svbuf.at[slot],
+                sv_ref.at[b, :, pl.ds(p * chunk, chunk)], svbuf.at[slot],
                 svsem.at[slot]),
         )
 
@@ -423,10 +485,10 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
         for c in copies(c0, jax.lax.rem(c0, 2)):
             c.start()
 
-    q = q_ref[0].astype(jnp.float32)  # (g, hd)
+    q = q_ref[0].astype(jnp.float32)  # (H, hd)
     if rope:
         q = _rope_apply(q, cos_ref[0], sin_ref[0])
-    g, hd = q.shape
+    qbd = _block_diag_q(q, hkv, g)
 
     def body(p, carry):
         m, l, acc = carry
@@ -439,15 +501,15 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
 
         for c in copies(p, slot):
             c.wait()
-        k = kbuf[slot].astype(jnp.float32)  # (chunk, hd) int8 codes
+        k = kbuf[slot].astype(jnp.float32)  # (chunk, KV) int8 codes
         v = vbuf[slot].astype(jnp.float32)
-        ks_row = skbuf[slot][0:1]  # (1, chunk) lane-major group scales
-        vs_row = svbuf[slot][0:1]
+        ks_rep = _repeat_rows(skbuf[slot][:hkv, :], g)  # (H, chunk)
+        vs_rep = _repeat_rows(svbuf[slot][:hkv, :], g)
 
         logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            qbd, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * (ks_row * scale)  # (g, chunk): dequant folded in post-matmul
+        ) * (ks_rep * scale)  # (H, chunk): k dequant folded post-matmul
         kpos = p * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         logits = jnp.where((kpos < n) & (kpos >= lo), logits, NEG_INF)
 
@@ -455,42 +517,48 @@ def _dense_attn_kernel_q8(len_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
         alpha = jnp.exp(m - m2)
         pexp = jnp.exp(logits - m2)
         l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
-        acc2 = acc * alpha + jnp.dot(pexp * vs_row, v,  # v dequant folded
+        acc2 = acc * alpha + jnp.dot(pexp * vs_rep, v,  # v dequant folded
                                      preferred_element_type=jnp.float32)
         return m2, l2, acc2
 
-    init = (jnp.full((g, 1), NEG_INF, jnp.float32),
-            jnp.zeros((g, 1), jnp.float32),
-            jnp.zeros((g, hd), jnp.float32))
+    init = (jnp.full((H, 1), NEG_INF, jnp.float32),
+            jnp.zeros((H, 1), jnp.float32),
+            jnp.zeros((H, KV), jnp.float32))
     m, l, acc = jax.lax.fori_loop(c0, nchunks, body, init)
-    out_ref[0] = acc / jnp.maximum(l, 1e-30)
+    out_ref[0] = _extract_diag(acc, hkv, g, hd) / jnp.maximum(l, 1e-30)
+
+
+def q8_sidecar_shape(Hkv: int, S: int):
+    """Dense-cache scale-sidecar trailing shape: (Hkv8, S) — kv-head rows
+    padded to the 8-sublane f32 tile, token axis on lanes."""
+    return (-(-Hkv // 8) * 8, S)
 
 
 @functools.partial(jax.jit, static_argnames=("sliding_window", "interpret"))
 def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
                               sliding_window=None, rope_cos=None,
                               rope_sin=None, interpret: bool = False):
-    """:func:`dense_decode_attention` over int8 caches with lane-major
-    f32 scale sidecars (format + rationale: ops/kv_quant.py).
+    """:func:`dense_decode_attention` over int8 caches with head-major
+    f32 scale sidecars (layout: module docstring / ops/kv_quant.py).
 
-    ck/cv: (B, Hkv, S, hd) int8 (aliased in->out)
-    sk/sv: (B, Hkv, NG*8, L) f32, L = kv_quant.group_len(S) (aliased)
+    ck/cv: (B, S, Hkv*hd) int8 (aliased in->out)
+    sk/sv: (B, Hkv8, S) f32 (aliased)
 
     Returns (attn_out (B, H, hd) f32, ck, cv, sk, sv).
     """
-    from squeezellm_tpu.ops import kv_quant
-
     B, H, hd = q.shape
-    Hkv, S = ck.shape[1], ck.shape[2]
+    Hkv = k_new.shape[1]
+    KV = Hkv * hd
+    S = ck.shape[1]
     assert ck.dtype == jnp.int8 and cv.dtype == jnp.int8
-    assert ck.shape == cv.shape == (B, Hkv, S, hd), (ck.shape, q.shape)
-    side = (B, Hkv) + kv_quant.sidecar_shape(S)
+    assert ck.shape == cv.shape == (B, S, KV), (ck.shape, q.shape)
+    side = (B,) + q8_sidecar_shape(Hkv, S)
     assert sk.shape == sv.shape == side, (sk.shape, side)
     g = H // Hkv
     assert g * Hkv == H, (H, Hkv)
-    # the body iterates one scale group per chunk: L tokens (128, or S
-    # itself for tiny interpret-mode tests)
-    chunk = kv_quant.group_len(S)
+    # one 128-lane scale group per chunk (or S itself for tiny
+    # interpret-mode tests)
+    chunk = 128 if S % 128 == 0 else S
     if S % 32 != 0 and S % chunk != 0:
         raise ValueError(
             f"max_seq={S} is not 32-row alignable — no int8-tile-aligned "
@@ -499,27 +567,28 @@ def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
     scale = 1.0 / (hd ** 0.5)
     window = S + 1 if sliding_window is None else int(sliding_window)
     slab = 32 if S % 32 == 0 else S
+    hkv8 = side[1]
 
-    q4 = q.reshape(B * Hkv, g, hd).astype(jnp.float32)
-    kn4 = k_new.reshape(B * Hkv, 1, hd).astype(jnp.float32)
+    q3 = q.astype(jnp.float32)
+    kn3 = k_new.astype(jnp.float32)
     # v quantizes in-kernel (not cast host-side): rounding must match the
     # XLA mirror's f32 math
-    vn4 = v_new.reshape(B * Hkv, 1, hd).astype(jnp.float32)
-    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
+    vn3 = v_new.astype(jnp.float32)
+    cos3, sin3, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, g, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+            pl.BlockSpec((1, H, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+            pl.BlockSpec((1, Hkv, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+            pl.BlockSpec((1, Hkv, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -531,18 +600,18 @@ def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, g, hd), lambda b, h, *_: (b * Hkv + h, 0, 0),
+            pl.BlockSpec((1, H, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, hd), jnp.int8),
-            pltpu.VMEM((2, chunk, hd), jnp.int8),
-            pltpu.VMEM((2, 8, chunk), jnp.float32),
-            pltpu.VMEM((2, 8, chunk), jnp.float32),
-            pltpu.VMEM((slab, hd), jnp.int8),
-            pltpu.VMEM((slab, hd), jnp.int8),
-            pltpu.VMEM((8, chunk), jnp.float32),
-            pltpu.VMEM((8, chunk), jnp.float32),
+            pltpu.VMEM((2, chunk, KV), jnp.int8),
+            pltpu.VMEM((2, chunk, KV), jnp.int8),
+            pltpu.VMEM((2, hkv8, chunk), jnp.float32),
+            pltpu.VMEM((2, hkv8, chunk), jnp.float32),
+            pltpu.VMEM((slab, KV), jnp.int8),
+            pltpu.VMEM((slab, KV), jnp.int8),
+            pltpu.VMEM((hkv8, chunk), jnp.float32),
+            pltpu.VMEM((hkv8, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -553,20 +622,21 @@ def dense_decode_attention_q8(q, k_new, v_new, ck, cv, sk, sv, lengths, *,
 
     ck_out, cv_out, sk_out, sv_out, out = pl.pallas_call(
         functools.partial(_dense_attn_kernel_q8, S=S, chunk=chunk,
-                          scale=scale, window=window, rope=rope),
+                          scale=scale, window=window, rope=rope,
+                          hkv=Hkv, hkv8=hkv8, g=g, hd=hd),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(ck.shape, ck.dtype),
             jax.ShapeDtypeStruct(cv.shape, cv.dtype),
             jax.ShapeDtypeStruct(sk.shape, sk.dtype),
             jax.ShapeDtypeStruct(sv.shape, sv.dtype),
-            jax.ShapeDtypeStruct((B * Hkv, g, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, hd), jnp.float32),
         ],
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(lengths, q4, kn4, vn4, cos4, sin4, ck, cv, sk, sv)
+    )(lengths, q3, kn3, vn3, cos3, sin3, ck, cv, sk, sv)
 
-    return out.reshape(B, H, hd), ck_out, cv_out, sk_out, sv_out
+    return out, ck_out, cv_out, sk_out, sv_out

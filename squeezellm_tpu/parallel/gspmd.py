@@ -14,7 +14,7 @@ Sharding plan (Megatron-style column/row parallel):
   sparse COO sidecars: replicated (0.05-0.45%% nnz — negligible bytes);
       the scatter-add stays correct under GSPMD
   embed / norms: replicated; lm_head: column-parallel over vocab
-  KV cache: P('dp', None, 'tp', None) — batch over dp, heads over tp
+  KV cache: P("dp", None, "tp") — batch over dp, head-flat KV over tp
 
 Works with the XLA backend end-to-end. (The fused Pallas kernel does not
 auto-partition under GSPMD; the explicit shard_map path in
@@ -109,8 +109,9 @@ def param_partition_specs(model_type: str, config, specs, params) -> dict:
 
 
 def cache_partition_specs(cache) -> list:
-    # cache layout (B, H_kv, S, D): batch over dp, heads over tp
-    return [{"k": P("dp", "tp", None, None), "v": P("dp", "tp", None, None)}
+    # token-major cache (B, S, H_kv*D): batch over dp, the head-flat last
+    # axis over tp (a contiguous KV/t block per device = its head group)
+    return [{"k": P("dp", None, "tp"), "v": P("dp", None, "tp")}
             for _ in cache]
 
 

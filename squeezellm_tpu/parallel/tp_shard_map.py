@@ -349,8 +349,11 @@ def _unstack(params, pspecs):
 
 
 def cache_pspecs(n_layers: int):
-    """KV cache (B, H_kv, S, D) sharded over heads."""
-    return [{"k": P(None, AXIS, None, None), "v": P(None, AXIS, None, None)}
+    """Token-major KV cache (B, S, H_kv*D) sharded over the head-flat
+    last axis — a contiguous KV/t lane block per shard IS that shard's
+    kv-head group, so the per-shard fused decode kernel sees a normal
+    (B, S, KV_local) cache."""
+    return [{"k": P(None, None, AXIS), "v": P(None, None, AXIS)}
             for _ in range(n_layers)]
 
 

@@ -268,7 +268,7 @@ class ContinuousBatchEngine:
         def _insert(cache, one_cache, slot):
             return jax.tree.map(
                 lambda c, o: jax.lax.dynamic_update_slice(
-                    c, o.astype(c.dtype), (slot, 0, 0, 0)),
+                    c, o.astype(c.dtype), (slot,) + (0,) * (c.ndim - 1)),
                 cache, one_cache,
             )
 
@@ -627,7 +627,7 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
         def _insert(cache, one_cache, slot):
             return jax.tree.map(
                 lambda c, o: jax.lax.dynamic_update_slice(
-                    c, o.astype(c.dtype), (slot, 0, 0, 0)),
+                    c, o.astype(c.dtype), (slot,) + (0,) * (c.ndim - 1)),
                 cache, one_cache)
 
         self._insert = jax.jit(_insert, donate_argnums=(0,))
@@ -720,14 +720,15 @@ def _prime_dense_impl(pools, dense, pids, *, ps: int, max_seq: int):
                       kv["v"], kv_quant.unpack_scales(kv["sv"]))}
 
         def to_dense(a):
-            m = a.shape[0]
-            return a.transpose(1, 0, 2, 3).reshape(
-                1, a.shape[1], m * ps, a.shape[3])[:, :, :rows]
+            # (m, Hkv, ps, hd) pages -> token-major (1, rows, Hkv*hd)
+            m, hkv, _, hd = a.shape
+            return a.transpose(0, 2, 1, 3).reshape(
+                1, m * ps, hkv * hd)[:, :rows]
 
         k = jax.lax.dynamic_update_slice(
-            d["k"], to_dense(kv["k"]).astype(d["k"].dtype), (0, 0, 0, 0))
+            d["k"], to_dense(kv["k"]).astype(d["k"].dtype), (0, 0, 0))
         v = jax.lax.dynamic_update_slice(
-            d["v"], to_dense(kv["v"]).astype(d["v"].dtype), (0, 0, 0, 0))
+            d["v"], to_dense(kv["v"]).astype(d["v"].dtype), (0, 0, 0))
         return {"k": k, "v": v}
 
     return [one_layer(p, d) for p, d in zip(pools, dense)]
@@ -744,10 +745,16 @@ def _scatter_all_impl(pools, dense, pids, first_page, cnt, *, ps: int):
 
         def body(i, pools_kv, dk=d["k"], dv=d["v"], q8=q8):
             def write(pools_kv):
-                src_k = jax.lax.dynamic_slice_in_dim(
-                    dk[0], (first_page + i) * ps, ps, axis=1)
-                src_v = jax.lax.dynamic_slice_in_dim(
-                    dv[0], (first_page + i) * ps, ps, axis=1)
+                hkv = pools_kv[0].shape[1]
+                hd = pools_kv[0].shape[3]
+
+                def page(src):  # (ps, Hkv*hd) token-major -> (Hkv, ps, hd)
+                    return src.reshape(ps, hkv, hd).transpose(1, 0, 2)
+
+                src_k = page(jax.lax.dynamic_slice_in_dim(
+                    dk[0], (first_page + i) * ps, ps, axis=0))
+                src_v = page(jax.lax.dynamic_slice_in_dim(
+                    dv[0], (first_page + i) * ps, ps, axis=0))
                 if q8:
                     pk, pv, sk, sv = pools_kv
                     qk, ssk = kv_quant.quantize_rows(src_k)

@@ -13,21 +13,24 @@ from squeezellm_tpu.ops import decode_attn
 
 
 def _oracle(q, k_new, v_new, ck, cv, lengths, sliding_window=None):
-    """update_kv_cache + decode_mask + attention, per-slot lengths."""
+    """update_kv_cache + decode_mask + attention, per-slot lengths.
+    Caches are TOKEN-major (B, S, Hkv*hd); k_new/v_new (B, Hkv, hd)."""
     B, H, hd = q.shape
-    Hkv, S = ck.shape[1], ck.shape[2]
+    Hkv = k_new.shape[1]
+    S = ck.shape[1]
     pos = lengths - 1  # -1 for inactive slots
     cache = common.update_kv_cache(
         {"k": jnp.asarray(ck), "v": jnp.asarray(cv)},
-        jnp.asarray(k_new)[:, :, None, :], jnp.asarray(v_new)[:, :, None, :],
+        jnp.asarray(k_new)[:, None], jnp.asarray(v_new)[:, None],
         jnp.where(jnp.asarray(pos) < 0, 0, jnp.asarray(pos)))
     # undo the spurious write scatter for inactive slots (oracle-side only)
     for b in range(B):
         if lengths[b] == 0:
             cache["k"] = cache["k"].at[b].set(jnp.asarray(ck)[b])
             cache["v"] = cache["v"].at[b].set(jnp.asarray(cv)[b])
-    k = common.repeat_kv(cache["k"], H // Hkv).astype(jnp.float32)
-    v = common.repeat_kv(cache["v"], H // Hkv).astype(jnp.float32)
+    k, v = common.read_kv(cache, jnp.float32, Hkv)  # head-major views
+    k = common.repeat_kv(k, H // Hkv)
+    v = common.repeat_kv(v, H // Hkv)
     mask = common.decode_mask(S, jnp.asarray(pos),
                               sliding_window=sliding_window)
     out = common.attention(jnp.asarray(q)[:, :, None, :].astype(jnp.float32),
@@ -45,8 +48,8 @@ def test_fused_dense_decode_attention_parity(g, window):
     q = rng.normal(size=(B, H, hd)).astype(np.float32)
     k_new = rng.normal(size=(B, Hkv, hd)).astype(np.float32)
     v_new = rng.normal(size=(B, Hkv, hd)).astype(np.float32)
-    ck = rng.normal(size=(B, Hkv, S, hd)).astype(np.float32)
-    cv = rng.normal(size=(B, Hkv, S, hd)).astype(np.float32)
+    ck = rng.normal(size=(B, S, Hkv * hd)).astype(np.float32)
+    cv = rng.normal(size=(B, S, Hkv * hd)).astype(np.float32)
     # slot 0 mid-sequence, slot 1 at position 0, slot 2 inactive
     lengths = np.array([37, 1, 0], np.int32)
 
@@ -75,8 +78,8 @@ def test_fused_dense_decode_rope_parity(theta, lengths):
     q = rng.normal(size=(B, H, hd)).astype(np.float32)
     k_new = rng.normal(size=(B, Hkv, hd)).astype(np.float32)
     v_new = rng.normal(size=(B, Hkv, hd)).astype(np.float32)
-    ck = rng.normal(size=(B, Hkv, S, hd)).astype(np.float32)
-    cv = rng.normal(size=(B, Hkv, S, hd)).astype(np.float32)
+    ck = rng.normal(size=(B, S, Hkv * hd)).astype(np.float32)
+    cv = rng.normal(size=(B, S, Hkv * hd)).astype(np.float32)
     lengths = np.asarray(lengths, np.int32)
 
     pos = np.maximum(lengths - 1, 0)
@@ -105,8 +108,8 @@ def test_fused_dense_decode_full_cache():
     q = rng.normal(size=(B, Hkv, hd)).astype(np.float32)
     k_new = rng.normal(size=(B, Hkv, hd)).astype(np.float32)
     v_new = rng.normal(size=(B, Hkv, hd)).astype(np.float32)
-    ck = rng.normal(size=(B, Hkv, S, hd)).astype(np.float32)
-    cv = rng.normal(size=(B, Hkv, S, hd)).astype(np.float32)
+    ck = rng.normal(size=(B, S, Hkv * hd)).astype(np.float32)
+    cv = rng.normal(size=(B, S, Hkv * hd)).astype(np.float32)
     lengths = np.array([S, S - 5], np.int32)
     out, ck2, cv2 = decode_attn.dense_decode_attention(
         jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),

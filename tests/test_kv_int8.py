@@ -315,30 +315,41 @@ def test_q8_tp_engine_matches_single_device():
 def test_q8_dense_decode_kernel_matches_mirror():
     """Dense-cache q8 kernel (ops/decode_attn.dense_decode_attention_q8)
     vs the same numpy mirror style as the paged test: quantize the rope'd
-    current row, patch the cache, attend over the dequantized prefix."""
+    current row, patch the TOKEN-major cache, attend over the dequantized
+    prefix. Codes (B, S, Hkv*hd); scale sidecar (B, Hkv8, S) head-major."""
     from squeezellm_tpu.ops import decode_attn
 
     rng = np.random.default_rng(7)
     B, H, Hkv, hd, S = 2, 4, 2, 64, 96
     g = H // Hkv
+    KV = Hkv * hd
     q = rng.standard_normal((B, H, hd)).astype(np.float32)
     kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
     vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
-    ck, sk = _quant_np(rng.standard_normal((B, Hkv, S, hd)))
-    cv, sv = _quant_np(rng.standard_normal((B, Hkv, S, hd)))
+    # history rows quantized per (token, head); token-major codes + the
+    # (B, Hkv8, S) sidecar (kv-head rows padded to the 8-sublane tile)
+    hkv8 = decode_attn.q8_sidecar_shape(Hkv, S)[0]
+
+    def build(x):  # x (B, S, Hkv, hd) f32
+        codes, sc = _quant_np(x)                       # sc (B, S, Hkv, 1)
+        side = np.zeros((B, hkv8, S), np.float32)
+        side[:, :Hkv] = np.transpose(sc[..., 0], (0, 2, 1))
+        return codes.reshape(B, S, KV), side, codes, sc
+
+    ck, sk, ck4, sk4 = build(rng.standard_normal((B, S, Hkv, hd)))
+    cv, sv, cv4, sv4 = build(rng.standard_normal((B, S, Hkv, hd)))
     lengths = np.asarray([40, 0], np.int32)  # slot 1 inactive
 
     rcos, rsin = _rope_cs(np.maximum(lengths - 1, 0), hd)
     out, ck2, cv2, sk2, sv2 = decode_attn.dense_decode_attention_q8(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
         jnp.asarray(ck), jnp.asarray(cv),
-        pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
+        jnp.asarray(sk), jnp.asarray(sv),
         jnp.asarray(lengths),
         rope_cos=rcos, rope_sin=rsin,
         interpret=True)
     out, ck2, cv2 = np.asarray(out), np.asarray(ck2), np.asarray(cv2)
-    sk2 = np.asarray(unpack_scales(sk2))
-    sv2 = np.asarray(unpack_scales(sv2))
+    sk2, sv2 = np.asarray(sk2), np.asarray(sv2)
 
     # inactive slot: no output, no write
     assert np.abs(out[1]).max() == 0.0
@@ -351,29 +362,33 @@ def test_q8_dense_decode_kernel_matches_mirror():
     vnq, vns = _quant_np(vn[b])
     ck_m, sk_m = ck.copy(), sk.copy()
     cv_m, sv_m = cv.copy(), sv.copy()
-    ck_m[b, :, last], sk_m[b, :, last] = knq, kns
-    cv_m[b, :, last], sv_m[b, :, last] = vnq, vns
+    ck_m[b, last] = knq.reshape(KV)
+    cv_m[b, last] = vnq.reshape(KV)
+    sk_m[b, :Hkv, last] = kns[:, 0]
+    sv_m[b, :Hkv, last] = vns[:, 0]
     # v (no rope): shared quantize math -> bit-exact
     np.testing.assert_array_equal(cv2[b], cv_m[b])
     np.testing.assert_array_equal(sv2[b], sv_m[b])
     # k: untouched rows exact; the rope'd row tolerates 1 ulp (see the
     # paged q8 decode test for why)
     keep = np.arange(S) != last
-    np.testing.assert_array_equal(ck2[b][:, keep], ck[b][:, keep])
+    np.testing.assert_array_equal(ck2[b][keep], ck[b][keep])
     np.testing.assert_array_equal(sk2[b][:, keep], sk[b][:, keep])
-    np.testing.assert_allclose(sk2[b][:, last], kns, rtol=3e-7)
-    assert np.abs(ck2[b][:, last].astype(np.int32)
-                  - knq.astype(np.int32)).max() <= 1
+    np.testing.assert_allclose(sk2[b][:Hkv, last], kns[:, 0], rtol=3e-7)
+    assert np.abs(ck2[b][last].astype(np.int32)
+                  - knq.reshape(KV).astype(np.int32)).max() <= 1
 
-    rows_k = ck_m[b, :, :n].astype(np.float32) * sk_m[b, :, :n]
-    rows_v = cv_m[b, :, :n].astype(np.float32) * sv_m[b, :, :n]
+    rows_k = (ck_m[b, :n].reshape(n, Hkv, hd).astype(np.float32)
+              * np.transpose(sk_m[b, :Hkv, :n])[:, :, None])
+    rows_v = (cv_m[b, :n].reshape(n, Hkv, hd).astype(np.float32)
+              * np.transpose(sv_m[b, :Hkv, :n])[:, :, None])
     qr = _rope_np(q[b], np.full(H, last))
     for hh in range(H):
         kvh = hh // g
-        lg = rows_k[kvh].astype(np.float64) @ qr[hh] / np.sqrt(hd)
+        lg = rows_k[:, kvh].astype(np.float64) @ qr[hh] / np.sqrt(hd)
         w = np.exp(lg - lg.max())
         w /= w.sum()
-        want = w @ rows_v[kvh].astype(np.float64)
+        want = w @ rows_v[:, kvh].astype(np.float64)
         np.testing.assert_allclose(out[0, hh], want, rtol=2e-5, atol=2e-5)
 
 
@@ -388,10 +403,13 @@ def test_q8_dense_engine_generate_tokens_close():
     ef = engine_mod.Engine("llama", config, specs, params, backend="xla")
     e8 = engine_mod.Engine("llama", config, specs, params, backend="xla",
                            cache_dtype="int8")
-    # int8 cache token axis rounds to 32
+    # int8 cache token axis rounds to 128 (scale-group lanes)
+    from squeezellm_tpu.ops import decode_attn as da
+
     c8 = e8.new_cache(1, 40)
-    assert c8[0]["k"].dtype == jnp.int8 and c8[0]["k"].shape[2] == 64
-    assert c8[0]["ks"].shape == (1, config.n_kv_heads) + sidecar_shape(64)
+    assert c8[0]["k"].dtype == jnp.int8 and c8[0]["k"].shape[1] == 128
+    assert c8[0]["ks"].shape == (1,) + da.q8_sidecar_shape(
+        config.n_kv_heads, 128)
     tf = ef.generate(prompt, 8)[0, 5:]
     t8 = e8.generate(prompt, 8)[0, 5:]
     agree = np.mean(np.asarray(tf) == np.asarray(t8))
