@@ -302,8 +302,15 @@ def dense_decode_attention(q, k_new, v_new, ck, cv, lengths, *,
     g = H // Hkv
     assert g * Hkv == H, (H, Hkv)
     # VMEM budget: 4 buffers of (chunk, KV) (k+v double-buffered); cap
-    # each at ~1 MB so 13B shapes (KV=5120) still fit comfortably
+    # each at ~1 MB so 13B shapes (KV=5120) still fit comfortably. For
+    # multi-slot pools, small chunks matter more than big DMAs: each
+    # slot reads ceil(len/chunk) whole chunks, so a 128-row chunk over a
+    # ~40-token slot streams 3x the valid bytes (measured 1.46 ->
+    # ~0.5 ms/step at 16 slots with 32-row chunks; the extra DMA issues
+    # hide under double buffering).
     cap = max(16, (1024 * 1024) // (KV * ck.dtype.itemsize) // 16 * 16)
+    if B > 1:
+        cap = min(cap, 32)
     chunk = _pick_chunk(S, cap=cap)
     if chunk is None:
         raise ValueError(

@@ -801,13 +801,18 @@ def lut_matmul(
 
     if sgb_meta is not None:
         # fold the sparse sidecar into this kernel (spmv.build_block_plans):
-        # the o-block's slot tile initializes out_ref at the first in-step
-        assert batch <= 8 and bp == b_blk, (
-            "fused sparse GEMV path requires batch <= 8")
+        # the o-block's slot tile initializes out_ref at the first in-step.
+        # Serving-pool batches (<= 16 slots) fold too: the b_blk-unrolled
+        # two-hop init is pure VPU work (~1 us per o-block per row), while
+        # the separate gather_spmv launches it replaces cost ~45 us each
+        # at B=16 (5.8 ms/step across a 7B model's 128 linears).
+        assert batch <= 16 and bp == b_blk, (
+            "fused sparse GEMV path requires batch <= 16")
         n_ob, r_rows, _ = sgb_meta.shape
         assert n_ob == op // o_blk and o_blk <= 1024, (
             (n_ob, op, o_blk), "block plans were built for o_blk=1024")
-        x2d = jnp.pad(xf, ((0, 0), (0, sgb_ih * 128 - in_features)))
+        x2d = jnp.pad(xf, ((0, bp - batch),
+                           (0, sgb_ih * 128 - in_features)))
         x2d = x2d.reshape(bp, sgb_ih, 128)
         in_specs += [
             pl.BlockSpec((bp, sgb_ih, 128), lambda b, o, i: (0, 0, 0),

@@ -90,10 +90,12 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
         )
         mode = "bf16" if backend == "pallas-bf16" else "gather"
         use_qwt = flat_b <= 8 and spec.bits == 4 and "qweight_t" in params
-        # GEMV/decode: fold the sparse sidecar INTO the lut kernel via the
-        # per-o-block plans (no separate SpMV launch, no add op)
+        # GEMV/decode + serving pools: fold the sparse sidecar INTO the
+        # lut kernel via the per-o-block plans (no separate SpMV launch,
+        # no add op). Above 16 rows the unrolled per-row init stops
+        # paying; gather_spmv (batch as grid dim) takes over.
         sgb_fused = (
-            spec.include_sparse and spec.sgb_rows > 0 and flat_b <= 8
+            spec.include_sparse and spec.sgb_rows > 0 and flat_b <= 16
             and not use_qwt and "sgb_meta" in params
         )
         if use_qwt:

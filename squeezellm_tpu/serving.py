@@ -279,10 +279,28 @@ class ContinuousBatchEngine:
         # int8 rounds to the scale-group width so the lane-major sidecar
         # (ops/kv_quant.py) stays GROUP-aligned on hardware.
         calign = 128 if cache_dtype in ("int8", jnp.int8) else 16
+        s_aligned = -(-self.max_seq // calign) * calign
         self.cache = common.init_kv_cache(
-            slots, -(-self.max_seq // calign) * calign, config.n_layers,
+            slots, s_aligned, config.n_layers,
             config.n_kv_heads, config.head_dim, cache_dtype,
         )
+
+        def _admit(params, tokens, slot, cache):
+            # whole admission as ONE dispatch: fresh zeroed slot cache,
+            # prompt prefill into it, scatter into the pool at `slot` —
+            # the eager version (64 zeros dispatches + prefill + insert)
+            # measured ~130 ms per admission over the tunnel at 7B
+            one = common.init_kv_cache(
+                1, s_aligned, config.n_layers, config.n_kv_heads,
+                config.head_dim, cache_dtype)
+            _, one = mod.prefill(config, specs, params, tokens, one,
+                                 backend=backend, dtype=dtype)
+            return jax.tree.map(
+                lambda c, o: jax.lax.dynamic_update_slice(
+                    c, o.astype(c.dtype), (slot,) + (0,) * (c.ndim - 1)),
+                cache, one)
+
+        self._admit = jax.jit(_admit, donate_argnums=(3,))
         self._slots = [_Slot() for _ in range(slots)]
         self._next_id = 0
         self._cur = jnp.zeros((slots, 1), jnp.int32)
@@ -353,12 +371,19 @@ class ContinuousBatchEngine:
         b = self.PROMPT_BUCKET
         padded = np.zeros((1, min(-(-plen // b) * b, self.max_seq)), np.int32)
         padded[0, :plen] = prompt
-        one = common.init_kv_cache(1, self.max_seq, self.config.n_layers,
-                                   self.config.n_kv_heads,
-                                   self.config.head_dim,
-                                   self.cache[0]["k"].dtype)
-        _, one = self._prefill(self.params, jnp.asarray(padded), one)
-        self.cache = self._insert(self.cache, one, jnp.asarray(idx, jnp.int32))
+        if hasattr(self, "_admit"):
+            self.cache = self._admit(self.params, jnp.asarray(padded),
+                                     jnp.asarray(idx, jnp.int32), self.cache)
+        else:
+            # TP engine: sharded prefill + shard_map insert (two dispatches)
+            one = common.init_kv_cache(1, self.max_seq,
+                                       self.config.n_layers,
+                                       self.config.n_kv_heads,
+                                       self.config.head_dim,
+                                       self.cache[0]["k"].dtype)
+            _, one = self._prefill(self.params, jnp.asarray(padded), one)
+            self.cache = self._insert(self.cache, one,
+                                      jnp.asarray(idx, jnp.int32))
         self._cur = self._cur.at[idx, 0].set(int(prompt[-1]))
         if self._ctx is not None:
             row = np.zeros(self.max_seq, np.int32)
