@@ -14,6 +14,25 @@ from squeezellm_tpu import formats
 from squeezellm_tpu.ops import pallas_ops
 
 
+def _flatp(pool):
+    """Head-major (.., Hkv, S, hd) -> token-major (.., S, Hkv*hd)."""
+    *lead, Hkv, S, hd = pool.shape
+    perm = list(range(len(lead))) + [len(lead) + 1, len(lead),
+                                     len(lead) + 2]
+    return np.ascontiguousarray(np.transpose(pool, perm).reshape(
+        *lead, S, Hkv * hd))
+
+
+def _hmp(pool, Hkv):
+    """Token-major (.., S, Hkv*hd) -> head-major (.., Hkv, S, hd)."""
+    pool = np.asarray(pool)
+    *lead, S, KV = pool.shape
+    hd = KV // Hkv
+    perm = list(range(len(lead))) + [len(lead) + 1, len(lead),
+                                     len(lead) + 2]
+    return np.transpose(pool.reshape(*lead, S, Hkv, hd), perm)
+
+
 def main():
     rng = np.random.default_rng(0)
     failures = 0
@@ -110,9 +129,11 @@ def main():
     kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
     vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
     out, pk2, pv2 = paged_attn.paged_decode_attention(
-        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn), jnp.asarray(pk),
-        jnp.asarray(pv), jnp.asarray(pt), jnp.asarray(lengths), page_size=ps)
-    out, pk2, pv2 = np.asarray(out), np.asarray(pk2), np.asarray(pv2)
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(_flatp(pk)), jnp.asarray(_flatp(pv)),
+        jnp.asarray(pt), jnp.asarray(lengths), page_size=ps)
+    out = np.asarray(out)
+    pk2, pv2 = _hmp(pk2, Hkv), _hmp(pv2, Hkv)
     werr = 0.0
     for b in range(B):
         n = int(lengths[b])
@@ -149,13 +170,14 @@ def main():
         vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
         out, ck2, cv2 = decode_attn.dense_decode_attention(
             jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-            jnp.asarray(ck), jnp.asarray(cv), jnp.asarray(lengths),
+            jnp.asarray(_flatp(ck)), jnp.asarray(_flatp(cv)),
+            jnp.asarray(lengths),
             sliding_window=window)
-        out, ck2 = np.asarray(out), np.asarray(ck2)
+        out = np.asarray(out)
+        ck2, cv2 = _hmp(ck2, Hkv), _hmp(cv2, Hkv)
         werr = max(np.abs(ck2[b, :, int(lengths[b]) - 1] - kn[b]).max()
                    for b in range(B) if lengths[b] > 0)
         aerr = 0.0
-        cv2 = np.asarray(cv2)
         for b in range(B):
             n = int(lengths[b])
             if n == 0:
@@ -191,9 +213,10 @@ def main():
     vnv = rng.standard_normal((Bv, Hkvv, Wv, hdv)).astype(np.float32)
     outv, pk2v, pv2v = paged_attn.paged_verify_attention(
         jnp.asarray(qv), jnp.asarray(knv), jnp.asarray(vnv),
-        jnp.asarray(pkv), jnp.asarray(pvv), jnp.asarray(ptv),
-        jnp.asarray(startv), page_size=psv)
-    outv, pk2v, pv2v = np.asarray(outv), np.asarray(pk2v), np.asarray(pv2v)
+        jnp.asarray(_flatp(pkv)), jnp.asarray(_flatp(pvv)),
+        jnp.asarray(ptv), jnp.asarray(startv), page_size=psv)
+    outv = np.asarray(outv)
+    pk2v, pv2v = _hmp(pk2v, Hkvv), _hmp(pv2v, Hkvv)
     werr = 0.0
     aerr = 0.0
     for b in range(Bv):
@@ -236,16 +259,19 @@ def main():
     hist_v = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
     qk, sk = kv_quant.quantize_rows(jnp.asarray(hist_k))
     qv_, sv = kv_quant.quantize_rows(jnp.asarray(hist_v))
-    sk, sv = kv_quant.pack_scales(sk), kv_quant.pack_scales(sv)
+    sk, sv = kv_quant.pool_pack_scales(sk), kv_quant.pool_pack_scales(sv)
     q = rng.standard_normal((B, H, hd)).astype(np.float32)
     kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
     vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
     out, pk2, pv2, sk2, sv2 = paged_attn.paged_decode_attention_q8(
-        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn), qk, qv_, sk, sv,
-        jnp.asarray(pt), jnp.asarray(lengths), page_size=ps)
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(_flatp(np.asarray(qk))), jnp.asarray(_flatp(np.asarray(qv_))),
+        sk, sv, jnp.asarray(pt), jnp.asarray(lengths), page_size=ps)
     out = np.asarray(out)
-    kd = np.asarray(kv_quant.dequantize_rows(pk2, kv_quant.unpack_scales(sk2)))
-    vd = np.asarray(kv_quant.dequantize_rows(pv2, kv_quant.unpack_scales(sv2)))
+    kd = np.asarray(kv_quant.dequantize_rows(
+        jnp.asarray(_hmp(pk2, Hkv)), kv_quant.pool_unpack_scales(sk2, Hkv)))
+    vd = np.asarray(kv_quant.dequantize_rows(
+        jnp.asarray(_hmp(pv2, Hkv)), kv_quant.pool_unpack_scales(sv2, Hkv)))
     werr = 0.0
     for b in range(B):
         n = int(lengths[b])
@@ -280,17 +306,20 @@ def main():
     hist_v = rng.standard_normal((10, 2, 128, 128)).astype(np.float32)
     qk, sk = kv_quant.quantize_rows(jnp.asarray(hist_k))
     qv_, sv = kv_quant.quantize_rows(jnp.asarray(hist_v))
-    sk, sv = kv_quant.pack_scales(sk), kv_quant.pack_scales(sv)
+    sk, sv = kv_quant.pool_pack_scales(sk), kv_quant.pool_pack_scales(sv)
     qw = rng.standard_normal((2, 4, Wq, 128)).astype(np.float32)
     knw = rng.standard_normal((2, 2, Wq, 128)).astype(np.float32)
     vnw = rng.standard_normal((2, 2, Wq, 128)).astype(np.float32)
     outw, pk2, pv2, sk2, sv2 = paged_attn.paged_verify_attention_q8(
         jnp.asarray(qw), jnp.asarray(knw), jnp.asarray(vnw),
-        qk, qv_, sk, sv, jnp.asarray(ptq), jnp.asarray(startq),
+        jnp.asarray(_flatp(np.asarray(qk))), jnp.asarray(_flatp(np.asarray(qv_))),
+        sk, sv, jnp.asarray(ptq), jnp.asarray(startq),
         page_size=128)
     outw = np.asarray(outw)
-    kd = np.asarray(kv_quant.dequantize_rows(pk2, kv_quant.unpack_scales(sk2)))
-    vd = np.asarray(kv_quant.dequantize_rows(pv2, kv_quant.unpack_scales(sv2)))
+    kd = np.asarray(kv_quant.dequantize_rows(
+        jnp.asarray(_hmp(pk2, 2)), kv_quant.pool_unpack_scales(sk2, 2)))
+    vd = np.asarray(kv_quant.dequantize_rows(
+        jnp.asarray(_hmp(pv2, 2)), kv_quant.pool_unpack_scales(sv2, 2)))
     werr = aerr = 0.0
     for b in range(2):
         for w in range(Wq):
@@ -324,16 +353,25 @@ def main():
     hist_v = rng.standard_normal((Bd, Hkvd, Sd, hdd)).astype(np.float32)
     qk, sk = kv_quant.quantize_rows(jnp.asarray(hist_k))
     qv_, sv = kv_quant.quantize_rows(jnp.asarray(hist_v))
-    sk, sv = kv_quant.pack_scales(sk), kv_quant.pack_scales(sv)
+    # dense q8 sidecar (B, Hkv8, S): head rows padded to the f32 tile
+    # (quantize_rows on (B, Hkv, S, hd) already yields head-major rows)
+    hkv8 = _da.q8_sidecar_shape(Hkvd, Sd)[0]
+    skd = jnp.asarray(np.pad(np.asarray(sk)[..., 0],
+                             ((0, 0), (0, hkv8 - Hkvd), (0, 0))))
+    svd = jnp.asarray(np.pad(np.asarray(sv)[..., 0],
+                             ((0, 0), (0, hkv8 - Hkvd), (0, 0))))
     qd = rng.standard_normal((Bd, Hd, hdd)).astype(np.float32)
     knd = rng.standard_normal((Bd, Hkvd, hdd)).astype(np.float32)
     vnd = rng.standard_normal((Bd, Hkvd, hdd)).astype(np.float32)
     outd, ck2, cv2, sk2, sv2 = _da.dense_decode_attention_q8(
         jnp.asarray(qd), jnp.asarray(knd), jnp.asarray(vnd),
-        qk, qv_, sk, sv, jnp.asarray(lengths_d))
+        jnp.asarray(_flatp(np.asarray(qk))), jnp.asarray(_flatp(np.asarray(qv_))),
+        skd, svd, jnp.asarray(lengths_d))
     outd = np.asarray(outd)
-    kd = np.asarray(kv_quant.dequantize_rows(ck2, kv_quant.unpack_scales(sk2)))
-    vd = np.asarray(kv_quant.dequantize_rows(cv2, kv_quant.unpack_scales(sv2)))
+    kd = (_hmp(ck2, Hkvd).astype(np.float32)
+          * np.asarray(sk2)[:, :Hkvd][..., None])
+    vd = (_hmp(cv2, Hkvd).astype(np.float32)
+          * np.asarray(sv2)[:, :Hkvd][..., None])
     werr = aerr = 0.0
     for b in range(Bd):
         n = int(lengths_d[b])
@@ -395,8 +433,8 @@ def main():
     q = rng.standard_normal((B, H, hd)).astype(np.float32)
     kn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
     vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
-    ck = rng.standard_normal((B, Hkv, S, hd)).astype(np.float32)
-    cv = rng.standard_normal((B, Hkv, S, hd)).astype(np.float32)
+    ck = _flatp(rng.standard_normal((B, Hkv, S, hd)).astype(np.float32))
+    cv = _flatp(rng.standard_normal((B, Hkv, S, hd)).astype(np.float32))
     pos = np.maximum(lengths - 1, 0)
     cos, sin = common.rope_cos_sin(jnp.asarray(pos), hd, 10000.0)
     out_r, ck_r, _ = decode_attn.dense_decode_attention(

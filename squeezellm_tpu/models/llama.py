@@ -273,7 +273,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                 out3, pk2, pv2, sk2, sv2 = paged_attn.paged_decode_attention_q8(
                     q[:, 0], k[:, 0], v[:, 0],
                     cache["pk"], cache["pv"], cache["sk"], cache["sv"],
-                    cache["pt"], lengths, page_size=cache["pk"].shape[2],
+                    cache["pt"], lengths, page_size=cache["pk"].shape[1],
                     rope_cos=rc[:, 0], rope_sin=rs[:, 0],
                     sliding_window=config.sliding_window, interpret=interp,
                 )
@@ -281,7 +281,7 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                 out3, pk2, pv2 = paged_attn.paged_decode_attention(
                     q[:, 0], k[:, 0], v[:, 0],
                     cache["pk"], cache["pv"], cache["pt"], lengths,
-                    page_size=cache["pk"].shape[2],
+                    page_size=cache["pk"].shape[1],
                     rope_cos=rc[:, 0], rope_sin=rs[:, 0],
                     sliding_window=config.sliding_window, interpret=interp,
                 )
@@ -297,14 +297,14 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                 out3, pk2, pv2, sk2, sv2 = paged_attn.paged_verify_attention_q8(
                     qh, kh, vh, cache["pk"], cache["pv"], cache["sk"],
                     cache["sv"], cache["pt"], starts,
-                    page_size=cache["pk"].shape[2],
+                    page_size=cache["pk"].shape[1],
                     rope_cos=rc, rope_sin=rs,
                     sliding_window=config.sliding_window, interpret=interp,
                 )
             else:
                 out3, pk2, pv2 = paged_attn.paged_verify_attention(
                     qh, kh, vh, cache["pk"], cache["pv"], cache["pt"], starts,
-                    page_size=cache["pk"].shape[2],
+                    page_size=cache["pk"].shape[1],
                     rope_cos=rc, rope_sin=rs,
                     sliding_window=config.sliding_window, interpret=interp,
                 )
@@ -517,7 +517,7 @@ def decode_step(config: LlamaConfig, specs, params, token, pos, cache, *,
                  else jnp.full((token.shape[0], 1), pos, jnp.int32))
     cos, sin = common.rope_cos_sin(positions, config.head_dim, config.rope_theta, dtype)
     if "pk" in cache[0]:  # paged pool: masking happens inside the kernel
-        max_seq = cache[0]["pt"].shape[1] * cache[0]["pk"].shape[2]
+        max_seq = cache[0]["pt"].shape[1] * cache[0]["pk"].shape[1]
         mask = None
     else:
         max_seq = cache[0]["k"].shape[1]

@@ -201,12 +201,12 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
                         q[:, 0], k[:, 0], v[:, 0],
                         cache["pk"], cache["pv"], cache["sk"], cache["sv"],
                         cache["pt"], lengths,
-                        page_size=cache["pk"].shape[2], interpret=interp)
+                        page_size=cache["pk"].shape[1], interpret=interp)
             else:
                 out3, pk2, pv2 = paged_attn.paged_decode_attention(
                     q[:, 0], k[:, 0], v[:, 0],
                     cache["pk"], cache["pv"], cache["pt"], lengths,
-                    page_size=cache["pk"].shape[2], interpret=interp,
+                    page_size=cache["pk"].shape[1], interpret=interp,
                 )
             out3 = out3[:, :, None, :]
         else:
@@ -221,11 +221,11 @@ def _attn_block(config, specs, params, x, mask, cache=None, pos=None,
                     paged_attn.paged_verify_attention_q8(
                         qh, kh, vh, cache["pk"], cache["pv"], cache["sk"],
                         cache["sv"], cache["pt"], starts,
-                        page_size=cache["pk"].shape[2], interpret=interp)
+                        page_size=cache["pk"].shape[1], interpret=interp)
             else:
                 out3, pk2, pv2 = paged_attn.paged_verify_attention(
                     qh, kh, vh, cache["pk"], cache["pv"], cache["pt"], starts,
-                    page_size=cache["pk"].shape[2], interpret=interp,
+                    page_size=cache["pk"].shape[1], interpret=interp,
                 )
         cache = (dict(cache, pk=pk2, pv=pv2, sk=sk2, sv=sv2)
                  if "sk" in cache else dict(cache, pk=pk2, pv=pv2))

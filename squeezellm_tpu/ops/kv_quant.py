@@ -64,62 +64,34 @@ def dequantize_rows(q, s):
 # A naive (..., S, 1) f32 sidecar puts the token axis in the SUBLANE dim
 # with a 1-wide lane dim — Mosaic cannot DMA-slice that on v5e ("slice
 # shape along dimension 3 must be aligned to tiling (128)", hit on real
-# hardware). Scales are therefore stored LANE-major in f32-tile-aligned
-# groups: tokens [j*L, (j+1)*L) occupy rows [8j, 8j+8) of a
-# (..., NG*8, L) array, with row 8j holding the L scales along LANES and
-# rows 8j+1..8j+7 zero padding (8 = the f32 sublane tile, so every DMA
-# is a full (8, L) tile — the exact pattern the verified data-pool DMAs
-# use). In-kernel the row is consumed POST-matmul: logits (g, L) scale
-# by k-rows' (1, L), p (g, L) by v-rows' (1, L) — no lane<->sublane
-# relayout anywhere. Paged pools use one group per page (L = page_size);
-# dense caches use L = GROUP (or S for tiny interpret-mode tests).
+# hardware). Scales are therefore stored HEAD-major: kv-head rows on
+# SUBLANES (padded to the 8-row f32 tile, or to the per-TP-shard padded
+# row count), token positions on LANES. One DMA then moves a whole
+# page's/chunk's scales for every head: (HkvP, ps) per page for the
+# paged pools, (Hkv8, S) for the dense int8 cache (ops/decode_attn.py).
+# In-kernel the rows are consumed POST-matmul as g-row-repeated (H, ps)
+# tiles — logits scale by the k rows, p by the v rows — so no
+# lane<->sublane relayout exists anywhere.
 # ---------------------------------------------------------------------------
 
-GROUP = 128  # lane width of one scale group (v5e vreg lane count)
+
+def head_rows(n_kv_heads: int, shards: int = 1) -> int:
+    """Scale-sidecar row count: kv heads padded so every TP shard's slice
+    is a whole number of 8-row f32 tiles."""
+    per = -(-n_kv_heads // shards)
+    return shards * (-(-per // 8) * 8)
 
 
-def group_len(S: int) -> int:
-    """Lanes per scale group for an S-row cache: GROUP when S is
-    group-aligned, else S itself (tiny interpret-mode tests only — the
-    model/serving layers keep hardware caches GROUP-aligned)."""
-    return GROUP if S % GROUP == 0 else S
-
-
-def sidecar_shape(S: int):
-    """Trailing (rows, lanes) of the scale sidecar for S token rows."""
-    L = group_len(S)
-    return (8 * (S // L), L)
-
-
-def pack_scales(s):
-    """(..., S, 1) f32 row scales -> (..., NG*8, L) sidecar layout."""
-    *lead, S, one = s.shape
+def pool_pack_scales(s, rows: int = 0):
+    """(..., Hkv, ps, 1) row scales (from :func:`quantize_rows` on
+    (..., Hkv, ps, hd)) -> (..., HkvP, ps) head-major sidecar."""
+    *lead, hkv, ps, one = s.shape
     assert one == 1, s.shape
-    L = group_len(S)
-    ng = S // L
-    rows = s.reshape(*lead, ng, 1, L)
-    pad = jnp.zeros((*lead, ng, 7, L), s.dtype)
-    return jnp.concatenate([rows, pad], axis=-2).reshape(*lead, ng * 8, L)
+    rows = rows or head_rows(hkv)
+    pad = [(0, 0)] * len(lead) + [(0, rows - hkv), (0, 0)]
+    return jnp.pad(s[..., 0], pad)
 
 
-def unpack_scales(sc):
-    """(..., NG*8, L) sidecar -> (..., S, 1) row scales."""
-    *lead, R, L = sc.shape
-    ng = R // 8
-    return sc.reshape(*lead, ng, 8, L)[..., 0, :].reshape(*lead, ng * L, 1)
-
-
-def set_scales(sc, s_new, start):
-    """Write scales for tokens [start, start+W) into the sidecar.
-
-    sc:    (..., NG*8, L) sidecar
-    s_new: (..., W, 1) scales from :func:`quantize_rows`
-    start: scalar token position (per-slot positions: vmap over the
-           leading batch axis, common.py does).
-    """
-    L = sc.shape[-1]
-    W = s_new.shape[-2]
-    tok = start + jnp.arange(W)
-    rows = 8 * (tok // L)
-    lanes = tok % L
-    return sc.at[..., rows, lanes].set(s_new[..., 0])
+def pool_unpack_scales(sc, n_kv_heads: int):
+    """(..., HkvP, ps) sidecar -> (..., Hkv, ps, 1) row scales."""
+    return sc[..., :n_kv_heads, :, None]

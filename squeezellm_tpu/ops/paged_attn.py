@@ -1,22 +1,34 @@
 """Paged decode attention: Pallas TPU kernel over a shared KV page pool.
 
-Round 1/2 serving used one dense preallocated (B, H, max_seq, D) cache per
-slot pool — simple, but memory scales with slots x max_seq regardless of
-actual lengths, and prompts cannot share cache. This kernel decouples
-storage from slots (the vLLM design, rebuilt TPU-native):
+Round 1/2 serving used one dense preallocated cache per slot pool —
+simple, but memory scales with slots x max_seq regardless of actual
+lengths, and prompts cannot share cache. This kernel decouples storage
+from slots (the vLLM design, rebuilt TPU-native):
 
-  * KV lives in a global page pool (n_pages, n_kv_heads, page_size, hd)
-    per layer; each slot owns a list of page ids (its page table).
-  * The decode kernel runs one grid step per (slot, kv-head). The page
-    table and per-slot lengths arrive via scalar prefetch; pages are
-    pulled from HBM with explicit double-buffered DMAs (`make_async_copy`)
-    — Pallas block specs cannot address scattered pages, manual DMA can.
+  * KV lives in a global TOKEN-MAJOR page pool (n_pages, ps, Hkv*hd) per
+    layer; each slot owns a list of page ids (its page table).
+  * The decode kernel runs ONE grid step per slot with every kv head
+    folded in (round-4 redesign, mirroring ops/decode_attn.py): a page
+    row is contiguous across heads, so one page is ONE DMA — the earlier
+    (slot, kv-head) grid paid ~Hkv serial DMA round-trips per page.
+    Per-head attention folds into one MXU matmul via a block-diagonal Q
+    (zero blocks add exactly 0.0 in the f32 accumulator; the off-head
+    FLOPs ride an otherwise idle MXU).
+  * The page table and per-slot lengths arrive via scalar prefetch;
+    pages are pulled from HBM with explicit double-buffered DMAs
+    (`make_async_copy`) — Pallas block specs cannot address scattered
+    pages, manual DMA can.
   * The current token's k/v are DMA-written into the slot's last page
     inside the same kernel (pool aliased in->out), so a decode step does
     page-table attention AND the cache update in ONE fused launch: no XLA
     scatter, no separate cache op.
   * Softmax is the online (flash) form accumulated across pages in
-    registers; GQA handled by grouping q heads per kv head.
+    registers; GQA handled by grouping q-head rows per kv head.
+  * int8 pools carry HEAD-MAJOR per-page f32 scale sidecars
+    (P, HkvP, ps) — kv-head rows padded to the 8-sublane f32 tile (per
+    TP shard: serving.PagedKVPool(head_pad)), token-in-page on LANES.
+    Scales fold into logits / p POST-matmul as g-row-repeated tiles, so
+    int8 codes feed the MXU raw.
 
 The reference has no serving layer at all (SURVEY §2.4); this replaces
 nothing there — it extends serving.py beyond fixed dense slots.
@@ -31,7 +43,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from squeezellm_tpu.ops.decode_attn import _rope_apply, _rope_operand_rows
+from squeezellm_tpu.ops.decode_attn import (_block_diag_q, _extract_diag,
+                                            _repeat_rows, _rope_apply,
+                                            _rope_operand_rows)
 from squeezellm_tpu.ops.kv_quant import _EPS, _QMAX, _RQMAX
 
 NEG_INF = -1e30
@@ -47,28 +61,38 @@ def _quant_kv_rows(x):
     return q, s
 
 
+def _patch_row_heads(pair, hit, rows, hkv: int, hd: int):
+    """Patch the slab rows selected by `hit` ((slab, 1) bool) with the
+    per-head lane blocks of `rows` ((Hkv, hd)) — the token-major twin of
+    a single-row write."""
+    for j in range(hkv):
+        sl = pl.ds(j * hd, hd)
+        pair[:, sl] = jnp.where(hit, rows[j:j + 1].astype(pair.dtype),
+                                pair[:, sl])
+
+
 def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
                        cos_ref, sin_ref,
                        pk_in, pv_in, pk_ref, pv_ref, out_ref,
                        kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
                        *, ps: int, maxp: int, scale: float, rope: bool,
-                       window: int):
-    """One (slot b, kv-head h) grid step.
+                       window: int, hkv: int, g: int, hd: int):
+    """One grid step per slot b.
 
     pt_ref:  (B, maxp) int32 page table (scalar prefetch, SMEM)
     len_ref: (B,) int32 valid tokens per slot INCLUDING the current one
-    q_ref:   (1, 1, g, hd) f32 — query heads of this kv group (pre-rope
-             when `rope` — rotated in-kernel by the precomputed cos/sin
-             operand rows, see ops/decode_attn._rope_apply — rope'd by
-             the caller otherwise)
+    q_ref:   (1, H, hd) f32 — ALL query heads (pre-rope when `rope` —
+             rotated in-kernel by the precomputed cos/sin operand rows,
+             see ops/decode_attn._rope_apply — rope'd by the caller
+             otherwise)
     cos/sin: (1, 1, hd) f32 rope rows at this slot's position
-    kn/vn:   (1, 1, 1, hd) f32 — current token's k/v for this kv head
-    pk/pv:   (P, Hkv, ps, hd) pool, ANY memory space, aliased in->out
-    out_ref: (1, 1, g, hd) f32
-    kbuf/vbuf: (2, ps, hd) VMEM double buffers
+    kn/vn:   (1, Hkv, hd) f32 — current token's k/v rows
+    pk/pv:   (P, ps, Hkv*hd) token-major pool, ANY memory space, aliased
+    out_ref: (1, H, hd) f32
+    kbuf/vbuf: (2, ps, Hkv*hd) VMEM double buffers
     """
     b = pl.program_id(0)
-    h = pl.program_id(1)
+    H = hkv * g
     n = len_ref[b]
     npages = jax.lax.div(n + ps - 1, ps)
     # sliding window (Mistral): pages wholly below kpos = n - window hold
@@ -88,71 +112,85 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
     off2 = jax.lax.div(loff, slab) * slab
     sub = loff - off2
 
-    kn = kn_ref[0, 0].astype(jnp.float32)  # (1, hd)
+    kn = kn_ref[0].astype(jnp.float32)  # (Hkv, hd)
     if rope:
         kn = _rope_apply(kn, cos_ref[0], sin_ref[0])
 
     @pl.when(n > 0)
     def _write():
         rk = pltpu.make_async_copy(
-            pk_ref.at[lpid, h, pl.ds(off2, slab)], pairk, wsem.at[0])
+            pk_ref.at[lpid, pl.ds(off2, slab)], pairk, wsem.at[0])
         rv = pltpu.make_async_copy(
-            pv_ref.at[lpid, h, pl.ds(off2, slab)], pairv, wsem.at[1])
+            pv_ref.at[lpid, pl.ds(off2, slab)], pairv, wsem.at[1])
         rk.start()
         rv.start()
         rk.wait()
         rv.wait()
-        rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
-        pairk[:] = jnp.where(rows == sub, kn.astype(pairk.dtype),
-                             pairk[:])
-        pairv[:] = jnp.where(rows == sub, vn_ref[0, 0].astype(pairv.dtype),
-                             pairv[:])
+        hit = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0) == sub
+        _patch_row_heads(pairk, hit, kn, hkv, hd)
+        _patch_row_heads(pairv, hit, vn_ref[0], hkv, hd)
         wk = pltpu.make_async_copy(
-            pairk, pk_ref.at[lpid, h, pl.ds(off2, slab)], wsem.at[0])
+            pairk, pk_ref.at[lpid, pl.ds(off2, slab)], wsem.at[0])
         wv = pltpu.make_async_copy(
-            pairv, pv_ref.at[lpid, h, pl.ds(off2, slab)], wsem.at[1])
+            pairv, pv_ref.at[lpid, pl.ds(off2, slab)], wsem.at[1])
         wk.start()
         wv.start()
         wk.wait()
         wv.wait()
 
-    def k_copy(p, slot):
-        return pltpu.make_async_copy(
-            pk_ref.at[pt_ref[b, p], h], kbuf.at[slot], ksem.at[slot])
+    # attention streams 32-row SUB-PAGE chunks (pages are contiguous, so
+    # a chunk never crosses a page, just picks its page + offset): a full
+    # 128-row page DMA over a ~40-token slot would stream 3x the valid
+    # bytes. 32 rows covers both the bf16 (16) and f32 (8) tile heights;
+    # tiny interpret-mode pages fall back to whole pages.
+    ch = 32 if ps % 32 == 0 else ps
+    cpp = ps // ch  # chunks per page (static)
+    nchunks = jax.lax.div(n + ch - 1, ch)
+    c0 = jax.lax.div(lo, ch)
 
-    def v_copy(p, slot):
+    def k_copy(c, slot):
+        pid = pt_ref[b, jax.lax.div(c, cpp)]
+        # offset spelled rem(c, cpp) * ch so Mosaic can PROVE the DMA
+        # start is tile-aligned (it cannot reason through rem(c*ch, ps))
         return pltpu.make_async_copy(
-            pv_ref.at[pt_ref[b, p], h], vbuf.at[slot], vsem.at[slot])
+            pk_ref.at[pid, pl.ds(jax.lax.rem(c, cpp) * ch, ch)],
+            kbuf.at[slot], ksem.at[slot])
 
-    @pl.when(p0 < npages)
+    def v_copy(c, slot):
+        pid = pt_ref[b, jax.lax.div(c, cpp)]
+        return pltpu.make_async_copy(
+            pv_ref.at[pid, pl.ds(jax.lax.rem(c, cpp) * ch, ch)],
+            vbuf.at[slot], vsem.at[slot])
+
+    @pl.when(c0 < nchunks)
     def _prologue():
-        k_copy(p0, jax.lax.rem(p0, 2)).start()
-        v_copy(p0, jax.lax.rem(p0, 2)).start()
+        k_copy(c0, jax.lax.rem(c0, 2)).start()
+        v_copy(c0, jax.lax.rem(c0, 2)).start()
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (g, hd)
+    q = q_ref[0].astype(jnp.float32)  # (H, hd)
     if rope:
         q = _rope_apply(q, cos_ref[0], sin_ref[0])
-    g, hd = q.shape
+    qbd = _block_diag_q(q, hkv, g)  # (H, Hkv*hd)
 
-    def body(p, carry):
+    def body(c, carry):
         m, l, acc = carry
-        slot = jax.lax.rem(p, 2)
+        slot = jax.lax.rem(c, 2)
 
-        @pl.when(p + 1 < npages)
+        @pl.when(c + 1 < nchunks)
         def _next():
-            k_copy(p + 1, 1 - slot).start()
-            v_copy(p + 1, 1 - slot).start()
+            k_copy(c + 1, 1 - slot).start()
+            v_copy(c + 1, 1 - slot).start()
 
-        k_copy(p, slot).wait()
-        v_copy(p, slot).wait()
-        k = kbuf[slot].astype(jnp.float32)  # (ps, hd)
+        k_copy(c, slot).wait()
+        v_copy(c, slot).wait()
+        k = kbuf[slot].astype(jnp.float32)  # (ch, Hkv*hd)
         v = vbuf[slot].astype(jnp.float32)
 
         logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            qbd, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (g, ps)
-        pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+        ) * scale  # (H, ch)
+        pos = c * ch + jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
         logits = jnp.where((pos < n) & (pos >= lo), logits, NEG_INF)
 
         m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
@@ -163,11 +201,11 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
                                      preferred_element_type=jnp.float32)
         return m2, l2, acc2
 
-    init = (jnp.full((g, 1), NEG_INF, jnp.float32),
-            jnp.zeros((g, 1), jnp.float32),
-            jnp.zeros((g, hd), jnp.float32))
-    m, l, acc = jax.lax.fori_loop(p0, npages, body, init)
-    out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+    init = (jnp.full((H, 1), NEG_INF, jnp.float32),
+            jnp.zeros((H, 1), jnp.float32),
+            jnp.zeros((H, hkv * hd), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(c0, nchunks, body, init)
+    out_ref[0] = _extract_diag(acc, hkv, g, hd) / jnp.maximum(l, 1e-30)
 
 
 def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
@@ -178,24 +216,23 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
                           pairk, pairv, pairsk, pairsv,
                           ksem, vsem, sksem, svsem, wsem,
                           *, ps: int, maxp: int, scale: float, rope: bool,
-                          window: int):
-    """int8-KV twin of :func:`_paged_attn_kernel`. Pools hold int8 codes
-    plus a per-page f32 scale sidecar (P, Hkv, 8, ps) — row 0 carries
-    the page's per-token scales LANE-major, rows 1-7 are f32-tile
-    padding (layout rationale: ops/kv_quant.py):
+                          window: int, hkv: int, hkvp: int, g: int, hd: int):
+    """int8-KV twin of :func:`_paged_attn_kernel`. Pools hold token-major
+    int8 codes (P, ps, Hkv*hd) plus a HEAD-MAJOR per-page f32 scale
+    sidecar (P, HkvP, ps) — kv-head rows (padded to the 8-sublane f32
+    tile), token-in-page on lanes:
 
       * write: the current token's rope'd k and its v are quantized
         IN-KERNEL (`_quant_kv_rows`, the exact math of
         ops.kv_quant.quantize_rows); codes RMW-patch a 32-row slab (int8
-        Mosaic tile height), the scale patches lane `loff` of the page's
-        (8, ps) sidecar block;
-      * read: scales apply POST-matmul along lanes — logits (g, ps)
-        scale by the k-row (1, ps), p by the v-row — so the int8 codes
+        Mosaic tile height), scales patch lane `loff` across head rows;
+      * read: scales apply POST-matmul as g-row-repeated (H, ps) tiles —
+        logits by the k scales, p by the v scales — so the int8 codes
         feed the MXU directly and no lane<->sublane relayout exists
-        anywhere. HBM streams ~0.56x the bytes of the bf16 pool.
+        anywhere. HBM streams ~0.53x the bytes of the bf16 pool.
     """
     b = pl.program_id(0)
-    h = pl.program_id(1)
+    H = hkv * g
     n = len_ref[b]
     npages = jax.lax.div(n + ps - 1, ps)
     lo = jnp.maximum(n - window, 0)
@@ -210,42 +247,40 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
     off2 = jax.lax.div(loff, slab) * slab
     sub = loff - off2
 
-    kn = kn_ref[0, 0].astype(jnp.float32)  # (1, hd)
+    kn = kn_ref[0].astype(jnp.float32)  # (Hkv, hd)
     if rope:
         kn = _rope_apply(kn, cos_ref[0], sin_ref[0])
-    knq, kns = _quant_kv_rows(kn)
-    vnq, vns = _quant_kv_rows(vn_ref[0, 0].astype(jnp.float32))
+    knq, kns = _quant_kv_rows(kn)       # (Hkv, hd) int8, (Hkv, 1) f32
+    vnq, vns = _quant_kv_rows(vn_ref[0].astype(jnp.float32))
+    if hkvp != hkv:
+        pad = jnp.zeros((hkvp - hkv, 1), jnp.float32)
+        kns = jnp.concatenate([kns, pad], axis=0)
+        vns = jnp.concatenate([vns, pad], axis=0)
 
     @pl.when(n > 0)
     def _write():
         rk = pltpu.make_async_copy(
-            pk_ref.at[lpid, h, pl.ds(off2, slab)], pairk, wsem.at[0])
+            pk_ref.at[lpid, pl.ds(off2, slab)], pairk, wsem.at[0])
         rv = pltpu.make_async_copy(
-            pv_ref.at[lpid, h, pl.ds(off2, slab)], pairv, wsem.at[1])
-        rsk = pltpu.make_async_copy(
-            sk_ref.at[lpid, h], pairsk, wsem.at[2])
-        rsv = pltpu.make_async_copy(
-            sv_ref.at[lpid, h], pairsv, wsem.at[3])
+            pv_ref.at[lpid, pl.ds(off2, slab)], pairv, wsem.at[1])
+        rsk = pltpu.make_async_copy(sk_ref.at[lpid], pairsk, wsem.at[2])
+        rsv = pltpu.make_async_copy(sv_ref.at[lpid], pairsv, wsem.at[3])
         for c in (rk, rv, rsk, rsv):
             c.start()
         for c in (rk, rv, rsk, rsv):
             c.wait()
-        rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
-        pairk[:] = jnp.where(rows == sub, knq, pairk[:])
-        pairv[:] = jnp.where(rows == sub, vnq, pairv[:])
-        srow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-        spot = (srow == 0) & (lane == loff)  # (8, ps)
+        hit = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0) == sub
+        _patch_row_heads(pairk, hit, knq, hkv, hd)
+        _patch_row_heads(pairv, hit, vnq, hkv, hd)
+        spot = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1) == loff
         pairsk[:] = jnp.where(spot, kns, pairsk[:])
         pairsv[:] = jnp.where(spot, vns, pairsv[:])
         wk = pltpu.make_async_copy(
-            pairk, pk_ref.at[lpid, h, pl.ds(off2, slab)], wsem.at[0])
+            pairk, pk_ref.at[lpid, pl.ds(off2, slab)], wsem.at[0])
         wv = pltpu.make_async_copy(
-            pairv, pv_ref.at[lpid, h, pl.ds(off2, slab)], wsem.at[1])
-        wsk = pltpu.make_async_copy(
-            pairsk, sk_ref.at[lpid, h], wsem.at[2])
-        wsv = pltpu.make_async_copy(
-            pairsv, sv_ref.at[lpid, h], wsem.at[3])
+            pairv, pv_ref.at[lpid, pl.ds(off2, slab)], wsem.at[1])
+        wsk = pltpu.make_async_copy(pairsk, sk_ref.at[lpid], wsem.at[2])
+        wsv = pltpu.make_async_copy(pairsv, sv_ref.at[lpid], wsem.at[3])
         for c in (wk, wv, wsk, wsv):
             c.start()
         for c in (wk, wv, wsk, wsv):
@@ -254,13 +289,13 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
     def copies(p, slot):
         pid = pt_ref[b, p]
         return (
-            pltpu.make_async_copy(pk_ref.at[pid, h], kbuf.at[slot],
+            pltpu.make_async_copy(pk_ref.at[pid], kbuf.at[slot],
                                   ksem.at[slot]),
-            pltpu.make_async_copy(pv_ref.at[pid, h], vbuf.at[slot],
+            pltpu.make_async_copy(pv_ref.at[pid], vbuf.at[slot],
                                   vsem.at[slot]),
-            pltpu.make_async_copy(sk_ref.at[pid, h], skbuf.at[slot],
+            pltpu.make_async_copy(sk_ref.at[pid], skbuf.at[slot],
                                   sksem.at[slot]),
-            pltpu.make_async_copy(sv_ref.at[pid, h], svbuf.at[slot],
+            pltpu.make_async_copy(sv_ref.at[pid], svbuf.at[slot],
                                   svsem.at[slot]),
         )
 
@@ -269,10 +304,10 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
         for c in copies(p0, jax.lax.rem(p0, 2)):
             c.start()
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (g, hd)
+    q = q_ref[0].astype(jnp.float32)  # (H, hd)
     if rope:
         q = _rope_apply(q, cos_ref[0], sin_ref[0])
-    g, hd = q.shape
+    qbd = _block_diag_q(q, hkv, g)
 
     def body(p, carry):
         m, l, acc = carry
@@ -285,15 +320,15 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
 
         for c in copies(p, slot):
             c.wait()
-        k = kbuf[slot].astype(jnp.float32)  # (ps, hd) int8 codes as f32
+        k = kbuf[slot].astype(jnp.float32)  # (ps, Hkv*hd) codes as f32
         v = vbuf[slot].astype(jnp.float32)
-        ks_row = skbuf[slot][0:1]  # (1, ps) lane-major page scales
-        vs_row = svbuf[slot][0:1]
+        ks_rep = _repeat_rows(skbuf[slot][:hkv, :], g)  # (H, ps)
+        vs_rep = _repeat_rows(svbuf[slot][:hkv, :], g)
 
         logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            qbd, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * (ks_row * scale)  # (g, ps): dequant folded in post-matmul
+        ) * (ks_rep * scale)  # (H, ps): dequant folded in post-matmul
         pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
         logits = jnp.where((pos < n) & (pos >= lo), logits, NEG_INF)
 
@@ -301,15 +336,15 @@ def _paged_attn_kernel_q8(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
         alpha = jnp.exp(m - m2)
         pexp = jnp.exp(logits - m2)
         l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
-        acc2 = acc * alpha + jnp.dot(pexp * vs_row, v,  # v dequant folded
+        acc2 = acc * alpha + jnp.dot(pexp * vs_rep, v,  # v dequant folded
                                      preferred_element_type=jnp.float32)
         return m2, l2, acc2
 
-    init = (jnp.full((g, 1), NEG_INF, jnp.float32),
-            jnp.zeros((g, 1), jnp.float32),
-            jnp.zeros((g, hd), jnp.float32))
+    init = (jnp.full((H, 1), NEG_INF, jnp.float32),
+            jnp.zeros((H, 1), jnp.float32),
+            jnp.zeros((H, hkv * hd), jnp.float32))
     m, l, acc = jax.lax.fori_loop(p0, npages, body, init)
-    out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+    out_ref[0] = _extract_diag(acc, hkv, g, hd) / jnp.maximum(l, 1e-30)
 
 
 @functools.partial(
@@ -319,44 +354,46 @@ def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
                               scale_k, scale_v, page_tables, lengths, *,
                               page_size: int, rope_cos=None, rope_sin=None,
                               sliding_window=None, interpret: bool = False):
-    """:func:`paged_decode_attention` over int8 pools with lane-major
-    per-page f32 scale sidecars (format + rationale: ops/kv_quant.py).
+    """:func:`paged_decode_attention` over int8 pools with head-major
+    per-page f32 scale sidecars (module docstring / ops/kv_quant.py).
 
-    pool_k/v:   (P, Hkv, ps, hd) int8 (aliased in->out)
-    scale_k/v:  (P, Hkv, 8, ps) f32, row 0 live (aliased in->out)
+    pool_k/v:   (P, ps, Hkv*hd) int8 (aliased in->out)
+    scale_k/v:  (P, HkvP, ps) f32, rows [0, Hkv) live (aliased in->out)
 
     Returns (attn_out, pool_k, pool_v, scale_k, scale_v).
     """
     B, H, hd = q.shape
-    Hkv = pool_k.shape[1]
+    Hkv = k_new.shape[1]
     ps = page_size
     assert pool_k.dtype == jnp.int8 and pool_v.dtype == jnp.int8
-    assert scale_k.shape == (pool_k.shape[0], Hkv, 8, ps), scale_k.shape
+    assert pool_k.shape[1:] == (ps, Hkv * hd), (pool_k.shape, ps)
+    hkvp = scale_k.shape[1]
+    assert scale_k.shape == (pool_k.shape[0], hkvp, ps), scale_k.shape
     maxp = page_tables.shape[1]
     g = H // Hkv
     scale = 1.0 / (hd ** 0.5)
 
-    q4 = q.reshape(B, Hkv, g, hd).astype(jnp.float32)
-    kn4 = k_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
+    q3 = q.astype(jnp.float32)
+    kn3 = k_new.astype(jnp.float32)
     # v is quantized in-kernel (not cast host-side): rounding must match
     # the XLA mirror's f32 math
-    vn4 = v_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
-    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
+    vn3 = v_new.astype(jnp.float32)
+    cos3, sin3, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
 
     slab = 32 if ps % 32 == 0 else ps
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Hkv),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, H, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, Hkv, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, Hkv, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -368,18 +405,18 @@ def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, H, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ps, hd), jnp.int8),
-            pltpu.VMEM((2, ps, hd), jnp.int8),
-            pltpu.VMEM((2, 8, ps), jnp.float32),
-            pltpu.VMEM((2, 8, ps), jnp.float32),
-            pltpu.VMEM((slab, hd), jnp.int8),
-            pltpu.VMEM((slab, hd), jnp.int8),
-            pltpu.VMEM((8, ps), jnp.float32),
-            pltpu.VMEM((8, ps), jnp.float32),
+            pltpu.VMEM((2, ps, Hkv * hd), jnp.int8),
+            pltpu.VMEM((2, ps, Hkv * hd), jnp.int8),
+            pltpu.VMEM((2, hkvp, ps), jnp.float32),
+            pltpu.VMEM((2, hkvp, ps), jnp.float32),
+            pltpu.VMEM((slab, Hkv * hd), jnp.int8),
+            pltpu.VMEM((slab, Hkv * hd), jnp.int8),
+            pltpu.VMEM((hkvp, ps), jnp.float32),
+            pltpu.VMEM((hkvp, ps), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -392,24 +429,25 @@ def paged_decode_attention_q8(q, k_new, v_new, pool_k, pool_v,
         functools.partial(_paged_attn_kernel_q8, ps=ps, maxp=maxp,
                           scale=scale, rope=rope,
                           window=(maxp * ps + 1 if sliding_window is None
-                                  else int(sliding_window))),
+                                  else int(sliding_window)),
+                          hkv=Hkv, hkvp=hkvp, g=g, hd=hd),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
             jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
             jax.ShapeDtypeStruct(scale_k.shape, scale_k.dtype),
             jax.ShapeDtypeStruct(scale_v.shape, scale_v.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, g, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, hd), jnp.float32),
         ],
         input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(page_tables, lengths, q4, kn4, vn4, cos4, sin4,
+    )(page_tables, lengths, q3, kn3, vn3, cos3, sin3,
       pool_k, pool_v, scale_k, scale_v)
 
-    return out.reshape(B, H, hd), pk_out, pv_out, sk_out, sv_out
+    return out, pk_out, pv_out, sk_out, sv_out
 
 
 @functools.partial(
@@ -427,41 +465,41 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
                 (rotated in-kernel by them), rope'd otherwise
       k_new:    (B, Hkv, hd) current token's keys (same rope contract)
       v_new:    (B, Hkv, hd) values
-      pool_k/v: (P, Hkv, ps, hd) page pools (DONATED/aliased: updated pools
-                are returned)
+      pool_k/v: (P, ps, Hkv*hd) TOKEN-MAJOR page pools (DONATED/aliased:
+                updated pools are returned)
       page_tables: (B, maxp) int32; lengths: (B,) int32 — tokens per slot
                 INCLUDING the current one (0 = inactive slot).
 
     Returns (attn_out (B, H, hd) f32, pool_k, pool_v).
     """
     B, H, hd = q.shape
-    Hkv = pool_k.shape[1]
+    Hkv = k_new.shape[1]
     ps = page_size
-    assert pool_k.shape[2] == ps, (pool_k.shape, ps)
+    assert pool_k.shape[1:] == (ps, Hkv * hd), (pool_k.shape, ps)
     maxp = page_tables.shape[1]
     g = H // Hkv
     scale = 1.0 / (hd ** 0.5)
 
-    q4 = q.reshape(B, Hkv, g, hd).astype(jnp.float32)
+    q3 = q.astype(jnp.float32)
     # k stays f32 into the kernel (rope rotates it there before the cast
     # to pool dtype at the cache write); v is cast host-side as before
-    kn4 = k_new.reshape(B, Hkv, 1, hd).astype(jnp.float32)
-    vn4 = v_new.reshape(B, Hkv, 1, hd).astype(pool_v.dtype)
-    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
+    kn3 = k_new.astype(jnp.float32)
+    vn3 = v_new.astype(pool_v.dtype)
+    cos3, sin3, rope = _rope_operand_rows(rope_cos, rope_sin, B, 1, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Hkv),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, H, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, Hkv, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, Hkv, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda b, h, *_: (b, 0, 0),
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -469,14 +507,16 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, g, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, H, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ps, hd), pool_k.dtype),
-            pltpu.VMEM((2, ps, hd), pool_v.dtype),
-            pltpu.VMEM((min(16, ps), hd), pool_k.dtype),
-            pltpu.VMEM((min(16, ps), hd), pool_v.dtype),
+            pltpu.VMEM((2, 32 if ps % 32 == 0 else ps, Hkv * hd),
+                       pool_k.dtype),
+            pltpu.VMEM((2, 32 if ps % 32 == 0 else ps, Hkv * hd),
+                       pool_v.dtype),
+            pltpu.VMEM((min(16, ps), Hkv * hd), pool_k.dtype),
+            pltpu.VMEM((min(16, ps), Hkv * hd), pool_v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -487,253 +527,74 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
         functools.partial(_paged_attn_kernel, ps=ps, maxp=maxp, scale=scale,
                           rope=rope,
                           window=(maxp * ps + 1 if sliding_window is None
-                                  else int(sliding_window))),
+                                  else int(sliding_window)),
+                          hkv=Hkv, g=g, hd=hd),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
             jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, g, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, hd), jnp.float32),
         ],
         input_output_aliases={7: 0, 8: 1},  # pools in -> out (in-place)
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(page_tables, lengths, q4, kn4, vn4, cos4, sin4, pool_k, pool_v)
+    )(page_tables, lengths, q3, kn3, vn3, cos3, sin3, pool_k, pool_v)
 
-    return out.reshape(B, H, hd), pool_k_out, pool_v_out
+    return out, pool_k_out, pool_v_out
 
 
-def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
-                            cos_ref, sin_ref,
-                            pk_in, pv_in, sk_in, sv_in,
-                            pk_ref, pv_ref, sk_ref, sv_ref, out_ref,
-                            kbuf, vbuf, skbuf, svbuf,
-                            pairk, pairv, pairsk, pairsv,
-                            ksem, vsem, sksem, svsem, wsem,
-                            *, ps: int, W: int, scale: float, rope: bool,
-                            window: int):
-    """int8-KV twin of :func:`_paged_verify_kernel` (W-token speculative
-    verify window): each window row is quantized in-kernel
-    (`_quant_kv_rows`) and RMW-patched into the int8 pool + the page's
-    lane-major (8, ps) scale block (ops/kv_quant.py layout); reads apply
-    the scales post-matmul along lanes."""
-    b = pl.program_id(0)
-    h = pl.program_id(1)
-    start = start_ref[b]
-    n_end = jnp.where(start < 0, 0, start + W)
-    npages = jax.lax.div(n_end + ps - 1, ps)
-    lo0 = jnp.maximum(start + 1 - window, 0)
-    p0 = jax.lax.div(lo0, ps)
-    slab = 32 if ps % 32 == 0 else ps
+# ---------------------------------------------------------------------------
+# W-token speculative verify windows
+# ---------------------------------------------------------------------------
+#
+# Query rows are (head, window-offset) pairs: R = H*W rows, row r = query
+# head r // W at offset r % W; kv-head j owns the g*W-row block
+# [j*g*W, (j+1)*g*W). The logits matmul and the p@v contraction run
+# PER KV HEAD over the token-major page slab (lane block j*hd..): a
+# block-diagonal Q at R rows would need an (R, Hkv*hd) accumulator
+# (~8 MB at 7B/W=16) — the per-head loop keeps acc at (R, hd) and runs
+# once per WINDOW, so its ~Hkv small dots amortize over W tokens.
 
-    kn = kn_ref[0, 0].astype(jnp.float32)  # (W, hd)
-    if rope:
-        kn = _rope_apply(kn, cos_ref[0], sin_ref[0])  # per-row cos/sin
-    knq, kns = _quant_kv_rows(kn)
-    vnq, vns = _quant_kv_rows(vn_ref[0, 0].astype(jnp.float32))
 
-    @pl.when(start >= 0)
-    def _write():
-        for w in range(W):
-            posw = start + w
-            pid = pt_ref[b, jax.lax.div(posw, ps)]
-            off = jax.lax.rem(posw, ps)
-            off2 = jax.lax.div(off, slab) * slab
-            sub = off - off2
-            rk = pltpu.make_async_copy(
-                pk_ref.at[pid, h, pl.ds(off2, slab)], pairk, wsem.at[0])
-            rv = pltpu.make_async_copy(
-                pv_ref.at[pid, h, pl.ds(off2, slab)], pairv, wsem.at[1])
-            rsk = pltpu.make_async_copy(
-                sk_ref.at[pid, h], pairsk, wsem.at[2])
-            rsv = pltpu.make_async_copy(
-                sv_ref.at[pid, h], pairsv, wsem.at[3])
-            for c in (rk, rv, rsk, rsv):
-                c.start()
-            for c in (rk, rv, rsk, rsv):
-                c.wait()
-            rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
-            pairk[:] = jnp.where(rows == sub, knq[w:w + 1], pairk[:])
-            pairv[:] = jnp.where(rows == sub, vnq[w:w + 1], pairv[:])
-            srow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-            spot = (srow == 0) & (lane == off)  # (8, ps)
-            pairsk[:] = jnp.where(spot, kns[w:w + 1], pairsk[:])
-            pairsv[:] = jnp.where(spot, vns[w:w + 1], pairsv[:])
-            wk = pltpu.make_async_copy(
-                pairk, pk_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[0])
-            wv = pltpu.make_async_copy(
-                pairv, pv_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[1])
-            wsk = pltpu.make_async_copy(
-                pairsk, sk_ref.at[pid, h], wsem.at[2])
-            wsv = pltpu.make_async_copy(
-                pairsv, sv_ref.at[pid, h], wsem.at[3])
-            for c in (wk, wv, wsk, wsv):
-                c.start()
-            for c in (wk, wv, wsk, wsv):
-                c.wait()
-
-    def copies(p, slot):
-        pid = pt_ref[b, p]
-        return (
-            pltpu.make_async_copy(pk_ref.at[pid, h], kbuf.at[slot],
-                                  ksem.at[slot]),
-            pltpu.make_async_copy(pv_ref.at[pid, h], vbuf.at[slot],
-                                  vsem.at[slot]),
-            pltpu.make_async_copy(sk_ref.at[pid, h], skbuf.at[slot],
-                                  sksem.at[slot]),
-            pltpu.make_async_copy(sv_ref.at[pid, h], svbuf.at[slot],
-                                  svsem.at[slot]),
-        )
-
-    @pl.when(p0 < npages)
-    def _prologue():
-        for c in copies(p0, jax.lax.rem(p0, 2)):
-            c.start()
-
-    q = q_ref[0, 0].astype(jnp.float32)  # (g*W, hd)
-    R, hd = q.shape
-    rw = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0), W)
-    qpos = start + rw
+def _verify_qbuild(q_ref, cos_ref, sin_ref, rope: bool, W: int):
+    q = q_ref[0].astype(jnp.float32)  # (R, hd) = (H*W, hd)
+    R = q.shape[0]
     if rope:
         # row r is head r//W at window offset r%W -> tile the (W, hd)
-        # cos/sin rows g times (g is static and small)
-        g = R // W
-        qcos = jnp.concatenate([cos_ref[0]] * g) if g > 1 else cos_ref[0]
-        qsin = jnp.concatenate([sin_ref[0]] * g) if g > 1 else sin_ref[0]
+        # cos/sin rows H times (static, small)
+        reps = R // W
+        qcos = (jnp.concatenate([cos_ref[0]] * reps) if reps > 1
+                else cos_ref[0])
+        qsin = (jnp.concatenate([sin_ref[0]] * reps) if reps > 1
+                else sin_ref[0])
         q = _rope_apply(q, qcos, qsin)
-
-    def body(p, carry):
-        m, l, acc = carry
-        slot = jax.lax.rem(p, 2)
-
-        @pl.when(p + 1 < npages)
-        def _next():
-            for c in copies(p + 1, 1 - slot):
-                c.start()
-
-        for c in copies(p, slot):
-            c.wait()
-        k = kbuf[slot].astype(jnp.float32)  # (ps, hd) int8 codes as f32
-        v = vbuf[slot].astype(jnp.float32)
-        ks_row = skbuf[slot][0:1]  # (1, ps) lane-major page scales
-        vs_row = svbuf[slot][0:1]
-
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (ks_row * scale)  # (R, ps): dequant folded in post-matmul
-        kpos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-        logits = jnp.where((kpos <= qpos) & (kpos > qpos - window),
-                           logits, NEG_INF)
-
-        m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m2)
-        pexp = jnp.exp(logits - m2)
-        l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
-        acc2 = acc * alpha + jnp.dot(pexp * vs_row, v,  # v dequant folded
-                                     preferred_element_type=jnp.float32)
-        return m2, l2, acc2
-
-    init = (jnp.full((R, 1), NEG_INF, jnp.float32),
-            jnp.zeros((R, 1), jnp.float32),
-            jnp.zeros((R, hd), jnp.float32))
-    m, l, acc = jax.lax.fori_loop(p0, npages, body, init)
-    out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+    return q
 
 
-@functools.partial(
-    jax.jit, static_argnames=("page_size", "sliding_window", "interpret"),
-)
-def paged_verify_attention_q8(q, k_new, v_new, pool_k, pool_v,
-                              scale_k, scale_v, page_tables, start, *,
-                              page_size: int, rope_cos=None, rope_sin=None,
-                              sliding_window=None, interpret: bool = False):
-    """:func:`paged_verify_attention` over int8 pools + lane-major
-    per-page (8, ps) f32 scale sidecars (see ops/kv_quant.py). Returns
-    (attn_out (B, H, W, hd), pool_k, pool_v, scale_k, scale_v)."""
-    B, H, W, hd = q.shape
-    Hkv = pool_k.shape[1]
-    ps = page_size
-    assert pool_k.dtype == jnp.int8 and pool_v.dtype == jnp.int8
-    assert scale_k.shape == (pool_k.shape[0], Hkv, 8, ps), scale_k.shape
-    maxp = page_tables.shape[1]
-    g = H // Hkv
-    scale = 1.0 / (hd ** 0.5)
+def _verify_logits(q, kslab, hkv: int, g: int, hd: int, W: int):
+    """Per-kv-head logits over a token-major (ps, Hkv*hd) k slab ->
+    (R, ps), rows grouped g*W per kv head."""
+    parts = []
+    for j in range(hkv):
+        qj = q[j * g * W:(j + 1) * g * W]           # (gW, hd)
+        kj = kslab[:, j * hd:(j + 1) * hd]          # (ps, hd)
+        parts.append(jax.lax.dot_general(
+            qj, kj, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return parts[0] if hkv == 1 else jnp.concatenate(parts, axis=0)
 
-    q4 = q.reshape(B, Hkv, g * W, hd).astype(jnp.float32)
-    kn4 = k_new.reshape(B, Hkv, W, hd).astype(jnp.float32)
-    vn4 = v_new.reshape(B, Hkv, W, hd).astype(jnp.float32)
-    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, W, hd)
 
-    slab = 32 if ps % 32 == 0 else ps
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, Hkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, g * W, hd), lambda b, h, *_: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, hd), lambda b, h, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, hd), lambda b, h, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, g * W, hd), lambda b, h, *_: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, ps, hd), jnp.int8),
-            pltpu.VMEM((2, ps, hd), jnp.int8),
-            pltpu.VMEM((2, 8, ps), jnp.float32),
-            pltpu.VMEM((2, 8, ps), jnp.float32),
-            pltpu.VMEM((slab, hd), jnp.int8),
-            pltpu.VMEM((slab, hd), jnp.int8),
-            pltpu.VMEM((8, ps), jnp.float32),
-            pltpu.VMEM((8, ps), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
-    )
-
-    pk_out, pv_out, sk_out, sv_out, out = pl.pallas_call(
-        functools.partial(_paged_verify_kernel_q8, ps=ps, W=W, scale=scale,
-                          rope=rope,
-                          window=(maxp * ps + W + 1 if sliding_window is None
-                                  else int(sliding_window))),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
-            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
-            jax.ShapeDtypeStruct(scale_k.shape, scale_k.dtype),
-            jax.ShapeDtypeStruct(scale_v.shape, scale_v.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, g * W, hd), jnp.float32),
-        ],
-        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(page_tables, start, q4, kn4, vn4, cos4, sin4,
-      pool_k, pool_v, scale_k, scale_v)
-
-    return out.reshape(B, H, W, hd), pk_out, pv_out, sk_out, sv_out
+def _verify_pv(pexp, vslab, hkv: int, g: int, hd: int, W: int):
+    """Per-kv-head p @ v over a token-major (ps, Hkv*hd) v slab ->
+    (R, hd)."""
+    parts = []
+    for j in range(hkv):
+        pj = pexp[j * g * W:(j + 1) * g * W]        # (gW, ps)
+        vj = vslab[:, j * hd:(j + 1) * hd]          # (ps, hd)
+        parts.append(jnp.dot(pj, vj, preferred_element_type=jnp.float32))
+    return parts[0] if hkv == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
@@ -741,22 +602,22 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
                          pk_in, pv_in, pk_ref, pv_ref, out_ref,
                          kbuf, vbuf, pairk, pairv, ksem, vsem, wsem,
                          *, ps: int, W: int, scale: float, rope: bool,
-                         window: int):
-    """One (slot b, kv-head h) grid step of the W-token verify window
-    (speculative decoding): write W k/v rows at positions
-    start..start+W-1 through the page table, then causal attention for
-    the W query rows of each q head over (prefix + window).
+                         window: int, hkv: int, g: int, hd: int):
+    """One grid step per slot of the W-token verify window (speculative
+    decoding): write W k/v rows at positions start..start+W-1 through the
+    page table, then causal attention for the W query rows of each q head
+    over (prefix + window).
 
-    q_ref:  (1, 1, g*W, hd) — row r is query head r // W, window offset
+    q_ref:  (1, H*W, hd) — row r is query head r // W, window offset
             r % W (pre-rope when cos/sin rope operands are given)
-    kn/vn:  (1, 1, W, hd) — window k/v rows for this kv head
+    kn/vn:  (1, Hkv*W, hd) — window k/v rows, row j*W + w = kv head j at
+            offset w
     start_ref: (B,) int32 — 0-based position of the FIRST window token;
             < 0 marks an inactive slot (no write, zero output).
     """
     b = pl.program_id(0)
-    h = pl.program_id(1)
     start = start_ref[b]
-    n_end = jnp.where(start < 0, 0, start + W)  # tokens incl. the window
+    n_end = jnp.where(start < 0, 0, start + W)
     npages = jax.lax.div(n_end + ps - 1, ps)
     # sliding window: the EARLIEST attended position over the whole
     # window belongs to row w=0 → start the page loop there
@@ -764,9 +625,12 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
     p0 = jax.lax.div(lo0, ps)
     slab = min(16, ps)
 
-    kn = kn_ref[0, 0].astype(jnp.float32)  # (W, hd)
+    kn = kn_ref[0].astype(jnp.float32)  # (Hkv*W, hd)
     if rope:
-        kn = _rope_apply(kn, cos_ref[0], sin_ref[0])  # per-row cos/sin
+        reps = kn.shape[0] // W
+        kcos = jnp.concatenate([cos_ref[0]] * reps) if reps > 1 else cos_ref[0]
+        ksin = jnp.concatenate([sin_ref[0]] * reps) if reps > 1 else sin_ref[0]
+        kn = _rope_apply(kn, kcos, ksin)
 
     # ---- write the window's k/v rows (start >= 0) ----------------------
     # W is small (draft_len+1); each row is an aligned-slab RMW through
@@ -782,23 +646,27 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
             off2 = jax.lax.div(off, slab) * slab
             sub = off - off2
             rk = pltpu.make_async_copy(
-                pk_ref.at[pid, h, pl.ds(off2, slab)], pairk, wsem.at[0])
+                pk_ref.at[pid, pl.ds(off2, slab)], pairk, wsem.at[0])
             rv = pltpu.make_async_copy(
-                pv_ref.at[pid, h, pl.ds(off2, slab)], pairv, wsem.at[1])
+                pv_ref.at[pid, pl.ds(off2, slab)], pairv, wsem.at[1])
             rk.start()
             rv.start()
             rk.wait()
             rv.wait()
-            rows = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
-            pairk[:] = jnp.where(rows == sub,
-                                 kn[w:w + 1].astype(pairk.dtype), pairk[:])
-            pairv[:] = jnp.where(rows == sub,
-                                 vn_ref[0, 0, w:w + 1].astype(pairv.dtype),
-                                 pairv[:])
+            hit = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0) == sub
+            for j in range(hkv):  # row w of each head's window block
+                sl = pl.ds(j * hd, hd)
+                pairk[:, sl] = jnp.where(
+                    hit, kn[j * W + w:j * W + w + 1].astype(pairk.dtype),
+                    pairk[:, sl])
+                pairv[:, sl] = jnp.where(
+                    hit,
+                    vn_ref[0, j * W + w:j * W + w + 1].astype(pairv.dtype),
+                    pairv[:, sl])
             wk = pltpu.make_async_copy(
-                pairk, pk_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[0])
+                pairk, pk_ref.at[pid, pl.ds(off2, slab)], wsem.at[0])
             wv = pltpu.make_async_copy(
-                pairv, pv_ref.at[pid, h, pl.ds(off2, slab)], wsem.at[1])
+                pairv, pv_ref.at[pid, pl.ds(off2, slab)], wsem.at[1])
             wk.start()
             wv.start()
             wk.wait()
@@ -806,26 +674,21 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
 
     def k_copy(p, slot):
         return pltpu.make_async_copy(
-            pk_ref.at[pt_ref[b, p], h], kbuf.at[slot], ksem.at[slot])
+            pk_ref.at[pt_ref[b, p]], kbuf.at[slot], ksem.at[slot])
 
     def v_copy(p, slot):
         return pltpu.make_async_copy(
-            pv_ref.at[pt_ref[b, p], h], vbuf.at[slot], vsem.at[slot])
+            pv_ref.at[pt_ref[b, p]], vbuf.at[slot], vsem.at[slot])
 
     @pl.when(p0 < npages)
     def _prologue():
         k_copy(p0, jax.lax.rem(p0, 2)).start()
         v_copy(p0, jax.lax.rem(p0, 2)).start()
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (g*W, hd)
-    R, hd = q.shape
+    q = _verify_qbuild(q_ref, cos_ref, sin_ref, rope, W)
+    R = q.shape[0]
     rw = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0), W)
     qpos = start + rw  # (R, 1) — each query row's own position
-    if rope:
-        g = R // W  # row r is head r//W at offset r%W: tile rows g times
-        qcos = jnp.concatenate([cos_ref[0]] * g) if g > 1 else cos_ref[0]
-        qsin = jnp.concatenate([sin_ref[0]] * g) if g > 1 else sin_ref[0]
-        q = _rope_apply(q, qcos, qsin)
 
     def body(p, carry):
         m, l, acc = carry
@@ -838,13 +701,10 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
 
         k_copy(p, slot).wait()
         v_copy(p, slot).wait()
-        k = kbuf[slot].astype(jnp.float32)  # (ps, hd)
+        k = kbuf[slot].astype(jnp.float32)  # (ps, Hkv*hd)
         v = vbuf[slot].astype(jnp.float32)
 
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (R, ps)
+        logits = _verify_logits(q, k, hkv, g, hd, W) * scale  # (R, ps)
         kpos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
         logits = jnp.where((kpos <= qpos) & (kpos > qpos - window),
                            logits, NEG_INF)
@@ -853,15 +713,154 @@ def _paged_verify_kernel(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
         alpha = jnp.exp(m - m2)
         pexp = jnp.exp(logits - m2)
         l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
-        acc2 = acc * alpha + jnp.dot(pexp, v,
-                                     preferred_element_type=jnp.float32)
+        acc2 = acc * alpha + _verify_pv(pexp, v, hkv, g, hd, W)
         return m2, l2, acc2
 
     init = (jnp.full((R, 1), NEG_INF, jnp.float32),
             jnp.zeros((R, 1), jnp.float32),
             jnp.zeros((R, hd), jnp.float32))
     m, l, acc = jax.lax.fori_loop(p0, npages, body, init)
-    out_ref[0, 0] = acc / jnp.maximum(l, 1e-30)
+    out_ref[0] = acc / jnp.maximum(l, 1e-30)
+
+
+def _paged_verify_kernel_q8(pt_ref, start_ref, q_ref, kn_ref, vn_ref,
+                            cos_ref, sin_ref,
+                            pk_in, pv_in, sk_in, sv_in,
+                            pk_ref, pv_ref, sk_ref, sv_ref, out_ref,
+                            kbuf, vbuf, skbuf, svbuf,
+                            pairk, pairv, pairsk, pairsv,
+                            ksem, vsem, sksem, svsem, wsem,
+                            *, ps: int, W: int, scale: float, rope: bool,
+                            window: int, hkv: int, hkvp: int, g: int,
+                            hd: int):
+    """int8-KV twin of :func:`_paged_verify_kernel`: each window row is
+    quantized in-kernel (`_quant_kv_rows`) and RMW-patched into the int8
+    pool + the page's head-major (HkvP, ps) scale block; reads apply the
+    scales post-matmul, expanded to the (R, ps) row grouping."""
+    b = pl.program_id(0)
+    start = start_ref[b]
+    n_end = jnp.where(start < 0, 0, start + W)
+    npages = jax.lax.div(n_end + ps - 1, ps)
+    lo0 = jnp.maximum(start + 1 - window, 0)
+    p0 = jax.lax.div(lo0, ps)
+    slab = 32 if ps % 32 == 0 else ps
+
+    kn = kn_ref[0].astype(jnp.float32)  # (Hkv*W, hd)
+    if rope:
+        reps = kn.shape[0] // W
+        kcos = jnp.concatenate([cos_ref[0]] * reps) if reps > 1 else cos_ref[0]
+        ksin = jnp.concatenate([sin_ref[0]] * reps) if reps > 1 else sin_ref[0]
+        kn = _rope_apply(kn, kcos, ksin)
+    knq, kns = _quant_kv_rows(kn)                    # (Hkv*W, .)
+    vnq, vns = _quant_kv_rows(vn_ref[0].astype(jnp.float32))
+
+    @pl.when(start >= 0)
+    def _write():
+        for w in range(W):
+            posw = start + w
+            pid = pt_ref[b, jax.lax.div(posw, ps)]
+            off = jax.lax.rem(posw, ps)
+            off2 = jax.lax.div(off, slab) * slab
+            sub = off - off2
+            rk = pltpu.make_async_copy(
+                pk_ref.at[pid, pl.ds(off2, slab)], pairk, wsem.at[0])
+            rv = pltpu.make_async_copy(
+                pv_ref.at[pid, pl.ds(off2, slab)], pairv, wsem.at[1])
+            rsk = pltpu.make_async_copy(sk_ref.at[pid], pairsk, wsem.at[2])
+            rsv = pltpu.make_async_copy(sv_ref.at[pid], pairsv, wsem.at[3])
+            for c in (rk, rv, rsk, rsv):
+                c.start()
+            for c in (rk, rv, rsk, rsv):
+                c.wait()
+            hit = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0) == sub
+            for j in range(hkv):
+                sl = pl.ds(j * hd, hd)
+                pairk[:, sl] = jnp.where(hit, knq[j * W + w:j * W + w + 1],
+                                         pairk[:, sl])
+                pairv[:, sl] = jnp.where(hit, vnq[j * W + w:j * W + w + 1],
+                                         pairv[:, sl])
+            # scale column `off`: row j gets window row (j, w)'s scale
+            srow = jax.lax.broadcasted_iota(jnp.int32, (hkvp, 1), 0)
+            spot = jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1) == off
+            ksel = jnp.zeros((hkvp, 1), jnp.float32)
+            vsel = jnp.zeros((hkvp, 1), jnp.float32)
+            for j in range(hkv):
+                ksel = jnp.where(srow == j, kns[j * W + w], ksel)
+                vsel = jnp.where(srow == j, vns[j * W + w], vsel)
+            pairsk[:] = jnp.where(spot, ksel, pairsk[:])
+            pairsv[:] = jnp.where(spot, vsel, pairsv[:])
+            wk = pltpu.make_async_copy(
+                pairk, pk_ref.at[pid, pl.ds(off2, slab)], wsem.at[0])
+            wv = pltpu.make_async_copy(
+                pairv, pv_ref.at[pid, pl.ds(off2, slab)], wsem.at[1])
+            wsk = pltpu.make_async_copy(pairsk, sk_ref.at[pid], wsem.at[2])
+            wsv = pltpu.make_async_copy(pairsv, sv_ref.at[pid], wsem.at[3])
+            for c in (wk, wv, wsk, wsv):
+                c.start()
+            for c in (wk, wv, wsk, wsv):
+                c.wait()
+
+    def copies(p, slot):
+        pid = pt_ref[b, p]
+        return (
+            pltpu.make_async_copy(pk_ref.at[pid], kbuf.at[slot],
+                                  ksem.at[slot]),
+            pltpu.make_async_copy(pv_ref.at[pid], vbuf.at[slot],
+                                  vsem.at[slot]),
+            pltpu.make_async_copy(sk_ref.at[pid], skbuf.at[slot],
+                                  sksem.at[slot]),
+            pltpu.make_async_copy(sv_ref.at[pid], svbuf.at[slot],
+                                  svsem.at[slot]),
+        )
+
+    @pl.when(p0 < npages)
+    def _prologue():
+        for c in copies(p0, jax.lax.rem(p0, 2)):
+            c.start()
+
+    q = _verify_qbuild(q_ref, cos_ref, sin_ref, rope, W)
+    R = q.shape[0]
+    rw = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0), W)
+    qpos = start + rw
+
+    def srep(row):
+        """(1|Hkv rows, ps) page scales -> (R, ps): kv head j's row
+        repeated g*W times."""
+        return _repeat_rows(row, g * W)
+
+    def body(p, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(p, 2)
+
+        @pl.when(p + 1 < npages)
+        def _next():
+            for c in copies(p + 1, 1 - slot):
+                c.start()
+
+        for c in copies(p, slot):
+            c.wait()
+        k = kbuf[slot].astype(jnp.float32)
+        v = vbuf[slot].astype(jnp.float32)
+        ks_rep = srep(skbuf[slot][:hkv, :])  # (R, ps)
+        vs_rep = srep(svbuf[slot][:hkv, :])
+
+        logits = _verify_logits(q, k, hkv, g, hd, W) * (ks_rep * scale)
+        kpos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+        logits = jnp.where((kpos <= qpos) & (kpos > qpos - window),
+                           logits, NEG_INF)
+
+        m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m2)
+        pexp = jnp.exp(logits - m2)
+        l2 = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
+        acc2 = acc * alpha + _verify_pv(pexp * vs_rep, v, hkv, g, hd, W)
+        return m2, l2, acc2
+
+    init = (jnp.full((R, 1), NEG_INF, jnp.float32),
+            jnp.zeros((R, 1), jnp.float32),
+            jnp.zeros((R, hd), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(p0, npages, body, init)
+    out_ref[0] = acc / jnp.maximum(l, 1e-30)
 
 
 @functools.partial(
@@ -879,7 +878,7 @@ def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
                 ((B, W, hd) rows at positions start..start+W-1) are given
       k_new:    (B, Hkv, W, hd) window keys (same rope contract)
       v_new:    (B, Hkv, W, hd) values
-      pool_k/v: (P, Hkv, ps, hd) page pools (aliased in->out)
+      pool_k/v: (P, ps, Hkv*hd) token-major page pools (aliased in->out)
       page_tables: (B, maxp) int32
       start:    (B,) int32 — position of the first window token; < 0 =
                 inactive slot (no write, zero output). The slot's pages
@@ -888,31 +887,32 @@ def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
     Returns (attn_out (B, H, W, hd) f32, pool_k, pool_v).
     """
     B, H, W, hd = q.shape
-    Hkv = pool_k.shape[1]
+    Hkv = k_new.shape[1]
     ps = page_size
+    assert pool_k.shape[1:] == (ps, Hkv * hd), (pool_k.shape, ps)
     maxp = page_tables.shape[1]
     g = H // Hkv
     scale = 1.0 / (hd ** 0.5)
 
     # row order (head, window-offset): head r // W, offset r % W
-    q4 = q.reshape(B, Hkv, g * W, hd).astype(jnp.float32)
-    kn4 = k_new.reshape(B, Hkv, W, hd).astype(jnp.float32)
-    vn4 = v_new.reshape(B, Hkv, W, hd).astype(pool_v.dtype)
-    cos4, sin4, rope = _rope_operand_rows(rope_cos, rope_sin, B, W, hd)
+    q3 = q.reshape(B, H * W, hd).astype(jnp.float32)
+    kn3 = k_new.reshape(B, Hkv * W, hd).astype(jnp.float32)
+    vn3 = v_new.reshape(B, Hkv * W, hd).astype(pool_v.dtype)
+    cos3, sin3, rope = _rope_operand_rows(rope_cos, rope_sin, B, W, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Hkv),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, g * W, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, H * W, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, Hkv * W, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, W, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, Hkv * W, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, hd), lambda b, h, *_: (b, 0, 0),
+            pl.BlockSpec((1, W, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, hd), lambda b, h, *_: (b, 0, 0),
+            pl.BlockSpec((1, W, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -920,14 +920,14 @@ def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, g * W, hd), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, H * W, hd), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ps, hd), pool_k.dtype),
-            pltpu.VMEM((2, ps, hd), pool_v.dtype),
-            pltpu.VMEM((min(16, ps), hd), pool_k.dtype),
-            pltpu.VMEM((min(16, ps), hd), pool_v.dtype),
+            pltpu.VMEM((2, ps, Hkv * hd), pool_k.dtype),
+            pltpu.VMEM((2, ps, Hkv * hd), pool_v.dtype),
+            pltpu.VMEM((min(16, ps), Hkv * hd), pool_k.dtype),
+            pltpu.VMEM((min(16, ps), Hkv * hd), pool_v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -938,18 +938,115 @@ def paged_verify_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
         functools.partial(_paged_verify_kernel, ps=ps, W=W, scale=scale,
                           rope=rope,
                           window=(maxp * ps + W + 1 if sliding_window is None
-                                  else int(sliding_window))),
+                                  else int(sliding_window)),
+                          hkv=Hkv, g=g, hd=hd),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
             jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, g * W, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, H * W, hd), jnp.float32),
         ],
         input_output_aliases={7: 0, 8: 1},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(page_tables, start, q4, kn4, vn4, cos4, sin4, pool_k, pool_v)
+    )(page_tables, start, q3, kn3, vn3, cos3, sin3, pool_k, pool_v)
 
     return out.reshape(B, H, W, hd), pool_k_out, pool_v_out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("page_size", "sliding_window", "interpret"),
+)
+def paged_verify_attention_q8(q, k_new, v_new, pool_k, pool_v,
+                              scale_k, scale_v, page_tables, start, *,
+                              page_size: int, rope_cos=None, rope_sin=None,
+                              sliding_window=None, interpret: bool = False):
+    """:func:`paged_verify_attention` over int8 pools + head-major
+    per-page (HkvP, ps) f32 scale sidecars (see ops/kv_quant.py). Returns
+    (attn_out (B, H, W, hd), pool_k, pool_v, scale_k, scale_v)."""
+    B, H, W, hd = q.shape
+    Hkv = k_new.shape[1]
+    ps = page_size
+    assert pool_k.dtype == jnp.int8 and pool_v.dtype == jnp.int8
+    assert pool_k.shape[1:] == (ps, Hkv * hd), (pool_k.shape, ps)
+    hkvp = scale_k.shape[1]
+    assert scale_k.shape == (pool_k.shape[0], hkvp, ps), scale_k.shape
+    maxp = page_tables.shape[1]
+    g = H // Hkv
+    scale = 1.0 / (hd ** 0.5)
+
+    q3 = q.reshape(B, H * W, hd).astype(jnp.float32)
+    kn3 = k_new.reshape(B, Hkv * W, hd).astype(jnp.float32)
+    vn3 = v_new.reshape(B, Hkv * W, hd).astype(jnp.float32)
+    cos3, sin3, rope = _rope_operand_rows(rope_cos, rope_sin, B, W, hd)
+
+    slab = 32 if ps % 32 == 0 else ps
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H * W, hd), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv * W, hd), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hkv * W, hd), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, hd), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, hd), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, H * W, hd), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ps, Hkv * hd), jnp.int8),
+            pltpu.VMEM((2, ps, Hkv * hd), jnp.int8),
+            pltpu.VMEM((2, hkvp, ps), jnp.float32),
+            pltpu.VMEM((2, hkvp, ps), jnp.float32),
+            pltpu.VMEM((slab, Hkv * hd), jnp.int8),
+            pltpu.VMEM((slab, Hkv * hd), jnp.int8),
+            pltpu.VMEM((hkvp, ps), jnp.float32),
+            pltpu.VMEM((hkvp, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    pk_out, pv_out, sk_out, sv_out, out = pl.pallas_call(
+        functools.partial(_paged_verify_kernel_q8, ps=ps, W=W, scale=scale,
+                          rope=rope,
+                          window=(maxp * ps + W + 1 if sliding_window is None
+                                  else int(sliding_window)),
+                          hkv=Hkv, hkvp=hkvp, g=g, hd=hd),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(pool_k.shape, pool_k.dtype),
+            jax.ShapeDtypeStruct(pool_v.shape, pool_v.dtype),
+            jax.ShapeDtypeStruct(scale_k.shape, scale_k.dtype),
+            jax.ShapeDtypeStruct(scale_v.shape, scale_v.dtype),
+            jax.ShapeDtypeStruct((B, H * W, hd), jnp.float32),
+        ],
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(page_tables, start, q3, kn3, vn3, cos3, sin3,
+      pool_k, pool_v, scale_k, scale_v)
+
+    return out.reshape(B, H, W, hd), pk_out, pv_out, sk_out, sv_out

@@ -469,13 +469,15 @@ def make_tp_serving_fns(model_type: str, config, local_specs, pspecs,
 
 
 def pool_pspecs(n_layers: int, quantized: bool = False):
-    """Paged KV pools (P_pages, H_kv, ps, D) sharded over kv heads.
-    `quantized`: int8 pools carry (P_pages, H_kv, 8, ps) lane-major f32
-    scale sidecars (ops/kv_quant.py), sharded over the same head axis."""
-    one = {"pk": P(None, AXIS, None, None), "pv": P(None, AXIS, None, None)}
+    """Token-major paged KV pools (P_pages, ps, H_kv*D) sharded over the
+    head-flat last axis (a contiguous KV/t block per shard = its head
+    group). `quantized`: int8 pools carry head-major (P_pages, HkvP, ps)
+    f32 scale sidecars (ops/kv_quant.py; HkvP = head_rows(Hkv, tp), so
+    every shard's row slice is whole f32 tiles), sharded over rows."""
+    one = {"pk": P(None, None, AXIS), "pv": P(None, None, AXIS)}
     if quantized:
-        one = dict(one, sk=P(None, AXIS, None, None),
-                   sv=P(None, AXIS, None, None))
+        one = dict(one, sk=P(None, AXIS, None),
+                   sv=P(None, AXIS, None))
     return [dict(one) for _ in range(n_layers)]
 
 
@@ -537,15 +539,17 @@ def make_tp_paged_fns(model_type: str, config, local_specs, pspecs,
              in_specs=(plspec, cspec, rep), out_specs=cspec,
              check_vma=False)
     def prime_dense(pools, dense, pids):
-        return serving_mod._prime_dense_impl(pools, dense, pids, ps=ps,
-                                             max_seq=max_seq)
+        return serving_mod._prime_dense_impl(
+            pools, dense, pids, ps=ps, max_seq=max_seq,
+            n_kv_heads=config.n_kv_heads // mesh.devices.size)
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(plspec, cspec, rep, P(), P()), out_specs=plspec,
              check_vma=False)
     def scatter_all(pools, dense, pids, first_page, cnt):
-        return serving_mod._scatter_all_impl(pools, dense, pids, first_page,
-                                             cnt, ps=ps)
+        return serving_mod._scatter_all_impl(
+            pools, dense, pids, first_page, cnt, ps=ps,
+            n_kv_heads=config.n_kv_heads // mesh.devices.size)
 
     def make_spec_fn(draft_len, ngram):
         @partial(jax.shard_map, mesh=mesh,

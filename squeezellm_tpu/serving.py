@@ -712,7 +712,8 @@ class TPContinuousBatchEngine(ContinuousBatchEngine):
 # ---------------------------------------------------------------------------
 
 
-def _prime_dense_impl(pools, dense, pids, *, ps: int, max_seq: int):
+def _prime_dense_impl(pools, dense, pids, *, ps: int, max_seq: int,
+                      n_kv_heads: int):
     """Prime a fresh dense temp cache with the shared pages for EVERY
     layer in one dispatch (the per-layer eager version cost ~0.15 s of
     pure dispatch overhead per admission at 7B). The full m*ps rows are
@@ -739,16 +740,22 @@ def _prime_dense_impl(pools, dense, pids, *, ps: int, max_seq: int):
             return out
         kv = jax.lax.map(one, pids)
         if q8:
-            kv = {"k": kv_quant.dequantize_rows(
-                      kv["k"], kv_quant.unpack_scales(kv["sk"])),
-                  "v": kv_quant.dequantize_rows(
-                      kv["v"], kv_quant.unpack_scales(kv["sv"]))}
+            # codes (m, ps, Hkv*hd) x head-major scales (m, HkvP, ps):
+            # dequantize per (token, head) row
+            m, _, KV = kv["k"].shape
+            hd = KV // n_kv_heads
+
+            def dq(codes, sc):
+                rs = jnp.swapaxes(sc[:, :n_kv_heads], 1, 2)  # (m, ps, Hkv)
+                return (codes.reshape(m, ps, n_kv_heads, hd).astype(
+                    jnp.float32) * rs[..., None]).reshape(m, ps, KV)
+
+            kv = {"k": dq(kv["k"], kv["sk"]), "v": dq(kv["v"], kv["sv"])}
 
         def to_dense(a):
-            # (m, Hkv, ps, hd) pages -> token-major (1, rows, Hkv*hd)
-            m, hkv, _, hd = a.shape
-            return a.transpose(0, 2, 1, 3).reshape(
-                1, m * ps, hkv * hd)[:, :rows]
+            # (m, ps, Hkv*hd) token-major pages -> (1, rows, Hkv*hd)
+            m = a.shape[0]
+            return a.reshape(1, m * ps, a.shape[2])[:, :rows]
 
         k = jax.lax.dynamic_update_slice(
             d["k"], to_dense(kv["k"]).astype(d["k"].dtype), (0, 0, 0))
@@ -759,7 +766,8 @@ def _prime_dense_impl(pools, dense, pids, *, ps: int, max_seq: int):
     return [one_layer(p, d) for p, d in zip(pools, dense)]
 
 
-def _scatter_all_impl(pools, dense, pids, first_page, cnt, *, ps: int):
+def _scatter_all_impl(pools, dense, pids, first_page, cnt, *, ps: int,
+                      n_kv_heads: int):
     """Write the new (non-shared) prompt pages of EVERY layer back into
     the pool in one dispatch. pids may be pow2-padded (repeat-last):
     iterations beyond cnt must be no-ops — a clamped dense slice would
@@ -770,26 +778,29 @@ def _scatter_all_impl(pools, dense, pids, first_page, cnt, *, ps: int):
 
         def body(i, pools_kv, dk=d["k"], dv=d["v"], q8=q8):
             def write(pools_kv):
-                hkv = pools_kv[0].shape[1]
-                hd = pools_kv[0].shape[3]
-
-                def page(src):  # (ps, Hkv*hd) token-major -> (Hkv, ps, hd)
-                    return src.reshape(ps, hkv, hd).transpose(1, 0, 2)
-
-                src_k = page(jax.lax.dynamic_slice_in_dim(
-                    dk[0], (first_page + i) * ps, ps, axis=0))
-                src_v = page(jax.lax.dynamic_slice_in_dim(
-                    dv[0], (first_page + i) * ps, ps, axis=0))
+                # dense (ps, Hkv*hd) rows ARE the token-major page
+                src_k = jax.lax.dynamic_slice_in_dim(
+                    dk[0], (first_page + i) * ps, ps, axis=0)
+                src_v = jax.lax.dynamic_slice_in_dim(
+                    dv[0], (first_page + i) * ps, ps, axis=0)
                 if q8:
                     pk, pv, sk, sv = pools_kv
-                    qk, ssk = kv_quant.quantize_rows(src_k)
-                    qv, ssv = kv_quant.quantize_rows(src_v)
-                    ssk = kv_quant.pack_scales(ssk)  # (Hkv, 8, ps)
-                    ssv = kv_quant.pack_scales(ssv)
+                    rows = sk.shape[1]
+                    hkv = n_kv_heads
+                    hd = pk.shape[2] // hkv
+                    qk, ssk = kv_quant.quantize_rows(
+                        src_k.reshape(ps, hkv, hd))
+                    qv, ssv = kv_quant.quantize_rows(
+                        src_v.reshape(ps, hkv, hd))
+                    # (ps, Hkv, 1) -> head-major (HkvP, ps)
+                    ssk = kv_quant.pool_pack_scales(
+                        jnp.swapaxes(ssk, 0, 1), rows)
+                    ssv = kv_quant.pool_pack_scales(
+                        jnp.swapaxes(ssv, 0, 1), rows)
                     pk = jax.lax.dynamic_update_slice_in_dim(
-                        pk, qk[None], pids[i], axis=0)
+                        pk, qk.reshape(1, ps, hkv * hd), pids[i], axis=0)
                     pv = jax.lax.dynamic_update_slice_in_dim(
-                        pv, qv[None], pids[i], axis=0)
+                        pv, qv.reshape(1, ps, hkv * hd), pids[i], axis=0)
                     sk = jax.lax.dynamic_update_slice_in_dim(
                         sk, ssk[None], pids[i], axis=0)
                     sv = jax.lax.dynamic_update_slice_in_dim(
@@ -820,32 +831,33 @@ class PagedKVPool:
     cached until allocation pressure evicts them (LRU)."""
 
     def __init__(self, n_layers: int, n_pages: int, n_kv_heads: int,
-                 page_size: int, head_dim: int, dtype=jnp.bfloat16):
+                 page_size: int, head_dim: int, dtype=jnp.bfloat16,
+                 head_shards: int = 1):
         self.ps = page_size
         self.n_pages = n_pages
+        self.n_kv_heads = n_kv_heads
+        kv = n_kv_heads * head_dim
         # dtype "int8" (or jnp.int8): pages store int8 codes plus one f32
-        # scale per (token row, kv head) — ops/kv_quant.py format. ~2x the
-        # tokens per byte of HBM vs bf16; the paged kernels quantize at
-        # the in-kernel cache write and dequantize on chunk load.
+        # scale per (token row, kv head) — head-major (P, HkvP, ps)
+        # sidecars, ops/kv_quant.py. ~2x the tokens per byte of HBM vs
+        # bf16; the paged kernels quantize at the in-kernel cache write
+        # and dequantize on chunk load. head_shards: pad the sidecar's
+        # head rows so every TP shard's slice is whole f32 tiles.
         self.quantized = dtype in ("int8", jnp.int8)
         if self.quantized:
+            rows = kv_quant.head_rows(n_kv_heads, head_shards)
+            self.scale_rows = rows
             self.pools = [
-                {"pk": jnp.zeros((n_pages, n_kv_heads, page_size, head_dim),
-                                 jnp.int8),
-                 "pv": jnp.zeros((n_pages, n_kv_heads, page_size, head_dim),
-                                 jnp.int8),
-                 "sk": jnp.zeros((n_pages, n_kv_heads, 8, page_size),
-                                 jnp.float32),
-                 "sv": jnp.zeros((n_pages, n_kv_heads, 8, page_size),
-                                 jnp.float32)}
+                {"pk": jnp.zeros((n_pages, page_size, kv), jnp.int8),
+                 "pv": jnp.zeros((n_pages, page_size, kv), jnp.int8),
+                 "sk": jnp.zeros((n_pages, rows, page_size), jnp.float32),
+                 "sv": jnp.zeros((n_pages, rows, page_size), jnp.float32)}
                 for _ in range(n_layers)
             ]
         else:
             self.pools = [
-                {"pk": jnp.zeros((n_pages, n_kv_heads, page_size, head_dim),
-                                 dtype),
-                 "pv": jnp.zeros((n_pages, n_kv_heads, page_size, head_dim),
-                                 dtype)}
+                {"pk": jnp.zeros((n_pages, page_size, kv), dtype),
+                 "pv": jnp.zeros((n_pages, page_size, kv), dtype)}
                 for _ in range(n_layers)
             ]
         self._free = list(range(n_pages - 1, -1, -1))
@@ -1021,11 +1033,45 @@ class PagedContinuousBatchEngine:
 
         self._prime_dense = jax.jit(
             functools.partial(_prime_dense_impl, ps=self.ps,
-                              max_seq=self.maxp * self.ps),
+                              max_seq=self.maxp * self.ps,
+                              n_kv_heads=config.n_kv_heads),
             donate_argnums=(1,))
         self._scatter_all = jax.jit(
-            functools.partial(_scatter_all_impl, ps=self.ps),
+            functools.partial(_scatter_all_impl, ps=self.ps,
+                              n_kv_heads=config.n_kv_heads),
             donate_argnums=(0,))
+        # zeroed admission temp cache built IN-GRAPH: the eager
+        # init_kv_cache issues 2*n_layers small zeros dispatches, which
+        # cost ~0.3 s per admission over the tunnel at 7B
+        dense_dtype = (jnp.bfloat16 if self.pool.quantized
+                       else self.pool.pools[0]["pk"].dtype)
+        self._fresh_dense = jax.jit(functools.partial(
+            common.init_kv_cache, 1, self.maxp * self.ps, config.n_layers,
+            config.n_kv_heads, config.head_dim, dense_dtype))
+
+        def _admit_impl(params, tokens, start, pools, spids, npids, first,
+                        cnt, prime):
+            # whole (non-chunked) admission as ONE dispatch: zeroed temp
+            # cache in-graph, optional shared-page prime, suffix prefill,
+            # scatter of the new pages back into the pool (eagerly these
+            # were 3 dispatches + ~60 zeros; ~50 ms each over the tunnel)
+            dense = common.init_kv_cache(
+                1, self.maxp * self.ps, config.n_layers, config.n_kv_heads,
+                config.head_dim, dense_dtype)
+            if prime:
+                dense = _prime_dense_impl(
+                    pools, dense, spids, ps=self.ps,
+                    max_seq=self.maxp * self.ps,
+                    n_kv_heads=config.n_kv_heads)
+            _, dense = mod.prefill(config, specs, params, tokens, dense,
+                                   backend=backend, dtype=dtype,
+                                   start=start)
+            return _scatter_all_impl(pools, dense, npids, first, cnt,
+                                     ps=self.ps,
+                                     n_kv_heads=config.n_kv_heads)
+
+        self._admit_paged = jax.jit(_admit_impl, static_argnums=(8,),
+                                    donate_argnums=(3,))
 
         self._slots = [_Slot() for _ in range(slots)]
         self._slot_pages: List[List[int]] = [[] for _ in range(slots)]
@@ -1109,20 +1155,30 @@ class PagedContinuousBatchEngine:
         # start and scatter wrong rows into the pool when max_seq is not
         # a page multiple (review finding); full pages also keep the
         # token axis ps-aligned for the flash/fused kernels
-        dense = common.init_kv_cache(
-            1, self.maxp * self.ps, self.config.n_layers,
-            self.config.n_kv_heads, self.config.head_dim,
-            # int8 pools: the prefill temp cache stays full-precision;
-            # rows are quantized at the pool scatter (ops/kv_quant.py)
-            jnp.bfloat16 if self.pool.quantized
-            else self.pool.pools[0]["pk"].dtype)
-        if n_shared:
-            spids = jnp.asarray(_bucket_pow2(shared_pids), jnp.int32)
-            dense = self._prime_dense(self.pool.pools, dense, spids)
+        # int8 pools: the prefill temp cache stays full-precision; rows
+        # are quantized at the pool scatter (ops/kv_quant.py). The temp
+        # cache only materializes for the chunked-staging and TP paths —
+        # the single-device whole-suffix admission runs zeros + prime +
+        # prefill + scatter as ONE fused dispatch (_admit_paged below).
+        chunked = bool(self.prefill_chunk
+                       and len(suffix) > self.prefill_chunk)
+        dense = None
+        if chunked or not hasattr(self, "_admit_paged"):
+            if hasattr(self, "_fresh_dense"):
+                dense = self._fresh_dense()  # one dispatch, zeros in-graph
+            else:  # TP subclass: sharded eager init
+                dense = common.init_kv_cache(
+                    1, self.maxp * self.ps, self.config.n_layers,
+                    self.config.n_kv_heads, self.config.head_dim,
+                    jnp.bfloat16 if self.pool.quantized
+                    else self.pool.pools[0]["pk"].dtype)
+            if n_shared:
+                spids = jnp.asarray(_bucket_pow2(shared_pids), jnp.int32)
+                dense = self._prime_dense(self.pool.pools, dense, spids)
         rid = self._next_id
         self._next_id += 1
         _set_slot_sampling(self, idx, rid, sampling)
-        if self.prefill_chunk and len(suffix) > self.prefill_chunk:
+        if chunked:
             # chunked admission: the page table stays zeroed and pos -1
             # (inactive to every kernel) until the staging cache is
             # complete and scattered; page REGISTRATION also waits —
@@ -1142,9 +1198,30 @@ class PagedContinuousBatchEngine:
         padded = np.zeros((1, min(-(-len(suffix) // b) * b, self.max_seq)),
                           np.int32)
         padded[0, : len(suffix)] = suffix
-        _, dense = self._prefill(self.params, jnp.asarray(padded), dense,
-                                 jnp.asarray(start, jnp.int32))
-        self._finish_admission(idx, prompt, dense, pids, n_shared, chain_key)
+        if hasattr(self, "_admit_paged"):
+            covered = -(-plen // self.ps)
+
+            def _pow2(pl):
+                m = 1
+                while m < len(pl):
+                    m *= 2
+                return pl + [pl[-1]] * (m - len(pl))
+
+            spids = jnp.asarray(_pow2(shared_pids or [0]), jnp.int32)
+            npids = jnp.asarray(
+                _pow2(pids[n_shared:covered] or [0]), jnp.int32)
+            self.pool.pools = self._admit_paged(
+                self.params, jnp.asarray(padded),
+                jnp.asarray(start, jnp.int32), self.pool.pools, spids,
+                npids, jnp.asarray(n_shared, jnp.int32),
+                jnp.asarray(max(0, covered - n_shared), jnp.int32),
+                bool(n_shared))
+            self._register_and_seed(idx, prompt, pids, n_shared, chain_key)
+        else:  # TP subclass: sharded prime/prefill/scatter dispatches
+            _, dense = self._prefill(self.params, jnp.asarray(padded), dense,
+                                     jnp.asarray(start, jnp.int32))
+            self._finish_admission(idx, prompt, dense, pids, n_shared,
+                                   chain_key)
         self._slots[idx] = _Slot(active=True, request_id=rid, pos=plen - 1,
                                  max_new=max_new_tokens, generated=0,
                                  tokens=[], stop=tuple(stop_tokens))
@@ -1172,6 +1249,13 @@ class PagedContinuousBatchEngine:
                 self.pool.pools, dense, npids,
                 jnp.asarray(n_shared, jnp.int32),
                 jnp.asarray(covered - n_shared, jnp.int32))
+        self._register_and_seed(idx, prompt, pids, n_shared, chain_key)
+
+    def _register_and_seed(self, idx, prompt, pids, n_shared,
+                           chain_key) -> None:
+        """Post-scatter admission bookkeeping: prefix registration, page
+        table, decode seeds."""
+        plen = len(prompt)
         # register the prompt's full pages (excl. the final page) for reuse
         self.pool.register_chain(chain_key, prompt, n_shared,
                                  max(n_shared, (plen - 1) // self.ps), pids)
@@ -1420,7 +1504,8 @@ class TPPagedContinuousBatchEngine(PagedContinuousBatchEngine):
         self.params = tpm.put_params(sparams, pspecs, self.mesh)
 
         self.pool = PagedKVPool(config.n_layers, n_pages, config.n_kv_heads,
-                                page_size, config.head_dim, cache_dtype)
+                                page_size, config.head_dim, cache_dtype,
+                                head_shards=tp)
         self.pool.pools = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
             self.pool.pools,

@@ -25,9 +25,25 @@ import jax.numpy as jnp
 from squeezellm_tpu import serving
 from squeezellm_tpu.models import llama
 from squeezellm_tpu.ops import paged_attn
-from squeezellm_tpu.ops.kv_quant import (dequantize_rows, pack_scales,
-                                         quantize_rows, sidecar_shape,
-                                         unpack_scales)
+from squeezellm_tpu.ops.kv_quant import (dequantize_rows, head_rows,
+                                         pool_pack_scales,
+                                         pool_unpack_scales, quantize_rows)
+
+
+def _flatp(pool):
+    """Head-major test pool (P, Hkv, ps, hd) -> token-major
+    (P, ps, Hkv*hd) kernel layout."""
+    P, Hkv, ps, hd = pool.shape
+    return np.ascontiguousarray(
+        pool.transpose(0, 2, 1, 3).reshape(P, ps, Hkv * hd))
+
+
+def _hmp(pool, Hkv):
+    """Token-major kernel pool -> head-major test view."""
+    pool = np.asarray(pool)
+    P, ps, KV = pool.shape
+    hd = KV // Hkv
+    return pool.reshape(P, ps, Hkv, hd).transpose(0, 2, 1, 3)
 from squeezellm_tpu.quantize import pipeline
 
 
@@ -91,15 +107,16 @@ def test_q8_decode_kernel_matches_mirror():
     rcos, rsin = _rope_cs(np.maximum(lengths - 1, 0), hd)
     out, pk2, pv2, sk2, sv2 = paged_attn.paged_decode_attention_q8(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        jnp.asarray(pk), jnp.asarray(pv),
-        pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
+        jnp.asarray(_flatp(pk)), jnp.asarray(_flatp(pv)),
+        pool_pack_scales(jnp.asarray(sk)), pool_pack_scales(jnp.asarray(sv)),
         jnp.asarray(pt), jnp.asarray(lengths), page_size=ps,
         rope_cos=rcos, rope_sin=rsin,
         interpret=True)
-    out, pk2, pv2 = np.asarray(out), np.asarray(pk2), np.asarray(pv2)
+    out = np.asarray(out)
+    pk2, pv2 = _hmp(pk2, Hkv), _hmp(pv2, Hkv)
     # back to (P, Hkv, ps, 1) row scales for the mirror comparison
-    sk2 = np.asarray(unpack_scales(sk2))
-    sv2 = np.asarray(unpack_scales(sv2))
+    sk2 = np.asarray(pool_unpack_scales(sk2, Hkv))
+    sv2 = np.asarray(pool_unpack_scales(sv2, Hkv))
 
     # inactive slot: no output, no write
     assert np.abs(out[1]).max() == 0.0
@@ -163,15 +180,15 @@ def test_q8_verify_kernel_matches_mirror():
     rcos, rsin = _rope_cs(start[:, None] + np.arange(W), hd)
     out, pk2, pv2, sk2, sv2 = paged_attn.paged_verify_attention_q8(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        jnp.asarray(pk), jnp.asarray(pv),
-        pack_scales(jnp.asarray(sk)), pack_scales(jnp.asarray(sv)),
+        jnp.asarray(_flatp(pk)), jnp.asarray(_flatp(pv)),
+        pool_pack_scales(jnp.asarray(sk)), pool_pack_scales(jnp.asarray(sv)),
         jnp.asarray(pt), jnp.asarray(start), page_size=ps,
         rope_cos=rcos, rope_sin=rsin,
         interpret=True)
     out = np.asarray(out)
-    pk2, pv2 = np.asarray(pk2), np.asarray(pv2)
-    sk2 = np.asarray(unpack_scales(sk2))
-    sv2 = np.asarray(unpack_scales(sv2))
+    pk2, pv2 = _hmp(pk2, Hkv), _hmp(pv2, Hkv)
+    sk2 = np.asarray(pool_unpack_scales(sk2, Hkv))
+    sv2 = np.asarray(pool_unpack_scales(sv2, Hkv))
 
     assert np.abs(out[1]).max() == 0.0
 
@@ -246,14 +263,14 @@ def test_q8_pool_memory_layout():
                  for v in e8.pool.pools[0].values())
     bytes16 = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                   for v in e16.pool.pools[0].values())
-    # int8 codes halve the data bytes; the lane-major scale sidecar adds
-    # one (8, L) f32 tile per page-head (kv_quant.pack_scales: row 0
-    # live, 7 zero rows for f32 DMA-tile alignment). At the test's tiny
-    # hd=16/ps=8 the sidecar dominates; at real dims (hd=128, ps=128) it
-    # is 32 bytes/token, i.e. (1 + 32/hd)/2 = 0.625x the bf16 pool.
+    # int8 codes halve the data bytes; the head-major scale sidecar adds
+    # (HkvP, ps) f32 per page (kv_quant.pool_pack_scales: kv-head rows
+    # padded to the 8-sublane f32 tile). At real dims (Hkv=32, hd=128)
+    # that is 1 byte/element of codes + 1/hd scale f32 per (token, head)
+    # ~= 0.52x the bf16 pool.
     n_pages = int(e8.pool.pools[0]["sk"].shape[0])
-    side_elems = int(np.prod(sidecar_shape(PS)))
-    scale_bytes = 2 * n_pages * config.n_kv_heads * side_elems * 4
+    rows = head_rows(config.n_kv_heads)
+    scale_bytes = 2 * n_pages * rows * PS * 4
     assert bytes8 == bytes16 // 2 + scale_bytes
 
 
@@ -461,12 +478,13 @@ def test_q8_model_logits_within_quant_tolerance():
             qk, sk = _quant_np(hist_k)
             qv, sv = _quant_np(hist_v)
             if q8:
-                c = {"pk": jnp.asarray(qk), "pv": jnp.asarray(qv),
-                     "sk": pack_scales(jnp.asarray(sk)),
-                     "sv": pack_scales(jnp.asarray(sv))}
+                c = {"pk": jnp.asarray(_flatp(qk)),
+                     "pv": jnp.asarray(_flatp(qv)),
+                     "sk": pool_pack_scales(jnp.asarray(sk)),
+                     "sv": pool_pack_scales(jnp.asarray(sv))}
             else:
-                c = {"pk": jnp.asarray(qk.astype(np.float32) * sk),
-                     "pv": jnp.asarray(qv.astype(np.float32) * sv)}
+                c = {"pk": jnp.asarray(_flatp(qk.astype(np.float32) * sk)),
+                     "pv": jnp.asarray(_flatp(qv.astype(np.float32) * sv))}
             caches.append(dict(c, pt=pt))
         logits, _ = mod.decode_step(config, specs, params, tok, pos, caches,
                                     backend="xla")

@@ -9,6 +9,23 @@ import jax.numpy as jnp
 from squeezellm_tpu.ops import paged_attn
 
 
+def _flat(pool):
+    """Head-major test pool (P, Hkv, ps, hd) -> token-major (P, ps, Hkv*hd)
+    kernel layout."""
+    P, Hkv, ps, hd = pool.shape
+    return np.ascontiguousarray(
+        pool.transpose(0, 2, 1, 3).reshape(P, ps, Hkv * hd))
+
+
+def _hm(pool, Hkv):
+    """Token-major (P, ps, Hkv*hd) kernel pool -> head-major test view."""
+    pool = np.asarray(pool)
+    P, ps, KV = pool.shape
+    hd = KV // Hkv
+    return pool.reshape(P, ps, Hkv, hd).transpose(0, 2, 1, 3)
+
+
+
 def _oracle(q, k_all, v_all, lengths):
     """Dense reference: per slot, softmax attention over its first
     lengths[b] positions. q (B,H,hd); k/v (B,Hkv,S,hd)."""
@@ -54,11 +71,11 @@ def test_paged_attention_matches_dense(g, ps):
 
     out, pk2, pv2 = paged_attn.paged_decode_attention(
         jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
-        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(_flat(pool_k)), jnp.asarray(_flat(pool_v)),
         jnp.asarray(page_tables), jnp.asarray(lengths),
         page_size=ps, interpret=True,
     )
-    pk2, pv2 = np.asarray(pk2), np.asarray(pv2)
+    pk2, pv2 = _hm(pk2, Hkv), _hm(pv2, Hkv)
 
     # the kernel must have written k_new/v_new at each slot's last position
     for b in range(B):
@@ -93,13 +110,13 @@ def test_inactive_slot_zero_length():
     vn = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
     out, pk2, _ = paged_attn.paged_decode_attention(
         jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
-        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(_flat(pool_k)), jnp.asarray(_flat(pool_v)),
         jnp.asarray(page_tables), jnp.asarray(lengths),
         page_size=ps, interpret=True,
     )
     # inactive slot: finite output (0/eps), no write into page 0
     assert np.isfinite(np.asarray(out)[0]).all()
-    np.testing.assert_allclose(np.asarray(pk2)[0], pool_k[0])
+    np.testing.assert_allclose(_hm(pk2, Hkv)[0], pool_k[0])
 
 
 def test_paged_attention_rope_parity():
@@ -124,7 +141,7 @@ def test_paged_attention_rope_parity():
     cos, sin = common.rope_cos_sin(jnp.asarray(pos), hd, 10000.0)
     out_r, pk_r, pv_r = paged_attn.paged_decode_attention(
         jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
-        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(_flat(pool_k)), jnp.asarray(_flat(pool_v)),
         jnp.asarray(page_tables), jnp.asarray(lengths),
         page_size=ps, rope_cos=cos, rope_sin=sin, interpret=True,
     )
@@ -135,7 +152,7 @@ def test_paged_attention_rope_parity():
                            cos[:, None, :], sin[:, None, :])[:, :, 0, :]
     out_x, pk_x, pv_x = paged_attn.paged_decode_attention(
         qr, kr, jnp.asarray(v_new),
-        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(_flat(pool_k)), jnp.asarray(_flat(pool_v)),
         jnp.asarray(page_tables), jnp.asarray(lengths),
         page_size=ps, interpret=True,
     )
@@ -168,11 +185,12 @@ def test_paged_verify_window_matches_oracle():
 
     out, pk2, pv2 = paged_attn.paged_verify_attention(
         jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
-        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(_flat(pool_k)), jnp.asarray(_flat(pool_v)),
         jnp.asarray(page_tables), jnp.asarray(start),
         page_size=ps, interpret=True,
     )
-    out, pk2, pv2 = np.asarray(out), np.asarray(pk2), np.asarray(pv2)
+    out = np.asarray(out)
+    pk2, pv2 = _hm(pk2, Hkv), _hm(pv2, Hkv)
 
     # inactive slot wrote nothing, emitted zeros
     np.testing.assert_array_equal(pk2[page_tables[2]], pool_k[page_tables[2]])
@@ -224,7 +242,7 @@ def test_paged_verify_window_rope_parity():
     cos, sin = common.rope_cos_sin(jnp.asarray(positions), hd, 10000.0)
     out_r, pk_r, pv_r = paged_attn.paged_verify_attention(
         jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
-        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(_flat(pool_k)), jnp.asarray(_flat(pool_v)),
         jnp.asarray(page_tables), jnp.asarray(start),
         page_size=ps, rope_cos=cos, rope_sin=sin, interpret=True,
     )
@@ -232,7 +250,7 @@ def test_paged_verify_window_rope_parity():
     kr = common.apply_rope(jnp.asarray(k_new), cos, sin)
     out_x, pk_x, pv_x = paged_attn.paged_verify_attention(
         qr, kr, jnp.asarray(v_new),
-        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(_flat(pool_k)), jnp.asarray(_flat(pool_v)),
         jnp.asarray(page_tables), jnp.asarray(start),
         page_size=ps, interpret=True,
     )
@@ -260,11 +278,12 @@ def test_paged_attention_sliding_window():
 
     out, pk2, pv2 = paged_attn.paged_decode_attention(
         jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
-        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(_flat(pool_k)), jnp.asarray(_flat(pool_v)),
         jnp.asarray(page_tables), jnp.asarray(lengths),
         page_size=ps, sliding_window=win, interpret=True,
     )
-    out, pk2, pv2 = np.asarray(out), np.asarray(pk2), np.asarray(pv2)
+    out = np.asarray(out)
+    pk2, pv2 = _hm(pk2, Hkv), _hm(pv2, Hkv)
     S = maxp * ps
     for b in range(B):
         n = int(lengths[b])
@@ -289,11 +308,12 @@ def test_paged_attention_sliding_window():
     vnw = rng.standard_normal((B, Hkv, W, hd)).astype(np.float32)
     outw, pk3, pv3 = paged_attn.paged_verify_attention(
         jnp.asarray(qw), jnp.asarray(knw), jnp.asarray(vnw),
-        jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(_flat(pool_k)), jnp.asarray(_flat(pool_v)),
         jnp.asarray(page_tables), jnp.asarray(start),
         page_size=ps, sliding_window=win, interpret=True,
     )
-    outw, pk3, pv3 = np.asarray(outw), np.asarray(pk3), np.asarray(pv3)
+    outw = np.asarray(outw)
+    pk3, pv3 = _hm(pk3, Hkv), _hm(pv3, Hkv)
     for b in range(B):
         k_all = np.zeros((Hkv, S, hd)); v_all = np.zeros((Hkv, S, hd))
         for p in range(maxp):
