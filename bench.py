@@ -28,7 +28,7 @@ import numpy as np
 
 
 def _build_quantized_llama(config, bits, sparsity, key=None,
-                           quant_head: bool = False):
+                           quant_head: bool = False, topx: int = 0):
     """Random quantized LLaMA (specs, params) built HOST-SIDE in numpy.
 
     Host-side generation matters doubly on the axon tunnel: device-side RNG
@@ -51,7 +51,7 @@ def _build_quantized_llama(config, bits, sparsity, key=None,
     # keeps build time and upload volume at one-layer cost per shape.
     cache = {}
 
-    def module_arrays(o, i, nnz_pad):
+    def module_arrays(o, i, nnz_pad, with_topx=0):
         if (o, i) not in cache:
             nw = formats.n_words(i, bits)
             d = {
@@ -71,6 +71,14 @@ def _build_quantized_llama(config, bits, sparsity, key=None,
                 plan = spmv.build_plan(rows, cols, vals, o, i)
                 d.update(sp_rows=rows, sp_cols=cols, sp_vals=vals,
                          sg_meta=plan.meta, sg_vals=plan.vals)
+            if with_topx:
+                # hybrid top-X dense channels (every published sparse
+                # sq-* checkpoint carries topX=10,
+                # /root/reference/llama.py:301-306)
+                d["topx_weights"] = (rng.standard_normal(
+                    (i, with_topx)) * 0.05).astype(np.float32)
+                d["topx_indices"] = rng.choice(
+                    o, with_topx, replace=False).astype(np.int32)
             cache[(o, i)] = (d, plan)
         return cache[(o, i)]
 
@@ -86,8 +94,8 @@ def _build_quantized_llama(config, bits, sparsity, key=None,
             nnz = int(o * i * sparsity)
             nnz_pad = 0 if nnz == 0 else max(512, -(-nnz // 512) * 512)
             qspec = QuantLinearSpec(bits=bits, in_features=i, out_features=o,
-                                    nnz_pad=nnz_pad)
-            arrays, plan = module_arrays(o, i, nnz_pad)
+                                    nnz_pad=nnz_pad, topx=topx)
+            arrays, plan = module_arrays(o, i, nnz_pad, with_topx=topx)
             param_d[name] = dict(arrays)
             if plan is not None:
                 qspec = dataclasses.replace(
@@ -238,9 +246,13 @@ def _phase_quant():
         # quant_head on TPU: the flagship ships a quantized lm_head (the
         # bf16 head alone streams 262 MB/token); pipeline parity exists
         # (cli quantize --quantize-lm-head). CPU smoke keeps the bf16 head.
+        # topx=10 matches every published sparse sq-* checkpoint
+        # (/root/reference/llama.py:301-306); measured cost on v5e is
+        # within run noise (the hybrid one-hot chain fuses into the
+        # decode dispatch pipeline).
         specs, params = _build_quantized_llama(
             config, bits=bits, sparsity=0.0045, key=jax.random.PRNGKey(0),
-            quant_head=on_tpu,
+            quant_head=on_tpu, topx=10 if on_tpu else 0,
         )
         if on_tpu:
             from squeezellm_tpu.models import fuse

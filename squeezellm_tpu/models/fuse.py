@@ -41,7 +41,6 @@ def _fusable(specs: Dict[str, LinearSpec], names) -> bool:
     return all(
         l.quant.bits == q0.bits
         and l.in_features == ls[0].in_features
-        and l.quant.topx == 0  # hybrid channels: keep unfused (rare path)
         for l in ls
     )
 
@@ -89,9 +88,25 @@ def _fuse_linears(names, specs, params, build_spmv=True):
         new_p["sp_cols"] = np.pad(cols.astype(np.int32), (0, nnz_pad - len(cols)))
         new_p["sp_vals"] = np.pad(vals.astype(np.float32), (0, nnz_pad - len(vals)))
 
+    topx_tot = 0
+    if any(l.quant.topx for l in ls):
+        # hybrid top-X channels fuse too: indices move to the fused
+        # output space (offset per member), weights concatenate along the
+        # channel axis — one hybrid_matmul per fused linear instead of
+        # one per member (each costs ~3 small XLA ops per decode step)
+        ws, idxs = [], []
+        for off, l, p in zip(offsets, ls, ps):
+            if not l.quant.topx:
+                continue
+            ws.append(np.asarray(p["topx_weights"]))
+            idxs.append(np.asarray(p["topx_indices"]) + off)
+        new_p["topx_weights"] = np.concatenate(ws, axis=1)
+        new_p["topx_indices"] = np.concatenate(idxs).astype(np.int32)
+        topx_tot = int(new_p["topx_indices"].shape[0])
+
     qspec = QuantLinearSpec(
         bits=bits, in_features=in_f, out_features=out_f,
-        has_bias=has_bias, nnz_pad=nnz_pad,
+        has_bias=has_bias, nnz_pad=nnz_pad, topx=topx_tot,
     )
     spec = LinearSpec(in_features=in_f, out_features=out_f,
                       has_bias=has_bias, quant=qspec)
