@@ -41,6 +41,7 @@ def _oracle(q, k_new, v_new, ck, cv, lengths, sliding_window=None):
 
 
 @pytest.mark.parametrize("g,window", [(1, None), (2, None), (1, 24)])
+@pytest.mark.smoke
 def test_fused_dense_decode_attention_parity(g, window):
     rng = np.random.default_rng(0)
     B, Hkv, S, hd = 3, 2, 64, 32
@@ -123,6 +124,7 @@ def test_fused_dense_decode_full_cache():
     assert ck2.dtype == jnp.bfloat16
 
 
+@pytest.mark.smoke
 def test_llama_decode_step_pallas_uses_fused_attention():
     """Model-level: pallas decode (fused attention) == xla decode."""
     from squeezellm_tpu.models import llama

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -21,6 +22,7 @@ def _engine():
     return engine_mod.Engine("llama", TINY, specs, params, backend="xla")
 
 
+@pytest.mark.smoke
 def test_generate_greedy_deterministic():
     eng = _engine()
     prompt = np.array([[1, 2, 3, 4]], dtype=np.int32)
@@ -46,6 +48,7 @@ def test_generate_matches_forward_argmax():
     np.testing.assert_array_equal(out, seq)
 
 
+@pytest.mark.smoke
 def test_benchmark_stats_and_check():
     eng = _engine()
     ids = np.arange(8, dtype=np.int32)[None] % TINY.vocab_size

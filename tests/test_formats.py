@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from squeezellm_tpu import formats
 
 

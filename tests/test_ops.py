@@ -17,6 +17,7 @@ def _random_quantized(rng, out_f, in_f, bits):
 
 
 @pytest.mark.parametrize("bits", [3, 4])
+@pytest.mark.smoke
 def test_xla_dequantize_matches_numpy(bits):
     rng = np.random.default_rng(0)
     lut, codes, qweight, w_dense = _random_quantized(rng, 48, 80, bits)
@@ -26,6 +27,7 @@ def test_xla_dequantize_matches_numpy(bits):
 
 @pytest.mark.parametrize("bits", [3, 4])
 @pytest.mark.parametrize("batch", [1, 5])
+@pytest.mark.smoke
 def test_xla_lut_matmul(bits, batch):
     rng = np.random.default_rng(1)
     lut, codes, qweight, w_dense = _random_quantized(rng, 48, 80, bits)
@@ -34,6 +36,7 @@ def test_xla_lut_matmul(bits, batch):
     np.testing.assert_allclose(np.asarray(y), x @ w_dense, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_sparse_matmul_matches_dense():
     rng = np.random.default_rng(2)
     out_f, in_f = 40, 64
@@ -52,6 +55,7 @@ def test_sparse_matmul_matches_dense():
     np.testing.assert_allclose(np.asarray(y), x @ dense.T, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_hybrid_matmul_additive():
     rng = np.random.default_rng(3)
     in_f, out_f, topx = 32, 24, 5
@@ -65,6 +69,7 @@ def test_hybrid_matmul_additive():
 
 
 @pytest.mark.parametrize("bits", [3, 4])
+@pytest.mark.smoke
 def test_pallas_interpret_matches_xla(bits):
     from squeezellm_tpu.ops import pallas_ops
 
@@ -130,6 +135,7 @@ def test_pallas_interpret_unaligned_shapes():
 
 @pytest.mark.parametrize("bits", [3, 4])
 @pytest.mark.parametrize("sparse", [False, True])
+@pytest.mark.smoke
 def test_quant_linear_end_to_end(bits, sparse):
     """pack_linear + quant_linear_apply reconstructs x @ W^T including the
     zero-correction identity at outlier slots (quant.py:117-123 semantics)."""

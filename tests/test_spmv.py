@@ -28,6 +28,7 @@ def test_plan_numpy_oracle(o, i, frac):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_plan_duplicate_and_shared_source_entries():
     """Duplicate (r, c) pairs and many entries sharing one source column
     exercise the read-sharing path (impossible for the old butterfly)."""
@@ -45,6 +46,7 @@ def test_plan_duplicate_and_shared_source_entries():
 
 
 @pytest.mark.parametrize("batch", [None, 3])
+@pytest.mark.smoke
 def test_kernel_interpret_matches_dense(batch):
     rng = np.random.default_rng(1)
     o, i, nnz = 4096, 1024, 18874
@@ -63,6 +65,7 @@ def test_kernel_interpret_matches_dense(batch):
                                atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_quant_linear_spmv_path_matches_xla():
     """pack_linear(build_spmv) + pallas backend == xla COO path."""
     rng = np.random.default_rng(2)
