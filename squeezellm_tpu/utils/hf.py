@@ -57,6 +57,15 @@ def load_tokenizer(model_dir: str):
         from squeezellm_tpu.utils.xgen_tokenizer import XgenTokenizer
 
         return XgenTokenizer.from_assets(model_dir)
+    if not has_tokenizer(model_dir):
+        raise FileNotFoundError(
+            f"no tokenizer assets in {model_dir!r}. The models/ zoo ships "
+            "config.json only (tokenizer files are download-blocked and "
+            "license-encumbered — see models/README.md): drop in "
+            "tokenizer.model (llama/vicuna/mistral), vocab.json + "
+            "merges.txt (opt), or gpt2.tiktoken/encoder.json (xgen) from "
+            "the family's HF repo. Token-ID workflows (quantize, "
+            "benchmark, serve-bench, prompt_tokens) need no tokenizer.")
     from transformers import AutoTokenizer
 
     return AutoTokenizer.from_pretrained(model_dir, use_fast=False,
