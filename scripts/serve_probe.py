@@ -43,7 +43,11 @@ def prefix_probe(config, specs, params, backend, on_tpu):
         # suffix bucket + page prime) — without this the measured run
         # pays a ~25 s one-time compile and the comparison is garbage
         eng.run(prompts[:2], max_new_tokens=2, window=8)
-        # instrumented run (localizes admission vs decode cost)
+        # instrumented run. NOTE: admissions are NOT fenced — a
+        # block_until_ready per admission costs a full transport RTT
+        # (~29 ms) and the dispatch pipelining the engine relies on;
+        # t_admit is the HOST enqueue share, the device cost lands in
+        # the following step_window wall.
         t_admit = t_step = 0.0
         n_admit = n_step = 0
         pending = list(prompts[2:])
@@ -53,7 +57,6 @@ def prefix_probe(config, specs, params, backend, on_tpu):
             while pending and eng.free_slots() > 0:
                 ta = time.perf_counter()
                 rid = eng.add_request(pending.pop(0), 16)
-                jax.block_until_ready(eng.pool.pools[0]["pk"])
                 t_admit += time.perf_counter() - ta
                 n_admit += 1
                 results[rid] = []
@@ -61,8 +64,8 @@ def prefix_probe(config, specs, params, backend, on_tpu):
             out = eng.step_window(8)
             t_step += time.perf_counter() - ts
             n_step += 1
-            for rid, toks in out.items():
-                results.setdefault(rid, []).extend(toks)
+            for rid, r in out.items():
+                results.setdefault(rid, []).extend(r["new_tokens"])
         dt = time.perf_counter() - t0
         total = sum(len(t) for t in results.values())
         print(f"prefix={mode:9s}: {total} tokens in {dt:.2f}s "

@@ -127,9 +127,37 @@ class Engine:
                  jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
             return out[:max_new], wins, acc
 
+        def _gen_step(params, tok, pos, cache, temp, topk, topp, seed,
+                      sampled):
+            """One generation step with ON-DEVICE token select and
+            position advance — generate() enqueues these back-to-back
+            with zero per-step host work beyond the dispatch itself (a
+            decode + argmax + pos+1 as three separate dispatches cost
+            ~6 ms/token of host/transport overhead at 7B on the tunnel
+            transport)."""
+            logits, cache = mod.decode_step(config, specs, params, tok, pos,
+                                            cache, backend=backend,
+                                            dtype=dtype)
+            if sampled:
+                from squeezellm_tpu import sampling
+
+                lg = logits[:, -1].astype(jnp.float32)
+                bsz = lg.shape[0]
+                nxt = sampling.sample_tokens(
+                    lg, jnp.full((bsz,), temp, jnp.float32),
+                    jnp.full((bsz,), topk, jnp.int32),
+                    jnp.full((bsz,), topp, jnp.float32),
+                    jnp.arange(bsz, dtype=jnp.int32),
+                    jnp.full((bsz,), pos, jnp.int32), seed)
+            else:
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return nxt[:, None], pos + 1, cache
+
         # donate the cache: decode updates it in place on device
         self._prefill = jax.jit(_prefill, donate_argnums=(2,))
         self._decode = jax.jit(_decode, donate_argnums=(3,))
+        self._gen_step = jax.jit(_gen_step, static_argnums=(7, 8),
+                                 donate_argnums=(3,))
         self._verify = jax.jit(_verify, donate_argnums=(3,))
         self._spec_loop = jax.jit(_spec_loop, static_argnums=(3, 4, 5),
                                   donate_argnums=(2,))
@@ -175,13 +203,16 @@ class Engine:
         # graph and retrace the decode step at every position.
         pos = jnp.asarray(s, jnp.int32)
         tok = self._select(logits, temperature, top_k, top_p, pos, seed)
+        sampled = temperature > 0.0
         for i in range(max_new_tokens):
             out.append(tok)
             if i == max_new_tokens - 1:
                 break
-            logits, cache = self._decode(self.params, tok, pos, cache)
-            tok = self._select(logits, temperature, top_k, top_p, pos, seed)
-            pos = pos + 1
+            # one dispatch per token (decode + select + advance on device)
+            tok, pos, cache = self._gen_step(
+                self.params, tok, pos, cache,
+                jnp.float32(temperature), jnp.int32(top_k),
+                jnp.float32(top_p), seed, sampled)
         return np.asarray(jnp.concatenate(out, axis=1))
 
     def generate_speculative(
