@@ -28,12 +28,15 @@ N_LAYERS = 32
 HIDDEN = 4096
 VOCAB = 32000
 
-# measured on v5e (README "Measured performance", profile_decode.py)
+# measured on v5e, round 4 (README "Measured performance",
+# profile_decode.py: lut self-time 7.4 ms at w4; attention 0.18 + norms
+# 0.37 + tail ~= 0.6 ms of unsharded "other"; quantized lm_head ~0.17;
+# sparse folded into the lut kernels ~0.15)
 MEASURED = {
-    4: dict(lut_vpu_ms=8.2, lut_dma_ms=4.0, sparse_ms=0.40, lm_head_ms=0.44,
-            other_ms=1.0, total_ms=9.67),
-    3: dict(lut_vpu_ms=2.76, lut_dma_ms=2.98, sparse_ms=0.40, lm_head_ms=0.44,
-            other_ms=1.0, total_ms=5.86),
+    4: dict(lut_vpu_ms=7.40, lut_dma_ms=4.0, sparse_ms=0.15, lm_head_ms=0.17,
+            other_ms=0.57, total_ms=8.29),
+    3: dict(lut_vpu_ms=2.76, lut_dma_ms=2.98, sparse_ms=0.15, lm_head_ms=0.17,
+            other_ms=0.57, total_ms=4.89),
 }
 
 ICI_LAT_S = 2e-6          # per-hop collective latency (public v5e ~1-3us)
