@@ -194,6 +194,12 @@ def attach_decode_luts(specs, params, transposed: bool = False):
                         extra["lut_w"] = wide_lut(np.asarray(lut), q.bits)
                     memo[key] = extra
                 pd[name] = dict(pd[name], **memo[key])
+            # NOTE: a precomputed one-hot 'topx_sel' (hybrid_matmul's
+            # optional operand) was measured SLOWER than the in-graph
+            # iota+compare on v5e (-2.3% flagship): XLA fuses the
+            # selector build into the placement matmul for free, while a
+            # materialized selector pays ~1.5 MB of HBM reads per fused
+            # linear per step. Left unattached by default.
             if (q.nnz_pad and q.sgb_rows == 0 and "sp_rows" in pd[name]
                     and "sgb_meta" not in pd[name]):
                 bkey = (id(pd[name]["sp_rows"]), id(pd[name]["sp_vals"]))

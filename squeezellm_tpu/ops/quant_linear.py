@@ -148,7 +148,8 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
             )
     if spec.topx > 0:
         y = y + xla_ops.hybrid_matmul(
-            x, params["topx_weights"], params["topx_indices"], spec.out_features
+            x, params["topx_weights"], params["topx_indices"],
+            spec.out_features, topx_sel=params.get("topx_sel"),
         )
     if spec.has_bias:
         y = y + params["bias"]

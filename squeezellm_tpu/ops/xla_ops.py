@@ -68,7 +68,8 @@ def sparse_matmul(x, sp_rows, sp_cols, sp_vals, out_features: int):
     return y.at[..., sp_rows].add(contrib, indices_are_sorted=False)
 
 
-def hybrid_matmul(x, topx_weights, topx_indices, out_features: int):
+def hybrid_matmul(x, topx_weights, topx_indices, out_features: int,
+                  topx_sel=None):
     """Top-X dense-channel contribution (additive, matching atomicAdd
     semantics of DenseMatVecKernel, quant_cuda_kernel.cu:1091-1123).
 
@@ -78,14 +79,21 @@ def hybrid_matmul(x, topx_weights, topx_indices, out_features: int):
     checkpoint carries topX=10, so a scatter here would tax each linear of
     every decode step. One-hot placement is exact: each output column of
     the selector has at most one nonzero, so the dot sums a single product
-    (HIGHEST keeps the f32 value unrounded on the MXU)."""
+    (HIGHEST keeps the f32 value unrounded on the MXU).
+
+    topx_sel: optional precomputed (topX, out) one-hot selector
+    (models/fuse.attach_decode_luts attaches it as 'topx_sel'): building
+    the selector in-graph costs an iota+compare+cast per call — ~2 extra
+    ops per linear per decode step, measured ~0.2 ms/step at 7B/w3."""
     # topx_weights: (in, topX)
     part = jnp.matmul(
         x.astype(jnp.float32), topx_weights, preferred_element_type=jnp.float32
     )  # (..., topX)
-    sel = (
-        topx_indices[:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (1, out_features), 1)
-    ).astype(jnp.float32)  # (topX, out)
+    sel = topx_sel
+    if sel is None:
+        sel = (
+            topx_indices[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, out_features), 1)
+        ).astype(jnp.float32)  # (topX, out)
     return jnp.matmul(part, sel, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
