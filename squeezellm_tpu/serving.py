@@ -276,8 +276,8 @@ class ContinuousBatchEngine:
         # token axis rounded to 16 (128 for int8 codes): keeps the fused
         # decode attention kernel's tile-aligned chunking engaged for any
         # max_seq (extra rows sit beyond every position, never attended).
-        # int8 rounds to the scale-group width so the lane-major sidecar
-        # (ops/kv_quant.py) stays GROUP-aligned on hardware.
+        # int8 rounds to 128 so the head-major scale sidecar's token-lane
+        # groups stay whole (ops/decode_attn.py q8 layout).
         calign = 128 if cache_dtype in ("int8", jnp.int8) else 16
         s_aligned = -(-self.max_seq // calign) * calign
         self.cache = common.init_kv_cache(
