@@ -14,7 +14,7 @@ export PYTHONPATH=/root/.axon_site:.
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_comp_cache}
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 
-STAGES=${*:-verify probe_fused probe_w3 batch serve prefix kv8 chunked bench}
+STAGES=${*:-verify attn probe_fused probe_w3 batch serve prefix kv8 chunked bench}
 FAILED=0
 
 run() {  # run <name> <timeout_s> <cmd...>
@@ -38,6 +38,9 @@ for s in $STAGES; do
   case $s in
     verify)      # all kernels incl. decode_attn/rope/paged_verify/flash
       run verify 2400 python -u scripts/tpu_verify.py ;;
+    attn)        # model-level fused-vs-XLA attention parity (1-layer,
+                 # bit-level cache checks; MHA/GQA/f32/bf16/int8/sliding)
+      run attn 2400 python -u scripts/hw_attn_check.py ;;
     probe_fused) # fused attention A/B, scan vs engine protocol, w4
       SQUEEZELLM_FUSED_ATTN=1 run probe_f1 3000 python -u scripts/decode_probe.py \
           --variants pallasbf16-s45-bf16act-fused pallasbf16-s45-bf16act-fused-eng --steps 64
@@ -58,7 +61,8 @@ for s in $STAGES; do
       run serve_spec 3600 python -u scripts/serve_probe.py --spec 8
       SQUEEZELLM_DENSE_WINDOW=chained run serve_chained 3600 \
           python -u scripts/serve_probe.py 8 ;;
-    prefix)      # OPEN BUG: prefix-shared admission 15x slower on hw
+    prefix)      # prefix sharing (round 4: 266 vs 149 tok/s; admissions
+                 # must NOT be fenced per-request — see serve_probe)
       run admission 3600 python -u scripts/admission_probe.py
       run prefix 3600 python -u scripts/serve_probe.py --prefix ;;
     kv8)         # int8 KV pool: attention bytes A/B at full context
