@@ -75,7 +75,10 @@ def main():
         lengths = jnp.full((B,), ctx - 1, jnp.int32)  # steady state: full
         from squeezellm_tpu.models import common as _c
         rcos, rsin = _c.rope_cos_sin(lengths - 1, hd, 10000.0)
-        hist = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+        hist4 = rng.standard_normal((P, Hkv, ps, hd)).astype(np.float32)
+        # token-major pool layout (P, ps, Hkv*hd) — round 4
+        hist = np.ascontiguousarray(
+            hist4.transpose(0, 2, 1, 3).reshape(P, ps, Hkv * hd))
 
         # bf16 pools
         pk = jnp.asarray(hist, jnp.bfloat16)
@@ -91,8 +94,11 @@ def main():
 
         t16 = bench_loop(step16, (q, pk, pv, jnp.float32(0)), K=args.iters)
 
-        # int8 pools + f32 row scales
-        qk, sk = kv_quant.quantize_rows(jnp.asarray(hist))
+        # int8 pools + head-major f32 scale sidecars
+        qk4, sk4 = kv_quant.quantize_rows(jnp.asarray(hist4))
+        qk = jnp.asarray(np.ascontiguousarray(
+            np.asarray(qk4).transpose(0, 2, 1, 3).reshape(P, ps, Hkv * hd)))
+        sk = kv_quant.pool_pack_scales(sk4)
         qv, sv = qk, sk
 
         def step8(c):
