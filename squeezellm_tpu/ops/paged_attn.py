@@ -138,59 +138,50 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
         wk.wait()
         wv.wait()
 
-    # attention streams 32-row SUB-PAGE chunks (pages are contiguous, so
-    # a chunk never crosses a page, just picks its page + offset): a full
-    # 128-row page DMA over a ~40-token slot would stream 3x the valid
-    # bytes. 32 rows covers both the bf16 (16) and f32 (8) tile heights;
-    # tiny interpret-mode pages fall back to whole pages.
-    ch = 32 if ps % 32 == 0 else ps
-    cpp = ps // ch  # chunks per page (static)
-    nchunks = jax.lax.div(n + ch - 1, ch)
-    c0 = jax.lax.div(lo, ch)
-
-    def k_copy(c, slot):
-        pid = pt_ref[b, jax.lax.div(c, cpp)]
-        # offset spelled rem(c, cpp) * ch so Mosaic can PROVE the DMA
-        # start is tile-aligned (it cannot reason through rem(c*ch, ps))
+    # attention streams WHOLE pages, double-buffered. 32-row sub-chunking
+    # and a hybrid (whole pages + 32-row tail) were both built and
+    # measured (round 4): at high occupancy sub-chunk DMAs are
+    # issue-bound (0.465 vs 0.158 ms/layer at 8 slots x 2048 tokens) and
+    # the hybrid's per-step branchy copy selection costs ~7 us/step;
+    # whole-page reads overread at most one partial page per slot
+    # (~1.2 us) — the simple page loop wins everywhere tested.
+    def k_copy(p, slot):
         return pltpu.make_async_copy(
-            pk_ref.at[pid, pl.ds(jax.lax.rem(c, cpp) * ch, ch)],
-            kbuf.at[slot], ksem.at[slot])
+            pk_ref.at[pt_ref[b, p]], kbuf.at[slot], ksem.at[slot])
 
-    def v_copy(c, slot):
-        pid = pt_ref[b, jax.lax.div(c, cpp)]
+    def v_copy(p, slot):
         return pltpu.make_async_copy(
-            pv_ref.at[pid, pl.ds(jax.lax.rem(c, cpp) * ch, ch)],
-            vbuf.at[slot], vsem.at[slot])
+            pv_ref.at[pt_ref[b, p]], vbuf.at[slot], vsem.at[slot])
 
-    @pl.when(c0 < nchunks)
+    @pl.when(p0 < npages)
     def _prologue():
-        k_copy(c0, jax.lax.rem(c0, 2)).start()
-        v_copy(c0, jax.lax.rem(c0, 2)).start()
+        k_copy(p0, jax.lax.rem(p0, 2)).start()
+        v_copy(p0, jax.lax.rem(p0, 2)).start()
 
     q = q_ref[0].astype(jnp.float32)  # (H, hd)
     if rope:
         q = _rope_apply(q, cos_ref[0], sin_ref[0])
     qbd = _block_diag_q(q, hkv, g)  # (H, Hkv*hd)
 
-    def body(c, carry):
+    def body(p, carry):
         m, l, acc = carry
-        slot = jax.lax.rem(c, 2)
+        slot = jax.lax.rem(p, 2)
 
-        @pl.when(c + 1 < nchunks)
+        @pl.when(p + 1 < npages)
         def _next():
-            k_copy(c + 1, 1 - slot).start()
-            v_copy(c + 1, 1 - slot).start()
+            k_copy(p + 1, 1 - slot).start()
+            v_copy(p + 1, 1 - slot).start()
 
-        k_copy(c, slot).wait()
-        v_copy(c, slot).wait()
-        k = kbuf[slot].astype(jnp.float32)  # (ch, Hkv*hd)
+        k_copy(p, slot).wait()
+        v_copy(p, slot).wait()
+        k = kbuf[slot].astype(jnp.float32)  # (ps, Hkv*hd)
         v = vbuf[slot].astype(jnp.float32)
 
         logits = jax.lax.dot_general(
             qbd, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (H, ch)
-        pos = c * ch + jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+        ) * scale  # (H, ps)
+        pos = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
         logits = jnp.where((pos < n) & (pos >= lo), logits, NEG_INF)
 
         m2 = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
@@ -204,7 +195,7 @@ def _paged_attn_kernel(pt_ref, len_ref, q_ref, kn_ref, vn_ref,
     init = (jnp.full((H, 1), NEG_INF, jnp.float32),
             jnp.zeros((H, 1), jnp.float32),
             jnp.zeros((H, hkv * hd), jnp.float32))
-    m, l, acc = jax.lax.fori_loop(c0, nchunks, body, init)
+    m, l, acc = jax.lax.fori_loop(p0, npages, body, init)
     out_ref[0] = _extract_diag(acc, hkv, g, hd) / jnp.maximum(l, 1e-30)
 
 
@@ -511,10 +502,8 @@ def paged_decode_attention(q, k_new, v_new, pool_k, pool_v, page_tables,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 32 if ps % 32 == 0 else ps, Hkv * hd),
-                       pool_k.dtype),
-            pltpu.VMEM((2, 32 if ps % 32 == 0 else ps, Hkv * hd),
-                       pool_v.dtype),
+            pltpu.VMEM((2, ps, Hkv * hd), pool_k.dtype),
+            pltpu.VMEM((2, ps, Hkv * hd), pool_v.dtype),
             pltpu.VMEM((min(16, ps), Hkv * hd), pool_k.dtype),
             pltpu.VMEM((min(16, ps), Hkv * hd), pool_v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
