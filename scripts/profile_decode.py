@@ -2,7 +2,11 @@
 time — quantifies inter-op scheduling gaps (the residual the block-level
 kernel tuning can't see).
 
-Run: PYTHONPATH=.:/root/.axon_site python -u scripts/profile_decode.py [bits]
+Run: PYTHONPATH=.:/root/.axon_site python -u scripts/profile_decode.py \
+         [bits] [--plain]
+
+Default builds the FLAGSHIP configuration (quantized lm_head + topX=10
+hybrid channels — what bench.py measures); --plain drops both.
 """
 
 import sys
@@ -19,10 +23,15 @@ from squeezellm_tpu.utils import profiling
 
 
 def main():
-    bits = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    print("backend:", jax.default_backend(), flush=True)
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    bits = int(args[0]) if args else 3
+    flagship = "--plain" not in sys.argv
+    print("backend:", jax.default_backend(), "bits:", bits,
+          "flagship:", flagship, flush=True)
     config = llama.LlamaConfig(max_seq=128, n_layers=32)
-    specs, params = _build_quantized_llama(config, bits=bits, sparsity=0.0045)
+    specs, params = _build_quantized_llama(
+        config, bits=bits, sparsity=0.0045,
+        quant_head=flagship, topx=10 if flagship else 0)
     specs, params = fuse.fuse_for_decode("llama", specs, params)
     params = put_dedup(params)
     eng = engine_mod.Engine("llama", config, specs, params,

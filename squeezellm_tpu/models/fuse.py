@@ -20,6 +20,7 @@ q/k/v channels across shards).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List
 
 import numpy as np
@@ -194,12 +195,31 @@ def attach_decode_luts(specs, params, transposed: bool = False):
                         extra["lut_w"] = wide_lut(np.asarray(lut), q.bits)
                     memo[key] = extra
                 pd[name] = dict(pd[name], **memo[key])
-            # NOTE: a precomputed one-hot 'topx_sel' (hybrid_matmul's
+            # NOTE: a precomputed f32 one-hot 'topx_sel' (hybrid_matmul's
             # optional operand) was measured SLOWER than the in-graph
-            # iota+compare on v5e (-2.3% flagship): XLA fuses the
-            # selector build into the placement matmul for free, while a
-            # materialized selector pays ~1.5 MB of HBM reads per fused
-            # linear per step. Left unattached by default.
+            # iota+compare on v5e at w4 (-2.3% flagship): a materialized
+            # selector pays ~1.5 MB of HBM reads per fused linear per
+            # step. But the round-5 w3 profile showed the s32 indices
+            # being copied to scalar memory at ~9 us per dispatch, so an
+            # f32 index copy is attached for the 'onehot-f' mode (64
+            # bytes; vector-memory path), and SQUEEZELLM_TOPX_MODE=sel[-bf16]
+            # attaches the materialized selector for A/Bs.
+            if q.topx and "topx_idx_f" not in pd[name]:
+                tkey = ("topx", id(pd[name]["topx_indices"]), q.out_features)
+                if tkey not in memo:
+                    idx = np.asarray(pd[name]["topx_indices"])
+                    extra = {"topx_idx_f": idx.astype(np.float32)}
+                    tmode = os.environ.get("SQUEEZELLM_TOPX_MODE", "")
+                    if tmode in ("sel", "sel-bf16"):
+                        sel = np.zeros((q.topx, q.out_features), np.float32)
+                        sel[np.arange(q.topx), idx] = 1.0
+                        if tmode == "sel-bf16":
+                            import ml_dtypes
+
+                            sel = sel.astype(ml_dtypes.bfloat16)
+                        extra["topx_sel"] = sel
+                    memo[tkey] = extra
+                pd[name] = dict(pd[name], **memo[tkey])
             if (q.nnz_pad and q.sgb_rows == 0 and "sp_rows" in pd[name]
                     and "sgb_meta" not in pd[name]):
                 bkey = (id(pd[name]["sp_rows"]), id(pd[name]["sp_vals"]))

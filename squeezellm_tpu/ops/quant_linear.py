@@ -150,6 +150,7 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
         y = y + xla_ops.hybrid_matmul(
             x, params["topx_weights"], params["topx_indices"],
             spec.out_features, topx_sel=params.get("topx_sel"),
+            topx_idx_f=params.get("topx_idx_f"),
         )
     if spec.has_bias:
         y = y + params["bias"]

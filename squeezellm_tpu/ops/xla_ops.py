@@ -69,7 +69,7 @@ def sparse_matmul(x, sp_rows, sp_cols, sp_vals, out_features: int):
 
 
 def hybrid_matmul(x, topx_weights, topx_indices, out_features: int,
-                  topx_sel=None):
+                  topx_sel=None, topx_idx_f=None):
     """Top-X dense-channel contribution (additive, matching atomicAdd
     semantics of DenseMatVecKernel, quant_cuda_kernel.cu:1091-1123).
 
@@ -81,19 +81,54 @@ def hybrid_matmul(x, topx_weights, topx_indices, out_features: int,
     the selector has at most one nonzero, so the dot sums a single product
     (HIGHEST keeps the f32 value unrounded on the MXU).
 
-    topx_sel: optional precomputed (topX, out) one-hot selector
-    (models/fuse.attach_decode_luts attaches it as 'topx_sel'): building
-    the selector in-graph costs an iota+compare+cast per call — ~2 extra
-    ops per linear per decode step, measured ~0.2 ms/step at 7B/w3."""
+    Placement strategy (SQUEEZELLM_TOPX_MODE, trace-time like the other
+    A/B env gates; default 'auto'):
+      'auto'     scatter at GEMV/serving batch (<= 16 rows), one-hot
+        matmul above. Measured on v5e (scripts/topx_probe.py, w3
+        flagship): every one-hot variant loses ~0.45 ms/step to the
+        scatter at decode — the in-graph compare makes XLA copy each
+        tiny s32 index array into SCALAR memory every dispatch
+        (~9 us/copy, copy-done s32[10|30]{S(1)} in the trace), while a
+        <=30-element scatter is near-free. At eval-stride batches the
+        MXU placement matmul amortizes and scatter's near-serial row
+        loop does not.
+      'onehot'   in-graph iota+compare on the s32 indices.
+      'onehot-f' same compare against an f32 copy of the indices
+        ('topx_idx_f', attached by models/fuse.attach_decode_luts) — f32
+        operands take the vector-memory path (~0.08 ms/step cheaper).
+      'sel'      precomputed f32 selector ('topx_sel').
+      'scatter'  y.at[idx].add for every batch size.
+    """
+    import os
+
+    import numpy as np
+
     # topx_weights: (in, topX)
     part = jnp.matmul(
         x.astype(jnp.float32), topx_weights, preferred_element_type=jnp.float32
     )  # (..., topX)
+    mode = os.environ.get("SQUEEZELLM_TOPX_MODE", "auto")
+    if mode == "auto":
+        flat_b = int(np.prod(x.shape[:-1]))
+        mode = "scatter" if flat_b <= 16 else "onehot"
     sel = topx_sel
+    if sel is None and mode == "scatter":
+        y = jnp.zeros(x.shape[:-1] + (out_features,), jnp.float32)
+        return y.at[..., topx_indices].add(part)
+    if sel is None and mode == "onehot-f" and topx_idx_f is not None:
+        sel = (
+            topx_idx_f[:, None]
+            == jax.lax.broadcasted_iota(jnp.float32, (1, out_features), 1)
+        ).astype(jnp.float32)
     if sel is None:
         sel = (
             topx_indices[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (1, out_features), 1)
         ).astype(jnp.float32)  # (topX, out)
+    if sel.dtype == jnp.bfloat16:
+        # bf16 selector: one MXU pass, part rounded to bf16 — the same
+        # numeric regime as the pallas-bf16 decode path
+        return jnp.matmul(part.astype(jnp.bfloat16), sel,
+                          preferred_element_type=jnp.float32)
     return jnp.matmul(part, sel, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)

@@ -194,10 +194,13 @@ def test_make_random_params_shapes():
     assert np.isfinite(np.asarray(y)).all()
 
 
-def test_hybrid_matmul_no_scatter_in_hlo():
-    """Decode path with topX channels + sparse plan must lower without any
-    scatter op (XLA scatter is near-serial on TPU; reference fuses the
-    dense channels into the kernel launch, quant_cuda_kernel.cu:1091-1163)."""
+def test_hybrid_matmul_batch_policy_in_hlo():
+    """topX placement policy (measured v5e, scripts/topx_probe.py round 5):
+    at GEMV/serving batch a <=topX-element scatter beats every one-hot
+    variant by ~0.45 ms/step (the in-graph compare forces a per-dispatch
+    scalar-memory copy of the s32 indices); at eval-stride batch the
+    scatter's near-serial row loop loses (~298 us at b=2048) and the
+    one-hot MXU placement matmul must be used. Pin both sides."""
     import jax
 
     from squeezellm_tpu.ops.quant_linear import (
@@ -213,11 +216,20 @@ def test_hybrid_matmul_no_scatter_in_hlo():
     spec, params = spmv.attach_plan(
         spec, {k: np.asarray(v) for k, v in params.items()})
     params = jax.tree.map(jnp.asarray, params)
-    x = jnp.asarray(rng.standard_normal((1, i)).astype(np.float32))
-    hlo = jax.jit(
+    x1 = jnp.asarray(rng.standard_normal((1, i)).astype(np.float32))
+    hlo1 = jax.jit(
         lambda p, a: quant_linear_apply(spec, p, a, backend="pallas")
-    ).lower(params, x).as_text()
-    assert "scatter" not in hlo
+    ).lower(params, x1).as_text()
+    assert "scatter" in hlo1  # decode: scatter placement
+
+    from squeezellm_tpu.ops import xla_ops
+
+    xb = jnp.asarray(rng.standard_normal((2048, i)).astype(np.float32))
+    hlo_b = jax.jit(
+        lambda w, idx, a: xla_ops.hybrid_matmul(a, w, idx, o)
+    ).lower(params["topx_weights"], params["topx_indices"], xb).as_text()
+    # big batch: one-hot matmul placement, no per-row scatter
+    assert "scatter" not in hlo_b
 
 
 @pytest.mark.parametrize("bits", [3, 4])
