@@ -152,3 +152,195 @@ def test_zero_correction_identity():
         spec, jax.tree.map(jnp.asarray, params), jnp.asarray(x), backend="xla")
     np.testing.assert_allclose(np.asarray(y)[0, 2], w[2, 7], rtol=1e-6,
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# EXECUTED-reference oracle (round-5, VERDICT item 3): instead of
+# transcribing the reference, import and RUN its own Python —
+# squeezellm/outliers.py remove_outliers and squeezellm/quant.py
+# QuantLinearLUT.pack2 (the real 3-bit cross-word bit-spill packer) — on a
+# tiny model, then pin convert.convert_state_dict -> model forward against
+# the ground-truth dequantized weights. quant_cuda is stubbed: it is only
+# touched by the reference's forward, never by pack2.
+# ---------------------------------------------------------------------------
+
+_REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    import os
+    import sys
+    import types
+
+    if not os.path.isdir(_REFERENCE_DIR):
+        pytest.skip("reference repo not present")
+    torch = pytest.importorskip("torch")
+    sys.modules.setdefault("quant_cuda", types.ModuleType("quant_cuda"))
+    sys.path.insert(0, _REFERENCE_DIR)
+    try:
+        import squeezellm.outliers as ref_outliers  # noqa: F401
+        import squeezellm.quant as ref_quant  # noqa: F401
+    finally:
+        sys.path.remove(_REFERENCE_DIR)
+    return torch, ref_quant, ref_outliers
+
+
+def _fit_channel_luts_sklearn(w_np, g_np, bits):
+    """Per-channel sensitivity-weighted k-means via the reference's own
+    sklearn call (nuq.py:50-58 parameters)."""
+    luts = []
+    for r in range(w_np.shape[0]):
+        centers, labels = _reference_kmeans_fit(
+            w_np[r].reshape(-1, 1).astype(np.float32),
+            g_np[r].astype(np.float32), 2**bits)
+        luts.append([(centers.astype(np.float32), labels)])
+    return luts
+
+
+@pytest.mark.parametrize("bits", [3, 4])
+def test_executed_reference_pack2_to_engine_logits(reference_modules, bits):
+    """Real reference code packs a tiny llama; our converter + forward must
+    reproduce the ground-truth dequantized model's logits exactly.
+
+    Pipeline: reference remove_outliers (sensitivity path, executed) ->
+    reference sklearn k-means call per channel -> reference
+    QuantLinearLUT.pack2 (executed: bit-spill packing + CSR +
+    zero-correction) -> state_dict with reference key names ->
+    convert.convert_state_dict -> models.llama.forward. Oracle: the same
+    forward over dense w_eff where w_eff = centroids[labels] with true
+    outlier values restored (the zero-correction identity)."""
+    torch, ref_quant, ref_outliers = reference_modules
+
+    from squeezellm_tpu import convert
+    from squeezellm_tpu.models import llama
+
+    config = llama.LlamaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64, n_layers=2,
+        n_heads=2, n_kv_heads=2, max_seq=32)
+    shapes = config.linear_shapes()
+    hf_names = {
+        "q": "self_attn.q_proj", "k": "self_attn.k_proj",
+        "v": "self_attn.v_proj", "o": "self_attn.o_proj",
+        "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+        "down": "mlp.down_proj",
+    }
+
+    rng = np.random.default_rng(11)
+    sd = {}
+    dense_eff_layers = []
+    total_nnz = 0
+    for li in range(config.n_layers):
+        # layer-level weight/gradient dicts, as the reference's nuq.py
+        # feeds them to remove_outliers (model_layers[name] = (out, in))
+        w_dict = {n: torch.tensor(
+            rng.normal(size=shapes[n]).astype(np.float32)) for n in shapes}
+        g_dict = {n: torch.tensor(
+            np.abs(rng.normal(size=shapes[n])).astype(np.float32) + 1e-3)
+            for n in shapes}
+        orig = {n: w_dict[n].clone() for n in w_dict}
+
+        # EXECUTED reference outlier extraction (sensitivity top-k%):
+        # mutates w_dict in place (outliers zeroed), returns the outliers
+        outlier_list = ref_outliers.remove_outliers(
+            model=w_dict, sensitivity=0.5, outlier_config=None,
+            gradients=g_dict)
+        names = list(w_dict.keys())
+
+        eff = {}
+        for idx, n in enumerate(names):
+            out_f, in_f = shapes[n]
+            w_zeroed = w_dict[n].numpy()
+            outliers_dense = outlier_list[0][idx]
+            nnz = int((outliers_dense != 0).sum())
+            assert nnz > 0
+            total_nnz += nnz
+
+            luts = _fit_channel_luts_sklearn(
+                w_zeroed, g_dict[n].numpy(), bits)
+
+            # EXECUTED reference packer (pack2 mutates the sparse outliers
+            # in place applying the zero-correction, then bit-packs)
+            lin = torch.nn.Linear(in_f, out_f, bias=False)
+            with torch.no_grad():
+                lin.weight.copy_(torch.tensor(w_zeroed))
+            mod = ref_quant.QuantLinearLUT(
+                bits, in_f, out_f, bias=False, include_sparse=True,
+                numvals=nnz, topX=0)
+            mod.pack2(lin, (luts, outliers_dense.clone().to_sparse()),
+                      include_sparse=True)
+
+            prefix = f"model.layers.{li}.{hf_names[n]}."
+            for key, buf in mod.state_dict().items():
+                sd[prefix + key] = buf
+
+            # ground truth: centroid per slot, true value at outlier slots
+            w_eff = np.stack([
+                luts[r][0][0][luts[r][0][1].astype(np.int64)]
+                for r in range(out_f)
+            ])
+            mask = outliers_dense.numpy() != 0
+            w_eff[mask] = orig[n].numpy()[mask]
+            eff[n] = {"w": w_eff.astype(np.float32)}
+
+        eff["input_norm"] = 1.0 + 0.1 * rng.normal(
+            size=(config.hidden_size,)).astype(np.float32)
+        eff["post_norm"] = 1.0 + 0.1 * rng.normal(
+            size=(config.hidden_size,)).astype(np.float32)
+        sd[f"model.layers.{li}.input_layernorm.weight"] = eff["input_norm"]
+        sd[f"model.layers.{li}.post_attention_layernorm.weight"] = (
+            eff["post_norm"])
+        dense_eff_layers.append(eff)
+
+    embed = rng.normal(size=(config.vocab_size,
+                             config.hidden_size)).astype(np.float32) * 0.1
+    fnorm = 1.0 + 0.1 * rng.normal(size=(config.hidden_size,)).astype(
+        np.float32)
+    head = rng.normal(size=(config.vocab_size,
+                            config.hidden_size)).astype(np.float32) * 0.1
+    sd["model.embed_tokens.weight"] = embed
+    sd["model.norm.weight"] = fnorm
+    sd["lm_head.weight"] = head
+
+    specs, params = convert.convert_state_dict(sd, "llama", config, bits)
+    params = jax.tree.map(jnp.asarray, params)
+
+    dense_params = {
+        "embed": jnp.asarray(embed),
+        "final_norm": jnp.asarray(fnorm),
+        "lm_head": {"w": jnp.asarray(head)},
+        "layers": [jax.tree.map(jnp.asarray, d) for d in dense_eff_layers],
+    }
+    dspecs = llama.dense_specs(config)
+
+    tokens = jnp.asarray((rng.integers(0, config.vocab_size,
+                                       (1, 12))).astype(np.int32))
+    got = llama.forward(config, specs, params, tokens, backend="xla",
+                        dtype=jnp.float32)
+    want = llama.forward(config, dspecs, dense_params, tokens, backend="xla",
+                         dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # byte-level inversion: our unpack of the reference's executed packing
+    # recovers the exact labels for every module
+    from squeezellm_tpu import formats as _f
+
+    for li in range(config.n_layers):
+        for n, hf in hf_names.items():
+            out_f, in_f = shapes[n]
+            ref_q = sd[f"model.layers.{li}.{hf}.qweight"]
+            codes = _f.unpack_codes_ref(np.asarray(ref_q), bits, in_f)
+            lut_sd = np.asarray(
+                sd[f"model.layers.{li}.{hf}.lookup_table"])
+            deq = np.take_along_axis(lut_sd, codes.T.astype(np.int64),
+                                     axis=1)
+            w_eff = dense_eff_layers[li][n]["w"]
+            # non-outlier slots dequant exactly to the fitted centroid
+            ref_rows = sd[f"model.layers.{li}.{hf}.rows"]
+            ref_cols = np.asarray(sd[f"model.layers.{li}.{hf}.cols"])
+            mask = np.zeros((out_f, in_f), bool)
+            crow = np.asarray(ref_rows)
+            for r in range(out_f):
+                mask[r, ref_cols[crow[r]:crow[r + 1]]] = True
+            np.testing.assert_array_equal(deq[~mask], w_eff[~mask])
