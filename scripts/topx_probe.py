@@ -14,7 +14,7 @@ import sys
 
 import numpy as np
 
-MODES = ["onehot", "onehot-f", "sel", "sel-bf16", "scatter", "none"]
+MODES = ["auto", "none"]
 
 
 def run_mode(mode, bits):

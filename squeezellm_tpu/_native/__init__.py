@@ -18,6 +18,16 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def open_library(path: str) -> ctypes.CDLL:
+    """Load a built library and declare its C ABI. Raises OSError if the
+    file is missing/unloadable. Used by load() for the committed binary
+    and by tests for rebuild-provenance checks (tests/test_native.py
+    rebuilds from csrc/ and compares behavior against the committed .so)."""
+    lib = ctypes.CDLL(path)
+    _declare_abi(lib)
+    return lib
+
+
 def load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _tried:
@@ -27,31 +37,33 @@ def load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(path):
         return None
     try:
-        lib = ctypes.CDLL(path)
-        lib.nuq_weighted_kmeans_batched.argtypes = [
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_uint32, ctypes.c_double,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.nuq_weighted_kmeans_batched.restype = None
-        lib.spmv_plan.argtypes = [
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_double, ctypes.c_double, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.spmv_plan.restype = ctypes.c_int64
-        _lib = lib
+        _lib = open_library(path)
     except OSError:
         _lib = None
     return _lib
+
+
+def _declare_abi(lib: ctypes.CDLL) -> None:
+    lib.nuq_weighted_kmeans_batched.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.nuq_weighted_kmeans_batched.restype = None
+    lib.spmv_plan.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.spmv_plan.restype = ctypes.c_int64
 
 
 def available() -> bool:

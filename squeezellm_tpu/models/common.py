@@ -31,17 +31,23 @@ class LinearSpec:
         return self.quant is not None
 
 
-def apply_linear(spec: LinearSpec, params, x, *, backend: str = "auto"):
-    """y = x @ W^T (+ b). Dense params: {'w': (out, in), 'b'?}; quantized:
-    the quant_linear params dict."""
+def apply_linear(spec: LinearSpec, params, x, *, backend: str = "auto",
+                 y0=None):
+    """y = y0 + x @ W^T (+ b). Dense params: {'w': (out, in), 'b'?};
+    quantized: the quant_linear params dict. y0 (optional) is a residual
+    the quantized Pallas decode path folds into the kernel's output-block
+    init (ops/pallas_ops.lut_matmul) — other paths add it as an op."""
     if spec.is_quant:
-        return quant_linear_apply(spec.quant, params, x, backend=backend)
+        return quant_linear_apply(spec.quant, params, x, backend=backend,
+                                  y0=y0)
     # contract on w's second axis directly — `w.T` tempts XLA to materialize
     # a transposed copy of every weight (2x HBM on a dense 7B model)
     y = jnp.einsum(
         "...i,oi->...o", x, params["w"].astype(x.dtype),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
+    if y0 is not None:
+        y = y + y0.astype(x.dtype)
     if spec.has_bias:
         y = y + params["b"].astype(x.dtype)
     return y

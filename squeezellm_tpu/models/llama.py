@@ -162,8 +162,22 @@ def from_torch_state_dict(config: LlamaConfig, sd, dtype=jnp.float32) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _o_proj(specs, params, out, residual, backend, axis_name):
+    """o-projection with the residual add FOLDED into the quantized
+    kernel's output-block init when unsharded (ops/pallas_ops.lut_matmul
+    y0 operand — one fewer XLA add op per layer per decode step). Under
+    TP the o-proj is row-parallel: partials must psum BEFORE the residual
+    joins (folding y0 pre-psum would add it tp times)."""
+    if axis_name is None:
+        return common.apply_linear(specs["o"], params["o"], out,
+                                   backend=backend, y0=residual)
+    y = common.apply_linear(specs["o"], params["o"], out, backend=backend)
+    y = jax.lax.psum(y, axis_name)
+    return y if residual is None else residual + y
+
+
 def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
-                backend="auto", axis_name=None):
+                backend="auto", axis_name=None, residual=None):
     b, s, h = x.shape
     # head counts derive from the (possibly TP-sharded) linear specs, not the
     # config: under shard_map each device owns n_heads/tp local heads.
@@ -244,10 +258,8 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                 interpret=jax.default_backend() not in ("tpu",))
             cache = {"k": ck2, "v": cv2}
         out = out3[:, None, :, :].astype(x.dtype).reshape(b, s, nh * hd)
-        out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
-        if axis_name is not None:
-            out = jax.lax.psum(out, axis_name)
-        return out, cache
+        return _o_proj(specs, params, out, residual, backend,
+                       axis_name), cache
 
     if cache is not None and "pk" in cache:
         # paged KV (serving): fused rope + cache-write + page-table
@@ -312,10 +324,8 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
                  else dict(cache, pk=pk2, pv=pv2))
         out = out3.astype(x.dtype)  # (B, H, s, hd)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
-        out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
-        if axis_name is not None:
-            out = jax.lax.psum(out, axis_name)
-        return out, cache
+        return _o_proj(specs, params, out, residual, backend,
+                       axis_name), cache
 
     q = common.apply_rope_tm(q, cos, sin)
     k = common.apply_rope_tm(k, cos, sin)
@@ -384,13 +394,11 @@ def _attn_block(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
         out = common.attention(q, k, v, mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
     # o-proj is row-parallel under TP: partial products reduce over the axis
-    out = common.apply_linear(specs["o"], params["o"], out, backend=backend)
-    if axis_name is not None:
-        out = jax.lax.psum(out, axis_name)
-    return out, cache
+    return _o_proj(specs, params, out, residual, backend, axis_name), cache
 
 
-def _mlp_block(specs, params, x, backend="auto", axis_name=None):
+def _mlp_block(specs, params, x, backend="auto", axis_name=None,
+               residual=None):
     if "gateup" in specs:  # decode-time fused projection (models/fuse.py)
         gu = common.apply_linear(specs["gateup"], params["gateup"], x,
                                  backend=backend)
@@ -400,23 +408,27 @@ def _mlp_block(specs, params, x, backend="auto", axis_name=None):
         gate = common.apply_linear(specs["gate"], params["gate"], x,
                                    backend=backend)
         up = common.apply_linear(specs["up"], params["up"], x, backend=backend)
+    if axis_name is None:
+        # residual folds into the down-proj kernel init (see _o_proj)
+        return common.apply_linear(
+            specs["down"], params["down"], jax.nn.silu(gate) * up,
+            backend=backend, y0=residual)
     y = common.apply_linear(
         specs["down"], params["down"], jax.nn.silu(gate) * up, backend=backend
     )
-    if axis_name is not None:
-        y = jax.lax.psum(y, axis_name)  # down-proj is row-parallel
-    return y
+    y = jax.lax.psum(y, axis_name)  # down-proj is row-parallel
+    return y if residual is None else residual + y
 
 
 def _layer(config, specs, params, x, cos, sin, mask, cache=None, pos=None,
            backend="auto", axis_name=None):
     h = common.rms_norm(x, params["input_norm"], config.rms_eps)
-    attn_out, cache = _attn_block(
-        config, specs, params, h, cos, sin, mask, cache, pos, backend, axis_name
+    x, cache = _attn_block(
+        config, specs, params, h, cos, sin, mask, cache, pos, backend,
+        axis_name, residual=x
     )
-    x = x + attn_out
     h = common.rms_norm(x, params["post_norm"], config.rms_eps)
-    x = x + _mlp_block(specs, params, h, backend, axis_name)
+    x = _mlp_block(specs, params, h, backend, axis_name, residual=x)
     return x, cache
 
 

@@ -158,8 +158,10 @@ def _dequant_plane_gather(s, lut_t_ref, bits, mask_idx):
 #   mantissa bits is NOT exact (measured 5e-3 rel err) — rejected.
 
 
-def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
-                       mode: str, b_blk: int, precision, interpret: bool):
+def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, *rest, bits: int, cpw: int,
+                       mode: str, b_blk: int, precision, interpret: bool,
+                       has_y0: bool = False, n_i: int = 1,
+                       cast_out: bool = False):
     """One (batch-block, out-block, in-block) grid step.
 
     x_ref:   (cpw * B_BLK, W_BLK) f32 — plane-major activation slice:
@@ -169,23 +171,40 @@ def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, out_ref, *, bits: int, cpw: int,
              miscompile silently in Mosaic (wrong values on hardware).
     qw_ref:  (W_BLK, O_BLK) int32 — packed words
     lut_ref: (O_BLK, 2**bits) f32 ('select') or (8*ceil(K/8), O_BLK) ('gather')
-    out_ref: (B_BLK, O_BLK) f32 — revisited across the in-block grid dim
+    rest:    [y0_ref (B_BLK, O_BLK),] out_ref (B_BLK, O_BLK)
+             [, acc_ref (B_BLK, O_BLK) f32 VMEM scratch]
+             y0 (optional) initializes the output block — callers fold a
+             residual add / bias into the kernel instead of a separate
+             XLA add op per linear (decode steps are small-op-bound).
+             cast_out: out_ref holds a narrower dtype (bf16 decode path —
+             removes a separate per-linear XLA convert op); accumulation
+             then runs in the f32 scratch and the final in-step writes
+             the converted block.
     """
+    out_ref = rest[-2] if cast_out else rest[-1]
+    acc_ref = rest[-1] if cast_out else out_ref
     i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _init():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        acc_ref[:] = (rest[0][:].astype(jnp.float32) if has_y0
+                      else jnp.zeros_like(acc_ref))
 
-    _lut_matmul_body(x_ref, qw_ref, lut_ref, out_ref, bits=bits, cpw=cpw,
+    _lut_matmul_body(x_ref, qw_ref, lut_ref, acc_ref, bits=bits, cpw=cpw,
                      mode=mode, b_blk=b_blk, precision=precision,
                      interpret=interpret)
 
+    if cast_out:
+        @pl.when(i == n_i - 1)
+        def _store():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
 
 def _lut_matmul_sp_kernel(x_ref, qw_ref, lut_ref, x2d_ref, meta_ref,
-                          vals_ref, out_ref, *, bits: int, cpw: int,
+                          vals_ref, *rest, bits: int, cpw: int,
                           mode: str, b_blk: int, precision, interpret: bool,
-                          sg_ih: int, o_rows: int):
+                          sg_ih: int, o_rows: int, has_y0: bool = False,
+                          n_i: int = 1, cast_out: bool = False):
     """`_lut_matmul_kernel` with the sparse sidecar FOLDED IN: at the first
     in-block step the output block is initialized with this o-block's
     two-hop-gather SpMV tile (spmv.build_block_plans) instead of zeros —
@@ -196,7 +215,12 @@ def _lut_matmul_sp_kernel(x_ref, qw_ref, lut_ref, x2d_ref, meta_ref,
     x2d_ref:  (b_blk, ih, 128) f32 — full activation in y2d layout
     meta_ref: (1, R, 128) int32 — this o-block's slot plan
     vals_ref: (1, R, 128) f32
+    rest:     [y0_ref (b_blk, o_blk),] out_ref [, acc_ref f32 scratch] —
+              y0 (optional) adds a caller-provided init (residual fold) on
+              top of the sparse tile; cast_out as in _lut_matmul_kernel
     """
+    out_ref = rest[-2] if cast_out else rest[-1]
+    acc_ref = rest[-1] if cast_out else out_ref
     i = pl.program_id(2)
 
     @pl.when(i == 0)
@@ -212,12 +236,20 @@ def _lut_matmul_sp_kernel(x_ref, qw_ref, lut_ref, x2d_ref, meta_ref,
             # OOB tile rows (o_blk < 1024, last block) hold no slots by
             # construction; slice before flattening into the block row
             rows_out.append(tile[:o_rows].reshape(1, o_rows * 128))
-        out_ref[:] = (rows_out[0] if b_blk == 1
-                      else jnp.concatenate(rows_out, axis=0))
+        init = (rows_out[0] if b_blk == 1
+                else jnp.concatenate(rows_out, axis=0))
+        if has_y0:
+            init = init + rest[0][:].astype(jnp.float32)
+        acc_ref[:] = init
 
-    _lut_matmul_body(x_ref, qw_ref, lut_ref, out_ref, bits=bits, cpw=cpw,
+    _lut_matmul_body(x_ref, qw_ref, lut_ref, acc_ref, bits=bits, cpw=cpw,
                      mode=mode, b_blk=b_blk, precision=precision,
                      interpret=interpret)
+
+    if cast_out:
+        @pl.when(i == n_i - 1)
+        def _store():
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _lut_matmul_body(x_ref, qw_ref, lut_ref, out_ref, *, bits: int,
@@ -641,7 +673,8 @@ def _lut_matmul_bigbatch(xf, qweight, lut_in, bits, cpw, mode, precision,
 @functools.partial(
     jax.jit,
     static_argnames=("bits", "b_blk", "w_blk", "o_blk", "interpret", "mode",
-                     "precision", "big_batch", "sgb_ih"),
+                     "precision", "big_batch", "sgb_ih", "out_dtype",
+                     "lut_t_rounded"),
 )
 def lut_matmul(
     x,
@@ -663,8 +696,26 @@ def lut_matmul(
     sgb_meta=None,
     sgb_vals=None,
     sgb_ih: int = 0,
+    y0=None,
+    out_dtype=None,
+    lut_t_rounded: bool = False,
 ):
-    """Fused LUT-dequant matmul: ``x (..., in) -> (..., out)`` f32.
+    """Fused LUT-dequant matmul: ``x (..., in) -> (..., out)`` f32
+    (or ``out_dtype``).
+
+    y0: optional (..., out) initializer added to the result INSIDE the
+    kernel (residual/bias fold): the output block starts from y0 instead
+    of zeros at the first in-block step, removing a separate XLA add op
+    per linear from the decode step.
+
+    out_dtype: optional narrower output dtype (bf16 decode path):
+    accumulation stays f32 in a VMEM scratch and only the final store
+    converts — removes the separate per-linear XLA convert op
+    (`.astype(in_dtype)` becomes a no-op downstream).
+
+    lut_t_rounded: the provided lut_t is ALREADY bf16-representable
+    (models/fuse attaches 'lut_t_bf16'), so bf16 mode skips its per-call
+    round-trip convert (measured ~0.12 ms/step at 7B w3 across 129 calls).
 
     Handles any leading batch shape (flattened). Non-dividing weight/out
     dims are handled by Pallas's native out-of-bounds block masking — no
@@ -704,6 +755,8 @@ def lut_matmul(
                else (sp_rows, sp_cols, sp_vals))
         y = _lut_matmul_bigbatch(xf, qweight, lut_in, bits, cpw_, mode, prec,
                                  interpret, out_features, coo=coo)
+        if y0 is not None:
+            y = y + y0.reshape(-1, out_features).astype(jnp.float32)
         return y.reshape(*lead, out_features)
 
     if not o_blk:
@@ -771,7 +824,7 @@ def lut_matmul(
             lut_in = lut_t.astype(jnp.float32)
         else:
             lut_in = jnp.pad(lutp.T, ((0, k_rows - 2**bits), (0, 0)))
-        if mode == "bf16":
+        if mode == "bf16" and not lut_t_rounded:
             lut_in = lut_in.astype(jnp.bfloat16).astype(jnp.float32)
         lut_spec = pl.BlockSpec(
             (k_rows, o_blk), lambda b, o, i: (0, o), memory_space=pltpu.VMEM
@@ -826,13 +879,23 @@ def lut_matmul(
         kernel = functools.partial(
             _lut_matmul_sp_kernel, bits=bits, cpw=cpw, mode=mode,
             b_blk=b_blk, precision=prec, interpret=interpret,
-            sg_ih=sgb_ih, o_rows=o_blk // 128,
+            sg_ih=sgb_ih, o_rows=o_blk // 128, has_y0=y0 is not None,
+            n_i=wp // w_blk, cast_out=out_dtype is not None,
         )
     else:
         kernel = functools.partial(
             _lut_matmul_kernel, bits=bits, cpw=cpw, mode=mode, b_blk=b_blk,
-            precision=prec, interpret=interpret,
+            precision=prec, interpret=interpret, has_y0=y0 is not None,
+            n_i=wp // w_blk, cast_out=out_dtype is not None,
         )
+    if y0 is not None:
+        # keep y0's own dtype (bf16 residuals convert in-kernel); pad is a
+        # no-op at decode shapes (out divides o_blk, batch == bp)
+        y0f = y0.reshape(-1, out_features)
+        y0p = jnp.pad(y0f, ((0, bp - batch), (0, op - out_features)))
+        in_specs.append(pl.BlockSpec((b_blk, o_blk), lambda b, o, i: (b, o),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(y0p)
 
     out = pl.pallas_call(
         kernel,
@@ -841,7 +904,11 @@ def lut_matmul(
         out_specs=pl.BlockSpec(
             (b_blk, o_blk), lambda b, o, i: (b, o), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bp, op), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, op), out_dtype or jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((b_blk, o_blk), jnp.float32)]
+            if out_dtype is not None else []
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

@@ -51,8 +51,9 @@ class QuantLinearSpec:
         return self.nnz_pad > 0
 
 
-def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto"):
-    """y = x @ dequant(qweight)^T-layout + sparse + hybrid + bias.
+def quant_linear_apply(spec: QuantLinearSpec, params, x, *,
+                       backend: str = "auto", y0=None):
+    """y = y0 + x @ dequant(qweight)^T-layout + sparse + hybrid + bias.
 
     Args:
       x: (..., in_features) array; accumulation is f32, output cast back to
@@ -62,6 +63,9 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
         the dequantized weights and activations to bf16 inside the kernel
         (single-gather dequant + native one-pass MXU — ~2x faster decode,
         ~1e-3 relative error).
+      y0: optional (..., out_features) initializer (residual fold): the
+        Pallas decode path initializes the kernel's output block from it
+        (one fewer XLA add op per linear per step); other paths add it.
     """
     import jax.numpy as jnp
 
@@ -108,21 +112,39 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
                 x, params["qweight_t"], params["lut_w"], spec.bits,
                 interpret=interpret, mode=mode,
             )
+            if y0 is not None:
+                y = y + y0.astype(jnp.float32)
         else:
+            # bf16 decode: emit the output in bf16 straight from the kernel
+            # (f32 scratch accumulation) so the downstream
+            # `.astype(in_dtype)` is a no-op — removes one XLA convert op
+            # per linear per step. Pre-rounded tables ('lut_t_bf16',
+            # models/fuse) likewise skip the per-call round-trip convert.
+            lut_t = params.get("lut_t")
+            lut_t_rounded = False
+            if mode == "bf16" and "lut_t_bf16" in params:
+                lut_t, lut_t_rounded = params["lut_t_bf16"], True
+            out_dtype = (jnp.bfloat16 if mode == "bf16" and flat_b <= 16
+                         and x.dtype == jnp.bfloat16 else None)
             y = pallas_ops.lut_matmul(
                 x, params["qweight"], params["lut"], spec.bits,
                 interpret=interpret,
                 mode=mode,
-                lut_t=params.get("lut_t"),
+                lut_t=lut_t,
+                lut_t_rounded=lut_t_rounded,
                 sp_rows=params["sp_rows"] if sparse_folded else None,
                 sp_cols=params["sp_cols"] if sparse_folded else None,
                 sp_vals=params["sp_vals"] if sparse_folded else None,
                 sgb_meta=params["sgb_meta"] if sgb_fused else None,
                 sgb_vals=params["sgb_vals"] if sgb_fused else None,
                 sgb_ih=spec.sg_ih if sgb_fused else 0,
+                y0=y0,
+                out_dtype=out_dtype,
             )
     else:
         y = xla_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
+        if y0 is not None:
+            y = y + y0.astype(jnp.float32)
 
     if spec.include_sparse and not sparse_folded and not sgb_fused:
         if spec.sg_rows > 0 and backend.startswith("pallas") and (
@@ -147,13 +169,15 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *, backend: str = "auto
                 spec.out_features,
             )
     if spec.topx > 0:
-        y = y + xla_ops.hybrid_matmul(
+        # base=y: the scatter path adds the contribution in y's own dtype
+        # (a bf16 decode output stays bf16 — no re-promotion to f32)
+        y = xla_ops.hybrid_matmul(
             x, params["topx_weights"], params["topx_indices"],
             spec.out_features, topx_sel=params.get("topx_sel"),
-            topx_idx_f=params.get("topx_idx_f"),
+            topx_idx_f=params.get("topx_idx_f"), base=y,
         )
     if spec.has_bias:
-        y = y + params["bias"]
+        y = y + params["bias"].astype(y.dtype)
     return y.astype(in_dtype)
 
 

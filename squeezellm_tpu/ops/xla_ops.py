@@ -69,7 +69,7 @@ def sparse_matmul(x, sp_rows, sp_cols, sp_vals, out_features: int):
 
 
 def hybrid_matmul(x, topx_weights, topx_indices, out_features: int,
-                  topx_sel=None, topx_idx_f=None):
+                  topx_sel=None, topx_idx_f=None, base=None):
     """Top-X dense-channel contribution (additive, matching atomicAdd
     semantics of DenseMatVecKernel, quant_cuda_kernel.cu:1091-1123).
 
@@ -98,6 +98,11 @@ def hybrid_matmul(x, topx_weights, topx_indices, out_features: int,
         operands take the vector-memory path (~0.08 ms/step cheaper).
       'sel'      precomputed f32 selector ('topx_sel').
       'scatter'  y.at[idx].add for every batch size.
+
+    base: optional accumulator the contribution is added to IN ITS OWN
+    dtype (y = base + hybrid) — scattering straight into a bf16 decode
+    output avoids re-promoting it to f32 (which would resurrect the
+    per-layer convert op the bf16 kernel output exists to remove).
     """
     import os
 
@@ -113,8 +118,9 @@ def hybrid_matmul(x, topx_weights, topx_indices, out_features: int,
         mode = "scatter" if flat_b <= 16 else "onehot"
     sel = topx_sel
     if sel is None and mode == "scatter":
-        y = jnp.zeros(x.shape[:-1] + (out_features,), jnp.float32)
-        return y.at[..., topx_indices].add(part)
+        y = (base if base is not None
+             else jnp.zeros(x.shape[:-1] + (out_features,), jnp.float32))
+        return y.at[..., topx_indices].add(part.astype(y.dtype))
     if sel is None and mode == "onehot-f" and topx_idx_f is not None:
         sel = (
             topx_idx_f[:, None]
@@ -128,7 +134,11 @@ def hybrid_matmul(x, topx_weights, topx_indices, out_features: int,
     if sel.dtype == jnp.bfloat16:
         # bf16 selector: one MXU pass, part rounded to bf16 — the same
         # numeric regime as the pallas-bf16 decode path
-        return jnp.matmul(part.astype(jnp.bfloat16), sel,
-                          preferred_element_type=jnp.float32)
-    return jnp.matmul(part, sel, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+        y = jnp.matmul(part.astype(jnp.bfloat16), sel,
+                       preferred_element_type=jnp.float32)
+    else:
+        y = jnp.matmul(part, sel, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if base is not None:
+        return base + y.astype(base.dtype)
+    return y
