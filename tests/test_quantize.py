@@ -215,9 +215,11 @@ def test_quantize_w4_s45_structured_fidelity():
     large outliers — a correct w4 dense+sparse pipeline reproduces the
     weights almost exactly (14 < 16 centroids; outliers extracted by
     threshold and carried exactly through the zero-correction sidecar),
-    so perplexity must match the dense model within |dlog| < 0.1 (the
-    previous iid-random gate allowed 0.35 ~= x1.42 ppl, far too loose to
-    catch a k-means/outlier regression)."""
+    so perplexity must match the dense model within |dlog| < 0.05 — the
+    magnitude BASELINE.md's end-goal tolerance cares about (round-5
+    VERDICT item 6; measured dlog on this model is ~7e-5, so the gate
+    holds ~700x margin while still catching any real pipeline
+    regression; the round-3 iid-random gate allowed 0.35 ~= x1.42 ppl)."""
     rng = np.random.default_rng(12)
     params = llama.random_dense_params(TINY, jax.random.PRNGKey(13))
     module_names = llama.MODULE_NAMES
@@ -250,4 +252,4 @@ def test_quantize_w4_s45_structured_fidelity():
     ppl_q = eval_mod.perplexity("llama", TINY, qspecs, qparams_dev, corpus,
                                 seqlen=32, backend="xla")
     dlog = abs(np.log(ppl_q) - np.log(ppl_dense))
-    assert dlog < 0.1, (ppl_q, ppl_dense, dlog)
+    assert dlog < 0.05, (ppl_q, ppl_dense, dlog)
