@@ -28,7 +28,8 @@ import numpy as np
 
 
 def _build_quantized_llama(config, bits, sparsity, key=None,
-                           quant_head: bool = False, topx: int = 0):
+                           quant_head: bool = False, topx: int = 0,
+                           structured: bool = False):
     """Random quantized LLaMA (specs, params) built HOST-SIDE in numpy.
 
     Host-side generation matters doubly on the axon tunnel: device-side RNG
@@ -54,23 +55,35 @@ def _build_quantized_llama(config, bits, sparsity, key=None,
     def module_arrays(o, i, nnz_pad, with_topx=0):
         if (o, i) not in cache:
             nw = formats.n_words(i, bits)
+            if structured and bits == 4:
+                # additive structured codebook lut[c] = A[c&7] + (c>>3)*d
+                # (quantize.kmeans.fit_structured_luts shape) — fuse
+                # detects it and attaches the fast-dequant table
+                A = np.sort(
+                    rng.standard_normal((o, 8)).astype(np.float32) * 0.02,
+                    axis=1)
+                dvec = (np.abs(rng.standard_normal((o, 1))) * 0.01
+                        + 0.005).astype(np.float32)
+                lut = np.concatenate([A, A + dvec], axis=1)
+            else:
+                lut = np.sort(
+                    rng.standard_normal((o, 2**bits)).astype(np.float32)
+                    * 0.02, axis=1)
             d = {
                 "qweight": rng.integers(
                     -(2**31), 2**31, (nw, o), dtype=np.int64
                 ).astype(np.int32),
-                "lut": np.sort(
-                    rng.standard_normal((o, 2**bits)).astype(np.float32) * 0.02,
-                    axis=1,
-                ),
+                "lut": lut,
             }
             plan = None
             if nnz_pad:
                 rows = np.sort(rng.integers(0, o, nnz_pad)).astype(np.int32)
                 cols = rng.integers(0, i, nnz_pad).astype(np.int32)
                 vals = (rng.standard_normal(nnz_pad) * 0.08).astype(np.float32)
-                plan = spmv.build_plan(rows, cols, vals, o, i)
+                plan = spmv.build_plan_grouped(rows, cols, vals, o, i)
                 d.update(sp_rows=rows, sp_cols=cols, sp_vals=vals,
-                         sg_meta=plan.meta, sg_vals=plan.vals)
+                         sg_meta=plan.meta, sg_vals=plan.vals,
+                         sg_groups=plan.groups)
             if with_topx:
                 # hybrid top-X dense channels (every published sparse
                 # sq-* checkpoint carries topX=10,

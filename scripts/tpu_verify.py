@@ -70,7 +70,33 @@ def main():
             print(f"{'OK ' if ok else 'BAD'} bits={bits} in={in_f} "
                   f"out={out_f} b={batch} bigbatch: err {err:.2e}", flush=True)
 
-    # two-hop-gather SpMV
+    # structured additive codebook kernel (round 5): both variants, plus
+    # the y0 residual-fold init — hardware gathers/selects only
+    for variant in ("sel", "fdot"):
+        in_f, out_f, batch = 4096, 1024, 1
+        A = np.sort(rng.normal(size=(out_f, 8)).astype(np.float32), axis=1)
+        dv = (np.abs(rng.normal(size=(out_f,))) * 0.3 + 0.05).astype(
+            np.float32)
+        lut = np.concatenate([A, A + dv[:, None]], axis=1)
+        codes = rng.integers(0, 16, size=(in_f, out_f), dtype=np.uint8)
+        qweight = formats.pack_codes(codes, 4)
+        w_dense = formats.dequant_np(codes, lut)
+        st = np.zeros((16, out_f), np.float32)
+        st[0:8] = A.T
+        st[8] = dv / 8.0
+        x = rng.normal(size=(batch, in_f)).astype(np.float32)
+        y0 = rng.normal(size=(batch, out_f)).astype(np.float32)
+        y = np.asarray(pallas_ops.lut_matmul(
+            jnp.asarray(x), jnp.asarray(qweight), jnp.asarray(lut), 4,
+            mode="gather", lut_t_struct=jnp.asarray(st),
+            struct_variant=variant, y0=jnp.asarray(y0)))
+        err = np.abs(y - (y0 + x @ w_dense)).max()
+        ok = err < 5e-4 * np.sqrt(in_f / 640)
+        failures += not ok
+        print(f"{'OK ' if ok else 'BAD'} structured-{variant}+y0: "
+              f"err {err:.2e}", flush=True)
+
+    # two-hop-gather SpMV (classic scan kernel + grouped-window kernel)
     from squeezellm_tpu.ops import spmv
 
     o, i = 1000, 1300
@@ -80,15 +106,26 @@ def main():
     v = rng.standard_normal(nnz).astype(np.float32)
     plan = spmv.build_plan(r, c, v, o, i)
     x = rng.standard_normal((2, i)).astype(np.float32)
+    dense = np.zeros((o, i), np.float32)
+    np.add.at(dense, (r, c), v)
     y = np.asarray(pallas_ops.gather_spmv(
         jnp.asarray(x), jnp.asarray(plan.meta), jnp.asarray(plan.vals),
         oh=plan.oh, ih=plan.ih, out_features=o))
-    dense = np.zeros((o, i), np.float32)
-    np.add.at(dense, (r, c), v)
     err = np.abs(y - x @ dense.T).max()
     ok = err < 1e-4
     failures += not ok
     print(f"{'OK ' if ok else 'BAD'} gather_spmv: err {err:.2e}", flush=True)
+
+    gp = spmv.build_plan_grouped(r, c, v, o, i)
+    yg = np.asarray(pallas_ops.gather_spmv(
+        jnp.asarray(x), jnp.asarray(gp.meta), jnp.asarray(gp.vals),
+        oh=gp.oh, ih=gp.ih, out_features=o,
+        groups=jnp.asarray(gp.groups)))
+    err = np.abs(yg - x @ dense.T).max()
+    ok = err < 1e-4
+    failures += not ok
+    print(f"{'OK ' if ok else 'BAD'} gather_spmv grouped: err {err:.2e}",
+          flush=True)
 
     # fused sparse GEMV: per-o-block plans folded into the lut kernel
     for bits in (3, 4):
@@ -457,5 +494,57 @@ def main():
     sys.exit(1 if failures else 0)
 
 
+def from_reference_ckpt(argv):
+    """One-command real-checkpoint rehearsal (round-5 VERDICT item 10):
+    convert a published sq-*.pt -> eval perplexity -> decode benchmark.
+    A weights-bearing environment runs exactly:
+
+      python scripts/tpu_verify.py --from-reference-ckpt CKPT.pt MODEL_DIR \
+          [--wbits 4] [--dataset wikitext2] [--tokens 128]
+
+    Matches the reference workflow (reference README.md:149-195: download
+    sq-* checkpoint, `llama.py --eval`, `--benchmark 128 --check`).
+    """
+    import argparse
+    import json
+    import subprocess
+    import tempfile
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--from-reference-ckpt", dest="ckpt", required=True)
+    ap.add_argument("model_dir")
+    ap.add_argument("--wbits", type=int, default=4)
+    ap.add_argument("--dataset", default="wikitext2")
+    ap.add_argument("--tokens", type=int, default=128)
+    ap.add_argument("--output", default=None,
+                    help="converted-checkpoint dir (default: temp)")
+    args = ap.parse_args(argv)
+
+    out_dir = args.output or tempfile.mkdtemp(prefix="sq_tpu_ckpt_")
+    steps = [
+        ("convert", [sys.executable, "-m", "squeezellm_tpu.cli", "convert",
+                     "--checkpoint", args.ckpt, "--model", args.model_dir,
+                     "--wbits", str(args.wbits), "--output", out_dir]),
+        ("eval", [sys.executable, "-m", "squeezellm_tpu.cli", "eval",
+                  out_dir, "--dataset", args.dataset, "--seqlen", "2048"]),
+        ("benchmark", [sys.executable, "-m", "squeezellm_tpu.cli",
+                       "benchmark", out_dir, "--tokens", str(args.tokens),
+                       "--check"]),
+    ]
+    results = {}
+    for name, cmd in steps:
+        print(f"== {name}: {' '.join(cmd)}", flush=True)
+        r = subprocess.run(cmd)
+        results[name] = r.returncode
+        if r.returncode != 0:
+            print(f"{name} FAILED rc={r.returncode}", flush=True)
+            print(json.dumps({"stages": results, "ckpt_dir": out_dir}))
+            return r.returncode
+    print(json.dumps({"stages": results, "ckpt_dir": out_dir}))
+    return 0
+
+
 if __name__ == "__main__":
+    if any(a.startswith("--from-reference-ckpt") for a in sys.argv[1:]):
+        sys.exit(from_reference_ckpt(sys.argv[1:]))
     main()

@@ -197,6 +197,24 @@ def attach_decode_luts(specs, params, transposed: bool = False):
                     extra["lut_t_bf16"] = (
                         extra["lut_t"].astype(ml_dtypes.bfloat16)
                         .astype(np.float32))
+                    if q.bits == 4:
+                        # STRUCTURED codebook (quantize.kmeans.
+                        # fit_structured_luts): if the 16-entry table is
+                        # additively decomposable, attach the fast-dequant
+                        # table (rows 0-7 A^T, row 8 d/8) — the kernel then
+                        # needs ONE gather + a bit-3 mask per weight
+                        # (~4 VPU ops) instead of two gathers + select (~6)
+                        from squeezellm_tpu.quantize.kmeans import (
+                            structured_decomposition,
+                        )
+
+                        dec = structured_decomposition(np.asarray(lut))
+                        if dec is not None:
+                            A, d = dec
+                            st = np.zeros((16, A.shape[0]), np.float32)
+                            st[0:8] = A.T
+                            st[8] = d / 8.0
+                            extra["lut_t_struct"] = st
                     if transposed and q.bits == 4:
                         qw = np.asarray(pd[name]["qweight"])
                         extra["qweight_t"] = np.ascontiguousarray(qw.T)

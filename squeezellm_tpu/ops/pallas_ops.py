@@ -158,10 +158,58 @@ def _dequant_plane_gather(s, lut_t_ref, bits, mask_idx):
 #   mantissa bits is NOT exact (measured 5e-3 rel err) — rejected.
 
 
+def _dequant_plane_struct(s, lut_t_ref, mask_idx):
+    """STRUCTURED-codebook 4-bit dequant (round 5): for codebooks
+    constrained to ``lut[c] = A[c & 7] + (c >> 3) * d`` (fit by
+    quantize/kmeans.fit_structured_luts — 9 DOF/channel instead of 16),
+    the dequant needs ONE 8-row wrap-gather for the A part plus a cheap
+    bit-3 mask instead of the hi/lo two-gather+select: ~4 VPU ops/weight
+    (shift amortized; gather + and + int->f32 convert) vs ~6 for a free
+    16-entry table. The `* d` lands OUTSIDE the MXU: the caller contracts
+    the mask with x as a second dot and scales that column sum by the
+    per-channel d row (exact: d is constant per output channel).
+
+    lut_t_ref rows 0-7 hold A (transposed); row 8 holds d / 8 — the /8
+    absorbs the (s & 8) mask's value so the int mask converts straight to
+    f32 without a renormalizing multiply.
+
+    Returns (gA, f): (W, O) f32 each.
+    """
+    w_blk = s.shape[0]
+    tab = lut_t_ref[0:8, :]
+    ga_chunks = []
+    f_chunks = []
+    for c in range(0, w_blk, 8):
+        s8 = s[c : c + 8, :]
+        ga_chunks.append(_gather8(tab, s8, mask_idx))
+        f_chunks.append((s8 & 8).astype(jnp.float32))
+    cat = (lambda ch: ch[0] if len(ch) == 1 else jnp.concatenate(ch, axis=0))
+    return cat(ga_chunks), cat(f_chunks)
+
+
+def _dequant_plane_struct_sel(s, lut_t_ref, mask_idx):
+    """Structured-codebook dequant, SELECT variant: one gather for A, a
+    broadcast add of the per-channel d row, and a bit-3 select — ~5 VPU
+    ops/weight with a single MXU dot per plane (the 'fdot' variant's
+    second dot measured a net LOSS on v5e: 9.87 vs 8.54 ms/tok at w4
+    flagship — small-batch MXU dots are launch-bound, not FLOP-bound).
+    lut_t_ref row 8 holds d/8; the /8 is compensated here."""
+    w_blk = s.shape[0]
+    tab = lut_t_ref[0:8, :]
+    drow = lut_t_ref[8:9, :] * 8.0  # one (1, O) op per block, amortized
+    chunks = []
+    for c in range(0, w_blk, 8):
+        s8 = s[c : c + 8, :]
+        ga = _gather8(tab, s8, mask_idx)
+        chunks.append(jnp.where((s8 & 8) != 0, ga + drow, ga))
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+
+
 def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, *rest, bits: int, cpw: int,
                        mode: str, b_blk: int, precision, interpret: bool,
                        has_y0: bool = False, n_i: int = 1,
-                       cast_out: bool = False):
+                       cast_out: bool = False, structured: bool = False,
+                       struct_variant: str = "sel"):
     """One (batch-block, out-block, in-block) grid step.
 
     x_ref:   (cpw * B_BLK, W_BLK) f32 — plane-major activation slice:
@@ -192,7 +240,8 @@ def _lut_matmul_kernel(x_ref, qw_ref, lut_ref, *rest, bits: int, cpw: int,
 
     _lut_matmul_body(x_ref, qw_ref, lut_ref, acc_ref, bits=bits, cpw=cpw,
                      mode=mode, b_blk=b_blk, precision=precision,
-                     interpret=interpret)
+                     interpret=interpret, structured=structured,
+                     struct_variant=struct_variant)
 
     if cast_out:
         @pl.when(i == n_i - 1)
@@ -204,7 +253,9 @@ def _lut_matmul_sp_kernel(x_ref, qw_ref, lut_ref, x2d_ref, meta_ref,
                           vals_ref, *rest, bits: int, cpw: int,
                           mode: str, b_blk: int, precision, interpret: bool,
                           sg_ih: int, o_rows: int, has_y0: bool = False,
-                          n_i: int = 1, cast_out: bool = False):
+                          n_i: int = 1, cast_out: bool = False,
+                          structured: bool = False,
+                          struct_variant: str = "sel"):
     """`_lut_matmul_kernel` with the sparse sidecar FOLDED IN: at the first
     in-block step the output block is initialized with this o-block's
     two-hop-gather SpMV tile (spmv.build_block_plans) instead of zeros —
@@ -244,7 +295,8 @@ def _lut_matmul_sp_kernel(x_ref, qw_ref, lut_ref, x2d_ref, meta_ref,
 
     _lut_matmul_body(x_ref, qw_ref, lut_ref, acc_ref, bits=bits, cpw=cpw,
                      mode=mode, b_blk=b_blk, precision=precision,
-                     interpret=interpret)
+                     interpret=interpret, structured=structured,
+                     struct_variant=struct_variant)
 
     if cast_out:
         @pl.when(i == n_i - 1)
@@ -254,7 +306,40 @@ def _lut_matmul_sp_kernel(x_ref, qw_ref, lut_ref, x2d_ref, meta_ref,
 
 def _lut_matmul_body(x_ref, qw_ref, lut_ref, out_ref, *, bits: int,
                      cpw: int, mode: str, b_blk: int, precision,
-                     interpret: bool):
+                     interpret: bool, structured: bool = False,
+                     struct_variant: str = "sel"):
+    if structured:
+        variant = struct_variant
+        words = qw_ref[:]
+        acc = out_ref[:]
+        if variant == "fdot":
+            # acc += x@A[c&7] + (x@bit3(c)) * d — measured LOSS on v5e
+            # (extra per-plane dot); kept for A/Bs and other TPU gens
+            drow = lut_ref[8:9, :]  # d / 8 per output channel
+            for j in range(cpw):
+                s = (words >> (bits * j)) if j else words
+                ga, f = _dequant_plane_struct(s, lut_ref, interpret)
+                xj = x_ref[j * b_blk : (j + 1) * b_blk, :]
+                acc = (acc
+                       + jnp.dot(xj, ga, preferred_element_type=jnp.float32,
+                                 precision=None if mode == "bf16"
+                                 else precision)
+                       + jnp.dot(xj, f, preferred_element_type=jnp.float32,
+                                 precision=None if mode == "bf16"
+                                 else precision)
+                       * drow)
+            out_ref[:] = acc
+            return
+        for j in range(cpw):
+            s = (words >> (bits * j)) if j else words
+            wj = _dequant_plane_struct_sel(s, lut_ref, interpret)
+            acc = acc + jnp.dot(
+                x_ref[j * b_blk : (j + 1) * b_blk, :], wj,
+                preferred_element_type=jnp.float32,
+                precision=None if mode == "bf16" else precision,
+            )
+        out_ref[:] = acc
+        return
     acc = out_ref[:]
     if mode == "select":
         words = qw_ref[:].astype(jnp.uint32)  # (W_BLK, O_BLK)
@@ -340,15 +425,27 @@ def _two_hop_rows(x2, meta, ih: int, interpret: bool):
 
 
 def _spmv_kernel(x_ref, meta_ref, vals_ref, out_ref, *,
-                 ih: int, oh: int, r_blk: int, interpret: bool):
-    """One (batch, slab-group) grid step.
+                 ih: int, oh: int, r_blk: int, interpret: bool,
+                 batch_minor: bool):
+    """One grid step: (batch, slab-group), or (slab-group, batch) when
+    batch_minor (the whole plan fits one slab).
 
     x_ref:    (1, ih, 128) f32 — batch row b's x2d
     meta_ref: (r_blk, 128) int32 — chirow | src_lane << 8 (ops/spmv.py)
     vals_ref: (r_blk, 128) f32
     out_ref:  (1, oh, 128) f32 — accumulated across slab steps
+
+    batch_minor puts the batch on the TRAILING grid axis so the plan
+    blocks' index map stays constant across it: the meta/vals sidecar is
+    DMA'd ONCE per linear instead of once per batch row. At a 136-row
+    admission prefill the old (batch, slab) order re-streamed ~7 MB of
+    plan bytes x 136 rows x per layer (~1 GB/layer of redundant DMA) —
+    the dominant cost of the 17..1023-row sparse band (round-5 VERDICT
+    item 5). Requires n_steps == 1 (output accumulation across
+    non-consecutive visits is not possible), which gather_spmv arranges
+    by sizing the slab to the whole plan up to 8192 rows.
     """
-    s = pl.program_id(1)
+    s = pl.program_id(0 if batch_minor else 1)
 
     @pl.when(s == 0)
     def _init():
@@ -357,6 +454,34 @@ def _spmv_kernel(x_ref, meta_ref, vals_ref, out_ref, *,
     cur = _two_hop_rows(x_ref[0], meta_ref[:], ih, interpret) * vals_ref[:]
 
     acc = out_ref[0]
+    for m in range(r_blk // oh):
+        acc = acc + cur[m * oh : (m + 1) * oh, :]
+    out_ref[0] = acc
+
+
+def _spmv_kernel_grouped(x_ref, meta_ref, vals_ref, grp_ref, out_ref, *,
+                         oh: int, r_blk: int, interpret: bool):
+    """One (1, batch) grid step of the GROUPED two-hop SpMV
+    (spmv.build_plan_grouped): every 8-row chunk reads a single x group,
+    whose offset comes from the per-chunk SMEM `grp_ref` — hop 1 is one
+    sublane gather from a dynamically sliced (8, 128) window instead of
+    the classic kernel's ih/8-iteration gather+select scan (~2 vs
+    ~2+2*ih/8 VPU ops per chunk; the scan dominated the 17..1023-row
+    sparse band's cost). The slice offset is written ``g * 8`` so Mosaic
+    can PROVE 8-row alignment (see memory notes on DMA alignment).
+    """
+    cur_chunks = []
+    for c in range(r_blk // 8):
+        g = grp_ref[0, c]
+        win = x_ref[0, pl.ds(g * 8, 8), :]
+        m8 = meta_ref[8 * c : 8 * (c + 1), :]
+        t = _gather8(win, m8, interpret)
+        cur_chunks.append(
+            _gather_lane(t, m8 >> 8, interpret)
+            * vals_ref[8 * c : 8 * (c + 1), :])
+    cur = (cur_chunks[0] if len(cur_chunks) == 1
+           else jnp.concatenate(cur_chunks, axis=0))
+    acc = jnp.zeros((oh, 128), jnp.float32)
     for m in range(r_blk // oh):
         acc = acc + cur[m * oh : (m + 1) * oh, :]
     out_ref[0] = acc
@@ -376,6 +501,7 @@ def gather_spmv(
     out_features: int,
     interpret: bool = False,
     slab_rows: int = 2048,
+    groups=None,
 ):
     """Sparse contribution: x (in_features,) or (B, in_features) ->
     (out_features,) / (B, out_features).
@@ -383,17 +509,65 @@ def gather_spmv(
     meta/vals: the (R, 128) arrays of an ops.spmv.SpmvPlan (R % oh == 0).
     The batch is a leading grid dimension — one kernel serves decode (B=1)
     and pooled continuous-batching steps alike.
+
+    groups: optional (R // 8,) per-chunk source-group ids
+    (spmv.build_plan_grouped) — routes through the grouped kernel (one
+    dynamic-window gather per chunk) when the whole plan fits one slab;
+    a grouped plan's meta is also a valid classic plan (full chirow
+    stored), so oversized plans silently fall back to the scan kernel.
     """
     R = meta.shape[0]
     assert R % oh == 0, (R, oh)
     single = x.ndim == 1
     xb = x.reshape(1, -1) if single else x
     B = xb.shape[0]
-    # rows per grid step: a multiple of oh, close to slab_rows
-    u = max(1, min(R // oh, slab_rows // oh))
-    r_blk = u * oh
-    n_steps = -(-R // r_blk)
-    rp = n_steps * r_blk
+
+    # grouped kernel is hardware-only: its per-chunk dynamic window slices
+    # take ~26 s/chunk under the interpreter (CPU tests cover the grouped
+    # PLAN through the classic-kernel fallback below — grouped meta is
+    # classic-valid — and scripts/tpu_verify.py gates the kernel on hw)
+    if groups is not None and R <= max(slab_rows, 8192) and not interpret:
+        xf = xb.astype(jnp.float32)
+        x2 = jnp.pad(xf, ((0, 0), (0, ih * 128 - xf.shape[1])))
+        x2 = x2.reshape(B, ih, 128)
+        grp = groups.reshape(1, -1).astype(jnp.int32)
+        out = pl.pallas_call(
+            functools.partial(_spmv_kernel_grouped, oh=oh, r_blk=R,
+                              interpret=interpret),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, ih, 128), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 128), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 128), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R // 8), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, oh, 128), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, oh, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(x2, meta, vals, grp)
+        out = out.reshape(B, -1)[:, :out_features]
+        return out[0] if single else out
+    # batch_minor: whenever the whole plan fits one slab (<= 8192 rows,
+    # ~8.4 MB of meta+vals in VMEM — every 7B linear at 0.45% qualifies),
+    # run it as ONE slab step with batch trailing so the plan is DMA'd
+    # once per linear, not once per batch row (see _spmv_kernel).
+    batch_minor = B > 1 and R <= max(slab_rows, 8192)
+    if batch_minor:
+        r_blk, n_steps, rp = R, 1, R
+    else:
+        # rows per grid step: a multiple of oh, close to slab_rows
+        u = max(1, min(R // oh, slab_rows // oh))
+        r_blk = u * oh
+        n_steps = -(-R // r_blk)
+        rp = n_steps * r_blk
     if rp != R:
         meta = jnp.pad(meta, ((0, rp - R), (0, 0)))
         vals = jnp.pad(vals, ((0, rp - R), (0, 0)))
@@ -403,23 +577,31 @@ def gather_spmv(
     x2 = jnp.pad(xf, ((0, 0), (0, ih * 128 - xf.shape[1])))
     x2 = x2.reshape(B, ih, 128)
 
+    if batch_minor:
+        grid = (n_steps, B)
+        bmap = lambda s, b: (b, 0, 0)  # noqa: E731
+        pmap = lambda s, b: (s, 0)  # noqa: E731
+        semantics = ("arbitrary", "parallel")
+    else:
+        grid = (B, n_steps)
+        bmap = lambda b, s: (b, 0, 0)  # noqa: E731
+        pmap = lambda b, s: (s, 0)  # noqa: E731
+        semantics = ("parallel", "arbitrary")
+
     out = pl.pallas_call(
         functools.partial(_spmv_kernel, ih=ih, oh=oh, r_blk=r_blk,
-                          interpret=interpret),
-        grid=(B, n_steps),
+                          interpret=interpret, batch_minor=batch_minor),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ih, 128), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_blk, 128), lambda b, s: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_blk, 128), lambda b, s: (s, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ih, 128), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 128), pmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 128), pmap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, oh, 128), lambda b, s: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, oh, 128), bmap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, oh, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         interpret=interpret,
     )(x2, meta, vals)
@@ -674,7 +856,7 @@ def _lut_matmul_bigbatch(xf, qweight, lut_in, bits, cpw, mode, precision,
     jax.jit,
     static_argnames=("bits", "b_blk", "w_blk", "o_blk", "interpret", "mode",
                      "precision", "big_batch", "sgb_ih", "out_dtype",
-                     "lut_t_rounded"),
+                     "lut_t_rounded", "struct_variant"),
 )
 def lut_matmul(
     x,
@@ -699,9 +881,17 @@ def lut_matmul(
     y0=None,
     out_dtype=None,
     lut_t_rounded: bool = False,
+    lut_t_struct=None,
+    struct_variant: str = "sel",
 ):
     """Fused LUT-dequant matmul: ``x (..., in) -> (..., out)`` f32
     (or ``out_dtype``).
+
+    lut_t_struct: optional (16, out) STRUCTURED-codebook table (rows 0-7
+    A transposed, row 8 d/8 — see _dequant_plane_struct): 4-bit dequant
+    drops from ~6 to ~4 VPU ops/weight for codebooks fit under
+    ``lut[c] = A[c & 7] + (c >> 3) * d``. GEMV/serving path only (the
+    big-batch scratch path amortizes dequant and keeps free tables).
 
     y0: optional (..., out) initializer added to the result INSIDE the
     kernel (residual/bias fold): the output block starts from y0 instead
@@ -808,6 +998,8 @@ def lut_matmul(
     qw = qweight  # OOB blocks masked by Pallas — see docstring
     lutp = lut.astype(jnp.float32)
 
+    structured = (lut_t_struct is not None and bits == 4
+                  and mode in ("gather", "bf16"))
     if mode in ("gather", "bf16") and bits > 4:
         mode = "select"  # >16-entry tables can't hardware-gather
     if mode == "bf16":
@@ -820,11 +1012,16 @@ def lut_matmul(
         # pre-transposed table (quant_linear.transposed_lut, prepared once
         # at engine init) skips the per-call transpose+pad fusion chain
         k_rows = max(8, 2**bits)
-        if lut_t is not None:
+        if structured:
+            # (16, out) structured table: rows 0-7 A, row 8 d/8 (see
+            # _dequant_plane_struct); attach pre-rounds it for bf16 mode
+            lut_in = lut_t_struct.astype(jnp.float32)
+            k_rows = lut_t_struct.shape[0]
+        elif lut_t is not None:
             lut_in = lut_t.astype(jnp.float32)
         else:
             lut_in = jnp.pad(lutp.T, ((0, k_rows - 2**bits), (0, 0)))
-        if mode == "bf16" and not lut_t_rounded:
+        if mode == "bf16" and not lut_t_rounded and not structured:
             lut_in = lut_in.astype(jnp.bfloat16).astype(jnp.float32)
         lut_spec = pl.BlockSpec(
             (k_rows, o_blk), lambda b, o, i: (0, o), memory_space=pltpu.VMEM
@@ -881,12 +1078,14 @@ def lut_matmul(
             b_blk=b_blk, precision=prec, interpret=interpret,
             sg_ih=sgb_ih, o_rows=o_blk // 128, has_y0=y0 is not None,
             n_i=wp // w_blk, cast_out=out_dtype is not None,
+            structured=structured, struct_variant=struct_variant,
         )
     else:
         kernel = functools.partial(
             _lut_matmul_kernel, bits=bits, cpw=cpw, mode=mode, b_blk=b_blk,
             precision=prec, interpret=interpret, has_y0=y0 is not None,
             n_i=wp // w_blk, cast_out=out_dtype is not None,
+            structured=structured, struct_variant=struct_variant,
         )
     if y0 is not None:
         # keep y0's own dtype (bf16 residuals convert in-kernel); pad is a

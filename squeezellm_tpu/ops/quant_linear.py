@@ -87,10 +87,19 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *,
         interpret = jax.default_backend() != "tpu"
         # large-batch path: fold the sparse sidecar INTO the dequant
         # scratch (one small scatter) so one matmul serves dense + sparse;
-        # a separate materialize-then-matmul would double the MXU work
+        # a separate materialize-then-matmul would double the MXU work.
+        # SQUEEZELLM_SPARSE_FOLD_MIN (trace-time) lowers the engage point
+        # for A/Bs of the 17..1023 band (scripts/band_probe.py): the
+        # scratch path costs 2x weight-bytes of HBM but its sparse cost is
+        # one batch-independent scatter, while the two-hop SpMV's VPU work
+        # grows ~linearly with batch rows.
+        import os as _os
+
+        fold_min = int(_os.environ.get("SQUEEZELLM_SPARSE_FOLD_MIN",
+                                       pallas_ops.BIG_BATCH))
         sparse_folded = (
             spec.include_sparse and spec.bits <= 4
-            and flat_b >= pallas_ops.BIG_BATCH
+            and flat_b >= min(fold_min, pallas_ops.BIG_BATCH)
         )
         mode = "bf16" if backend == "pallas-bf16" else "gather"
         use_qwt = flat_b <= 8 and spec.bits == 4 and "qweight_t" in params
@@ -120,16 +129,37 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *,
             # `.astype(in_dtype)` is a no-op — removes one XLA convert op
             # per linear per step. Pre-rounded tables ('lut_t_bf16',
             # models/fuse) likewise skip the per-call round-trip convert.
+            import os
+
             lut_t = params.get("lut_t")
             lut_t_rounded = False
-            if mode == "bf16" and "lut_t_bf16" in params:
+            if (mode == "bf16" and "lut_t_bf16" in params
+                    and os.environ.get("SQUEEZELLM_LUT_PREROUND", "1") == "1"):
                 lut_t, lut_t_rounded = params["lut_t_bf16"], True
+            # bf16 kernel output (SQUEEZELLM_BF16_OUT=1): measured a LOSS
+            # on v5e (round 5: 5.33 vs 4.97 ms/tok at w3 flagship) — the
+            # (1, o_blk) bf16 store is a partial-tile write and the f32
+            # scratch adds a per-o-block copy, together costing more than
+            # the per-linear XLA convert they remove. OFF by default.
             out_dtype = (jnp.bfloat16 if mode == "bf16" and flat_b <= 16
-                         and x.dtype == jnp.bfloat16 else None)
+                         and x.dtype == jnp.bfloat16
+                         and os.environ.get("SQUEEZELLM_BF16_OUT", "0") == "1"
+                         else None)
+            # structured additive codebook fast path (~4 VPU ops/weight;
+            # attached by models/fuse when the lut decomposes) — GEMV and
+            # serving-pool batches; the big-batch scratch path amortizes
+            # dequant and keeps the generic table
+            lut_t_struct = (
+                params.get("lut_t_struct")
+                if spec.bits == 4 and flat_b < pallas_ops.BIG_BATCH
+                and os.environ.get("SQUEEZELLM_STRUCT", "1") == "1"
+                else None)
             y = pallas_ops.lut_matmul(
                 x, params["qweight"], params["lut"], spec.bits,
                 interpret=interpret,
                 mode=mode,
+                big_batch=(min(fold_min, pallas_ops.BIG_BATCH)
+                           if sparse_folded else pallas_ops.BIG_BATCH),
                 lut_t=lut_t,
                 lut_t_rounded=lut_t_rounded,
                 sp_rows=params["sp_rows"] if sparse_folded else None,
@@ -140,6 +170,9 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *,
                 sgb_ih=spec.sg_ih if sgb_fused else 0,
                 y0=y0,
                 out_dtype=out_dtype,
+                lut_t_struct=lut_t_struct,
+                struct_variant=os.environ.get(
+                    "SQUEEZELLM_STRUCT_VARIANT", "sel"),
             )
     else:
         y = xla_ops.lut_matmul(x, params["qweight"], params["lut"], spec.bits)
@@ -161,6 +194,7 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *,
                 params["sg_vals"], oh=spec.sg_oh,
                 ih=spec.sg_ih, out_features=spec.out_features,
                 interpret=interpret,
+                groups=params.get("sg_groups"),
             )
             y = y + sp.reshape(*x.shape[:-1], spec.out_features)
         else:

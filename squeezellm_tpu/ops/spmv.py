@@ -67,6 +67,12 @@ class SpmvPlan:
     ih: int  # input rows of x2d (IH % 8 == 0); n_groups = ih // 8
     out_features: int
     in_features: int
+    # GROUPED plans (build_plan_grouped): per-8-row-chunk source-group id
+    # (R // 8,) int32 — every slot of chunk c reads x-group groups[c], so
+    # the kernel's hop 1 is ONE gather from a dynamically sliced 8-row
+    # window instead of an ih/8-iteration gather+select scan. None for
+    # classic plans.
+    groups: Optional[np.ndarray] = None
 
     @property
     def n_rows(self) -> int:
@@ -241,6 +247,74 @@ def _try_assign(h, dl, chirow, sl, vals, rank, max_bucket, oh, ih,
     )
 
 
+def build_plan_grouped(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    out_features: int,
+    in_features: int,
+    slack: float = 1.2,
+    max_slack: float = 512.0,
+    method: str = "auto",
+) -> SpmvPlan:
+    """GROUP-HOMOGENEOUS plan (round-5 VERDICT item 5): partition entries
+    by their x source group (8-row window of x2d) and build one classic
+    sub-plan per group, concatenated vertically. Every 8-row chunk then
+    reads from a single group, so the device hop 1 is ONE sublane gather
+    from a dynamically sliced window (offset from the per-chunk `groups`
+    array in SMEM) instead of an ih/8-iteration gather+select scan — the
+    scan is what made the 17..1023-row band's VPU cost ~G x per chunk
+    (G = ih/8: 4 for a 4096-in linear, 11 for an 11008-in down-proj).
+
+    Concatenation preserves the slab-sum invariant: each sub-plan's row
+    count is a multiple of oh, so global row k keeps k % oh == class.
+    Costs ~20-50% more (dead) slot rows than the classic plan (per-group
+    buckets have spikier maxima); the chunk-count increase is far smaller
+    than the per-chunk op reduction.
+    """
+    live = np.asarray(vals) != 0
+    rows = np.asarray(rows)[live]
+    cols = np.asarray(cols)[live]
+    vals = np.asarray(vals)[live]
+
+    oh = max(8, _round_up(_round_up(out_features, LANES) // LANES, 8))
+    ih = max(8, _round_up(_round_up(in_features, LANES) // LANES, 8))
+    if len(vals) == 0:
+        return SpmvPlan(
+            meta=np.zeros((oh, LANES), np.int32),
+            vals=np.zeros((oh, LANES), np.float32),
+            oh=oh, ih=ih, out_features=out_features,
+            in_features=in_features,
+            groups=np.zeros((oh // 8,), np.int32),
+        )
+
+    g = (cols // LANES) // 8  # source group per entry
+    metas, valses, gids = [], [], []
+    for gid in range(ih // 8):
+        m = g == gid
+        if not m.any():
+            continue
+        p = build_plan(rows[m], cols[m], vals[m], out_features, in_features,
+                       slack=slack, max_slack=max_slack, method=method)
+        assert p.n_rows % 8 == 0 and p.n_rows % oh == 0
+        metas.append(p.meta)
+        valses.append(p.vals)
+        gids.append(np.full(p.n_rows // 8, gid, np.int32))
+        # validate homogeneity: every LIVE slot's source row (found by
+        # following its hop-2 lane index to the hop-1 field) sits in gid
+        chir = p.meta & 255
+        src_lane = (p.meta >> 8) & 127
+        src_row = np.take_along_axis(chir, src_lane, axis=1)
+        livem = p.vals != 0
+        assert ((src_row[livem] >> 3) == gid).all()
+    meta = np.concatenate(metas, axis=0)
+    return SpmvPlan(
+        meta=meta, vals=np.concatenate(valses, axis=0), oh=oh, ih=ih,
+        out_features=out_features, in_features=in_features,
+        groups=np.concatenate(gids),
+    )
+
+
 def build_block_plans(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -301,13 +375,14 @@ def attach_plan(spec, params, slack: float = 1.2):
     rows = np.asarray(params["sp_rows"])
     cols = np.asarray(params["sp_cols"])
     vals = np.asarray(params["sp_vals"])
-    plan = build_plan(rows, cols, vals, spec.out_features, spec.in_features,
-                      slack=slack)
+    plan = build_plan_grouped(rows, cols, vals, spec.out_features,
+                              spec.in_features, slack=slack)
     bmeta, bvals, _ = build_block_plans(
         rows, cols, vals, spec.out_features, spec.in_features, slack=slack)
     new_params = dict(params)
     new_params["sg_meta"] = plan.meta
     new_params["sg_vals"] = plan.vals
+    new_params["sg_groups"] = plan.groups
     new_params["sgb_meta"] = bmeta
     new_params["sgb_vals"] = bvals
     new_spec = dataclasses.replace(
@@ -320,7 +395,8 @@ def attach_plan(spec, params, slack: float = 1.2):
 def _attach_task(args):
     spec, coo = args
     rows, cols, vals = coo
-    return build_plan(rows, cols, vals, spec.out_features, spec.in_features)
+    return build_plan_grouped(rows, cols, vals, spec.out_features,
+                              spec.in_features)
 
 
 def prepare_model(specs, params, module_names, processes: Optional[int] = None):
@@ -366,6 +442,8 @@ def prepare_model(specs, params, module_names, processes: Optional[int] = None):
         pd = dict(new_layers[li][name])
         pd["sg_meta"] = plan.meta
         pd["sg_vals"] = plan.vals
+        if plan.groups is not None:
+            pd["sg_groups"] = plan.groups
         new_layers[li][name] = pd
     new_specs = dict(specs)
     new_specs["layers"] = tuple(spec_layers)

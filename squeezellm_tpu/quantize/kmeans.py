@@ -188,3 +188,97 @@ def fit_module_luts(
         labels = np.take_along_axis(inv, labels.astype(np.int64), axis=1).astype(np.uint8)
         return lut_sorted, labels
     raise ValueError(f"unknown method {method!r}")
+
+
+def fit_structured_luts(
+    weight: np.ndarray,
+    gradient: Optional[np.ndarray],
+    max_iter: int = 25,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fit 4-bit STRUCTURED additive codebooks: per channel,
+    ``lut[c] = A[c & 7] + (c >> 3) * d`` (9 DOF instead of 16).
+
+    Why constrain: on v5e an arbitrary 16-entry table needs two 8-row
+    wrap-gathers + a hi/lo select inside the dequant kernel (~6 VPU
+    ops/weight — the measured w4 decode wall); the additive structure
+    dequantizes with ONE gather + a bit-3 mask (~4 ops/weight,
+    ops/pallas_ops._dequant_plane_struct). The constrained family still
+    contains every uniform grid and every free 8-entry codebook, so the
+    fidelity cost vs free 16-entry NUQ is small (gated in
+    tests/test_quantize.py).
+
+    Alternating minimization: assignment = nearest implied centroid;
+    update = exact weighted least squares for (A, d) jointly (the normal
+    equations decouple: A_j = (S_j - d T_j) / W_j and d solves a scalar
+    equation after substitution). Init: free 8-centroid Lloyd for A, d
+    from the weighted mean positive residual.
+
+    Returns (lut (out, 16) f32 materialized in STRUCTURED order —
+    NOT sorted: lut[:, :8] = A, lut[:, 8:] = A + d — and labels
+    (out, in) uint8 in the same indexing).
+    """
+    w = np.asarray(weight, dtype=np.float64)
+    C, N = w.shape
+    mask = (w != 0).astype(np.float64)
+    if gradient is not None:
+        sw = np.asarray(gradient, dtype=np.float64) * mask
+    else:
+        sw = mask.copy()
+    zero_rows = sw.sum(axis=1) <= 0
+    if zero_rows.any():
+        sw[zero_rows] = 1.0
+
+    A8, lab8 = weighted_kmeans_batched(w, sw, 8, seed=seed)
+    A = A8.astype(np.float64)  # (C, 8)
+    # init d: weighted mean |residual| (keeps the pair offset meaningful
+    # even when the 8-centroid fit is already tight)
+    resid = w - np.take_along_axis(A, lab8.astype(np.int64), axis=1)
+    d = (np.abs(resid) * sw).sum(1) / np.maximum(sw.sum(1), 1e-30)  # (C,)
+    d = np.maximum(d, 1e-12)
+
+    for _ in range(max_iter):
+        # implied 16 centroids, assignment
+        lut = np.concatenate([A, A + d[:, None]], axis=1)  # (C, 16)
+        d2 = (w[:, :, None] - lut[:, None, :]) ** 2
+        lab = d2.argmin(axis=2)  # (C, N) in 0..15
+        j = lab & 7
+        b = (lab >> 3).astype(np.float64)
+        onehot = j[:, :, None] == np.arange(8)[None, None]
+        W_j = np.einsum("cn,cnk->ck", sw, onehot)
+        S_j = np.einsum("cn,cn,cnk->ck", sw, w, onehot)
+        T_j = np.einsum("cn,cn,cnk->ck", sw, b, onehot)
+        swb = (sw * b).sum(1)
+        swbx = (sw * b * w).sum(1)
+        Wsafe = np.maximum(W_j, 1e-30)
+        denom = swb - (T_j * T_j / Wsafe).sum(1)
+        numer = swbx - (T_j * S_j / Wsafe).sum(1)
+        new_d = np.where(np.abs(denom) > 1e-20, numer / denom, d)
+        new_A = np.where(W_j > 0, (S_j - new_d[:, None] * T_j) / Wsafe, A)
+        moved = np.abs(new_A - A).max(1) + np.abs(new_d - d)
+        A, d = new_A, new_d
+        if (moved < 1e-9).all():
+            break
+
+    lut = np.concatenate([A, A + d[:, None]], axis=1)
+    d2 = (w[:, :, None] - lut[:, None, :]) ** 2
+    lab = d2.argmin(axis=2).astype(np.uint8)
+    return lut.astype(np.float32), lab
+
+
+def structured_decomposition(lut: np.ndarray, atol: float = 0.0):
+    """Detect the additive structure in a materialized (out, 16) lut:
+    returns (A (out, 8) f32, d (out,) f32) if ``lut[:, 8:] - lut[:, :8]``
+    is constant per channel (within atol), else None. Used by
+    models/fuse.attach_decode_luts to attach the fast-dequant table for
+    checkpoints produced by fit_structured_luts (no format/spec change —
+    the structure is a property of the table)."""
+    lut = np.asarray(lut)
+    if lut.ndim != 2 or lut.shape[1] != 16:
+        return None
+    delta = lut[:, 8:] - lut[:, :8]
+    dmean = delta.mean(axis=1)
+    if np.abs(delta - dmean[:, None]).max() > max(
+            atol, 1e-6 * max(1.0, float(np.abs(lut).max()))):
+        return None
+    return lut[:, :8].astype(np.float32), dmean.astype(np.float32)

@@ -36,8 +36,15 @@ def quantize_layer(
     nnz_pad_multiple: int = 512,
     seed: int = 0,
     build_spmv: bool = True,
+    structured: bool = False,
 ) -> Dict[str, Tuple[Any, Dict[str, np.ndarray]]]:
     """Quantize one decoder layer's modules.
+
+    structured (bits=4 only): fit additive codebooks
+    ``lut[c] = A[c&7] + (c>>3)*d`` (kmeans.fit_structured_luts) — 9
+    DOF/channel instead of 16, dequantizing at ~4 instead of ~6 VPU
+    ops/weight on v5e (ops/pallas_ops._dequant_plane_struct). The
+    fidelity delta is gated in tests/test_quantize.py.
 
     Returns {module_name: (QuantLinearSpec, params dict)}.
     """
@@ -54,7 +61,11 @@ def quantize_layer(
     out = {}
     for name, w in weights.items():
         g = None if gradients is None else np.asarray(gradients[name], np.float32)
-        lut, labels = kmeans_mod.fit_module_luts(w, g, bits, method=method, seed=seed)
+        if structured and bits == 4:
+            lut, labels = kmeans_mod.fit_structured_luts(w, g, seed=seed)
+        else:
+            lut, labels = kmeans_mod.fit_module_luts(w, g, bits,
+                                                     method=method, seed=seed)
         spec, params = pack_linear(
             w, lut, labels=labels,
             bias=None if biases is None else biases.get(name),
@@ -79,6 +90,7 @@ def quantize_model(
     verbose: bool = False,
     build_spmv: bool = True,
     quantize_lm_head: bool = False,
+    structured: bool = False,
 ):
     """Quantize a dense params pytree into (specs, params).
 
@@ -114,6 +126,7 @@ def quantize_model(
             method=method,
             nnz_pad_multiple=nnz_pad_multiple,
             build_spmv=build_spmv,
+            structured=structured,
         )
         spec_d = dict(dense_specs["layers"][li])
         param_d = {k: v for k, v in layer_p.items() if k not in module_names}
@@ -134,8 +147,11 @@ def quantize_model(
     params = {k: v for k, v in dense_params.items() if k != "layers"}
     if quantize_lm_head:
         w = np.asarray(dense_params["lm_head"]["w"], np.float32)
-        lut, labels = kmeans_mod.fit_module_luts(w, None, bits, method=method,
-                                                 seed=0)
+        if structured and bits == 4:
+            lut, labels = kmeans_mod.fit_structured_luts(w, None, seed=0)
+        else:
+            lut, labels = kmeans_mod.fit_module_luts(w, None, bits,
+                                                     method=method, seed=0)
         qspec, qparams = pack_linear(w, lut, labels=labels, bits=bits)
         lm_head_spec = LinearSpec(
             in_features=qspec.in_features, out_features=qspec.out_features,

@@ -144,6 +144,7 @@ def test_paged_chunked_matches_whole_prompt(window):
         assert got[rid] == want[rid], rid
 
 
+@pytest.mark.medium
 def test_paged_chunked_matches_speculative():
     config, specs, params = _model()
     phrase = list(range(3, 11))

@@ -25,6 +25,7 @@ def _llama_engine(seed=0, n_layers=2, bits=4):
                              jax.tree.map(jnp.asarray, params), backend="xla")
 
 
+@pytest.mark.medium
 @pytest.mark.parametrize("prompt", [[3, 4, 5, 6, 3, 4], [17, 91, 2], [8]])
 @pytest.mark.parametrize("draft_len", [8, 3, 1])
 @pytest.mark.parametrize("host_loop", [False, True])

@@ -274,6 +274,7 @@ def test_q8_pool_memory_layout():
     assert bytes8 == bytes16 // 2 + scale_bytes
 
 
+@pytest.mark.medium
 def test_q8_engine_completes_and_tokens_close():
     config, specs, params = _small_model()
     ef = _paged(config, specs, params, jnp.float32)

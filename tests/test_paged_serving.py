@@ -33,6 +33,7 @@ def _paged(config, specs, params, slots=2, n_pages=24):
     )
 
 
+@pytest.mark.medium
 def test_paged_matches_single_stream():
     config, specs, params = _small_model()
     eng = engine_mod.Engine("llama", config, specs, params, backend="xla")
@@ -51,6 +52,7 @@ def test_paged_matches_single_stream():
             err_msg=f"request {rid}")
 
 
+@pytest.mark.medium
 def test_prefix_sharing_reuses_pages():
     config, specs, params = _small_model()
     cb = _paged(config, specs, params, slots=2, n_pages=24)

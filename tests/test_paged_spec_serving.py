@@ -4,6 +4,7 @@ token-exactly — staggered joins, page reuse, prefix sharing, and the
 W-token verify kernel writing through page tables."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,7 @@ def _engine(config, specs, params, **kw):
         backend="xla", **kw)
 
 
+@pytest.mark.medium
 def test_paged_speculative_matches_plain_paged():
     config, specs, params = _model()
     rng = np.random.default_rng(0)

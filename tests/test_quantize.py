@@ -253,3 +253,60 @@ def test_quantize_w4_s45_structured_fidelity():
                                 seqlen=32, backend="xla")
     dlog = abs(np.log(ppl_q) - np.log(ppl_dense))
     assert dlog < 0.05, (ppl_q, ppl_dense, dlog)
+
+
+def test_quantize_w4_structured_codebook_fidelity():
+    """STRUCTURED additive codebook gate (round-5 VERDICT item 2): the
+    9-DOF family lut[c] = A[c&7] + (c>>3)*d trades ~1.2x free-16 wMSE
+    for a ~4-vs-6 VPU-ops/weight dequant on v5e. End-to-end it must stay
+    within the SAME |dlog ppl| < 0.05 gate as the free pipeline
+    (measured here: struct ~4e-4 vs free ~7e-5 — both orders under the
+    gate), and the decode path must pick up the fast kernel (fuse
+    detects the structure and attaches 'lut_t_struct')."""
+    rng = np.random.default_rng(21)
+    params = llama.random_dense_params(TINY, jax.random.PRNGKey(22))
+    module_names = llama.MODULE_NAMES
+    for lp in params["layers"]:
+        for n in module_names:
+            w = np.asarray(lp[n]["w"])
+            o, i = w.shape
+            w2 = (rng.normal(size=(o, i)) * 0.05).astype(np.float32)
+            n_out = max(2, int(o * i * 0.004))
+            rr = rng.integers(0, o, n_out)
+            cc = rng.integers(0, i, n_out)
+            w2[rr, cc] = rng.choice([-1.0, 1.0], n_out) * rng.uniform(
+                0.5, 1.0, n_out)
+            lp[n]["w"] = jnp.asarray(w2)
+    specs = llama.dense_specs(TINY)
+    corpus = data_mod.synthetic_tokens(TINY.vocab_size, 3 * 32, seed=23)
+    ppl_dense = eval_mod.perplexity("llama", TINY, specs, params, corpus,
+                                    seqlen=32, backend="xla")
+    outlier_cfg = [
+        {n: 0.3 for n in module_names} for _ in range(TINY.n_layers)
+    ]
+    qspecs, qparams = pipeline.quantize_model(
+        "llama", TINY, params, 4, outlier_config=outlier_cfg,
+        nnz_pad_multiple=64, structured=True,
+    )
+    qparams_dev = jax.tree.map(jnp.asarray, qparams)
+    ppl_q = eval_mod.perplexity("llama", TINY, qspecs, qparams_dev, corpus,
+                                seqlen=32, backend="xla")
+    dlog = abs(np.log(ppl_q) - np.log(ppl_dense))
+    assert dlog < 0.05, (ppl_q, ppl_dense, dlog)
+
+    # every quantized lut decomposes -> fuse attaches the fast table,
+    # and the pallas struct path matches the xla oracle
+    from squeezellm_tpu.models import fuse as fuse_mod
+    from squeezellm_tpu.models.common import apply_linear
+
+    fspecs, fparams = fuse_mod.attach_decode_luts(qspecs, qparams)
+    lp0 = fparams["layers"][0]
+    assert "lut_t_struct" in lp0["q"], list(lp0["q"].keys())
+    x = jnp.asarray(rng.normal(size=(1, TINY.hidden_size)).astype(np.float32))
+    sp = fspecs["layers"][0]["q"]
+    y_pl = apply_linear(sp, jax.tree.map(jnp.asarray, lp0["q"]), x,
+                        backend="pallas")
+    y_xla = apply_linear(sp, jax.tree.map(jnp.asarray, lp0["q"]), x,
+                         backend="xla")
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla),
+                               rtol=2e-4, atol=2e-4)

@@ -145,6 +145,7 @@ def test_cancel_frees_slots_and_pages():
     assert len(pe.pool._free) == free0 - len(registered)
 
 
+@pytest.mark.medium
 def test_paged_engine_sampled_and_stop():
     config, specs, params = _small_model()
     kw = dict(slots=2, n_pages=24, page_size=8, backend="xla",

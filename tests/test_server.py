@@ -137,6 +137,7 @@ def test_bad_request(httpd):
     assert status in (400, 429)  # prompt exceeds max_seq
 
 
+@pytest.mark.medium
 def test_speculative_paged_server_matches_greedy():
     """HTTP loop takes step_spec_window when the engine is speculative;
     results must equal the plain engine's greedy output."""

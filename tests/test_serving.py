@@ -2,6 +2,7 @@
 generation exactly (quantized model, staggered joins, slot reuse)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ def _small_model():
     return config, specs, jax.tree.map(jnp.asarray, params)
 
 
+@pytest.mark.medium
 def test_continuous_batching_matches_single_stream():
     config, specs, params = _small_model()
     eng = engine_mod.Engine("llama", config, specs, params, backend="xla")

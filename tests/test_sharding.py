@@ -69,6 +69,7 @@ def test_sharded_forward_matches_single_device(quantized_model, tp, dp):
     np.testing.assert_allclose(y_sharded, y_ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.medium
 def test_sharded_decode_with_cache(quantized_model):
     """Full decode step over a tp=4, dp=2 mesh with sharded KV cache."""
     qspecs, qparams = quantized_model

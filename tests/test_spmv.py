@@ -209,3 +209,39 @@ def test_planner_fuzz(method):
         np.testing.assert_allclose(
             spmv.reference_apply(plan, x), dense @ x, rtol=1e-4, atol=1e-4,
             err_msg=f"trial {trial}: o={o} i={i} nnz={nnz}")
+
+
+def test_grouped_plan_matches_dense_oracle():
+    """build_plan_grouped (round 5): per-chunk group-homogeneous plans —
+    reference_apply and the classic-kernel fallback (grouped meta is
+    classic-valid) must match the dense oracle; every chunk must be
+    homogeneous (validated inside the builder); row growth stays bounded.
+    The grouped KERNEL itself is hardware-only (scripts/tpu_verify.py)."""
+    import jax.numpy as jnp
+
+    from squeezellm_tpu.ops import pallas_ops
+
+    rng = np.random.default_rng(3)
+    o, i = 1000, 1300
+    nnz = int(o * i * 0.01)
+    r = rng.integers(0, o, nnz).astype(np.int32)
+    c = rng.integers(0, i, nnz).astype(np.int32)
+    v = rng.standard_normal(nnz).astype(np.float32)
+    p = spmv.build_plan_grouped(r, c, v, o, i)
+    pc = spmv.build_plan(r, c, v, o, i)
+    assert p.groups is not None and p.groups.shape == (p.n_rows // 8,)
+    assert p.n_rows <= 2 * pc.n_rows  # bounded fragmentation
+
+    dense = np.zeros((o, i), np.float32)
+    np.add.at(dense, (r, c), v)
+    x = rng.standard_normal((2, i)).astype(np.float32)
+    want = x @ dense.T
+    got = np.stack([spmv.reference_apply(p, x[b]) for b in range(2)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # interpret mode falls back to the classic kernel on the grouped meta
+    y = np.asarray(pallas_ops.gather_spmv(
+        jnp.asarray(x), jnp.asarray(p.meta), jnp.asarray(p.vals),
+        oh=p.oh, ih=p.ih, out_features=o, interpret=True,
+        groups=jnp.asarray(p.groups)))
+    np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-5)

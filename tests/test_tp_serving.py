@@ -3,6 +3,7 @@ must reproduce the single-device engine token-exactly — staggered joins,
 windows, per-request sampling, stop tokens."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +86,7 @@ def test_tp_speculative_matches_plain():
                                       err_msg=f"request {rid}")
 
 
+@pytest.mark.medium
 def test_tp_paged_matches_single_device_paged():
     """TP paged engine (pools sharded over kv heads): token-exact vs the
     single-device paged engine — prefix sharing + staggered joins."""
