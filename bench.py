@@ -80,10 +80,9 @@ def _build_quantized_llama(config, bits, sparsity, key=None,
                 rows = np.sort(rng.integers(0, o, nnz_pad)).astype(np.int32)
                 cols = rng.integers(0, i, nnz_pad).astype(np.int32)
                 vals = (rng.standard_normal(nnz_pad) * 0.08).astype(np.float32)
-                plan = spmv.build_plan_grouped(rows, cols, vals, o, i)
+                plan = spmv.build_plan(rows, cols, vals, o, i)
                 d.update(sp_rows=rows, sp_cols=cols, sp_vals=vals,
-                         sg_meta=plan.meta, sg_vals=plan.vals,
-                         sg_groups=plan.groups)
+                         sg_meta=plan.meta, sg_vals=plan.vals)
             if with_topx:
                 # hybrid top-X dense channels (every published sparse
                 # sq-* checkpoint carries topX=10,

@@ -269,8 +269,15 @@ def build_plan_grouped(
     Concatenation preserves the slab-sum invariant: each sub-plan's row
     count is a multiple of oh, so global row k keeps k % oh == class.
     Costs ~20-50% more (dead) slot rows than the classic plan (per-group
-    buckets have spikier maxima); the chunk-count increase is far smaller
-    than the per-chunk op reduction.
+    buckets have spikier maxima).
+
+    MEASURED LOSS on v5e (round 5, scripts/band_probe.py): 73 vs 43 ms
+    sparse overhead on a 136-token admission — the per-chunk SMEM scalar
+    read + dynamic window slice costs more than the group scan it
+    removes, and the extra dead rows compound it. NOT attached by
+    default; kept (with the hardware gate in scripts/tpu_verify.py) for
+    explicit use and for TPU generations with cheaper scalar/dynamic
+    addressing.
     """
     live = np.asarray(vals) != 0
     rows = np.asarray(rows)[live]
@@ -375,8 +382,13 @@ def attach_plan(spec, params, slack: float = 1.2):
     rows = np.asarray(params["sp_rows"])
     cols = np.asarray(params["sp_cols"])
     vals = np.asarray(params["sp_vals"])
-    plan = build_plan_grouped(rows, cols, vals, spec.out_features,
-                              spec.in_features, slack=slack)
+    # classic plans by default: the grouped variant (build_plan_grouped)
+    # measured SLOWER on v5e hardware (73 vs 43 ms sparse overhead on a
+    # 136-token admission, scripts/band_probe.py round 5 — per-chunk SMEM
+    # scalar reads + dynamic window slices cost more than the group scan
+    # they remove). Grouped stays available for explicit use / other gens.
+    plan = build_plan(rows, cols, vals, spec.out_features,
+                      spec.in_features, slack=slack)
     bmeta, bvals, _ = build_block_plans(
         rows, cols, vals, spec.out_features, spec.in_features, slack=slack)
     new_params = dict(params)
@@ -395,8 +407,7 @@ def attach_plan(spec, params, slack: float = 1.2):
 def _attach_task(args):
     spec, coo = args
     rows, cols, vals = coo
-    return build_plan_grouped(rows, cols, vals, spec.out_features,
-                              spec.in_features)
+    return build_plan(rows, cols, vals, spec.out_features, spec.in_features)
 
 
 def prepare_model(specs, params, module_names, processes: Optional[int] = None):
