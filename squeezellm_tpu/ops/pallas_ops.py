@@ -1056,8 +1056,8 @@ def lut_matmul(
         # two-hop init is pure VPU work (~1 us per o-block per row), while
         # the separate gather_spmv launches it replaces cost ~45 us each
         # at B=16 (5.8 ms/step across a 7B model's 128 linears).
-        assert batch <= 16 and bp == b_blk, (
-            "fused sparse GEMV path requires batch <= 16")
+        assert batch <= 64 and bp == b_blk, (
+            "fused sparse GEMV path requires a single batch block")
         n_ob, r_rows, _ = sgb_meta.shape
         assert n_ob == op // o_blk and o_blk <= 1024, (
             (n_ob, op, o_blk), "block plans were built for o_blk=1024")

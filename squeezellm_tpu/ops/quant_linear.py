@@ -105,10 +105,17 @@ def quant_linear_apply(spec: QuantLinearSpec, params, x, *,
         use_qwt = flat_b <= 8 and spec.bits == 4 and "qweight_t" in params
         # GEMV/decode + serving pools: fold the sparse sidecar INTO the
         # lut kernel via the per-o-block plans (no separate SpMV launch,
-        # no add op). Above 16 rows the unrolled per-row init stops
-        # paying; gather_spmv (batch as grid dim) takes over.
+        # no add op). Above SQUEEZELLM_SGB_MAX rows (default 16) the
+        # unrolled per-row init stops paying; gather_spmv (batch as grid
+        # dim) takes over. The env knob exists for pool-batch A/Bs (a
+        # 32-slot serving step pays ~9.8 ms of separate gather_spmv
+        # launches — round-5 profile). SGB_MAX=32 was tried on hardware:
+        # numerically exact, but the 32-row unrolled two-hop init makes
+        # the Mosaic compile run >45 min per linear shape — impractical;
+        # 16 stays the bound.
+        sgb_max = int(_os.environ.get("SQUEEZELLM_SGB_MAX", "16"))
         sgb_fused = (
-            spec.include_sparse and spec.sgb_rows > 0 and flat_b <= 16
+            spec.include_sparse and spec.sgb_rows > 0 and flat_b <= sgb_max
             and not use_qwt and "sgb_meta" in params
         )
         if use_qwt:

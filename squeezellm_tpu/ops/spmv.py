@@ -394,7 +394,8 @@ def attach_plan(spec, params, slack: float = 1.2):
     new_params = dict(params)
     new_params["sg_meta"] = plan.meta
     new_params["sg_vals"] = plan.vals
-    new_params["sg_groups"] = plan.groups
+    if plan.groups is not None:  # grouped plans only (None breaks npz save)
+        new_params["sg_groups"] = plan.groups
     new_params["sgb_meta"] = bmeta
     new_params["sgb_vals"] = bvals
     new_spec = dataclasses.replace(
