@@ -208,6 +208,14 @@ def main():
                    for _ in range(n_req)]
         for window in (1, 8, 16):
             eng.run(prompts[:1], max_new_tokens=window, window=window)  # warm
+            if slots > 1:
+                # warm the cohort-admission graph too (batched prefill +
+                # scatter at k=slots; run() admits pending in cohorts).
+                # max_new=window keeps the decode shapes on the already-
+                # warmed k=window path (max_new=1 would compile a stray
+                # single-step graph)
+                eng.run(prompts[:slots], max_new_tokens=window,
+                        window=window)
             t0 = time.perf_counter()
             results = eng.run(prompts, max_new_tokens=48, window=window)
             dt = time.perf_counter() - t0

@@ -279,17 +279,21 @@ def cmd_serve_bench(args):
     # engines — the paged engine chains per-token dispatches per window
     eng.run(prompts[:1], max_new_tokens=2, window=args.window)
 
-    # per-request latency: admit / first-token / completion timestamps
+    # per-request latency: admit / first-token / completion timestamps.
+    # run() admits in cohorts (add_requests); every rid in the cohort
+    # shares the cohort's pre-admission timestamp, so TTFT still includes
+    # the full (fused) admission dispatch.
     admit, first, done = {}, {}, {}
-    orig_add = eng.add_request
+    orig_add = eng.add_requests
 
-    def timed_add(prompt_tokens, max_new_tokens, **akw):
+    def timed_add(prompts_, max_new_tokens, **akw):
         t = time.perf_counter()  # BEFORE prefill: TTFT includes admission
-        rid = orig_add(prompt_tokens, max_new_tokens, **akw)
-        admit[rid] = t
-        return rid
+        rids = orig_add(prompts_, max_new_tokens, **akw)
+        for rid in rids:
+            admit[rid] = t
+        return rids
 
-    eng.add_request = timed_add
+    eng.add_requests = timed_add
 
     def on_token(rid, new, is_done):
         now = time.perf_counter()

@@ -143,6 +143,51 @@ def _slot_finished(s: _Slot, tok: int) -> bool:
     return s.generated >= s.max_new or tok in s.stop
 
 
+def _pow2_pad(n: int) -> int:
+    m = 1
+    while m < n:
+        m *= 2
+    return m
+
+
+def _admit_cohort(eng, requests, max_new_tokens, sampling, stop_tokens):
+    """Shared add_requests core (dense + paged engines): partition a
+    cohort of prompts into fused same-shape admission groups and
+    single-request fallbacks, preserving request-id assignment in input
+    order across the split (cross-engine differential tests key results
+    by rid).
+
+    eng._cohort_key(prompt, max_new) returns a hashable group key, or
+    None to route the prompt through eng.add_request (chunked
+    admissions, TP engines, prefix-sharing hits, validation failures —
+    add_request raises the canonical error). Groups of >= 2 admit via
+    eng._admit_group in ONE fused dispatch."""
+    prompts = [np.asarray(p, np.int32).reshape(-1) for p in requests]
+    if len(prompts) > eng.free_slots():
+        raise RuntimeError("cohort exceeds free slots")
+    groups: Dict[Any, List[int]] = {}
+    single: List[int] = []
+    for j, prompt in enumerate(prompts):
+        key = eng._cohort_key(prompt, max_new_tokens)
+        if key is None:
+            single.append(j)
+        else:
+            groups.setdefault(key, []).append(j)
+    for key in [k for k, js in groups.items() if len(js) < 2]:
+        single.extend(groups.pop(key))  # reuse the warmed single graph
+    base = eng._next_id
+    eng._next_id += len(prompts)
+    rids = [base + j for j in range(len(prompts))]
+    for j in sorted(single):
+        eng.add_request(prompts[j], max_new_tokens, sampling=sampling,
+                        stop_tokens=stop_tokens, _rid=rids[j])
+    for key, js in groups.items():
+        eng._admit_group(key, [prompts[j] for j in js],
+                         [rids[j] for j in js], max_new_tokens,
+                         sampling, stop_tokens)
+    return rids
+
+
 class ContinuousBatchEngine:
     """Fixed-slot continuous batching over a quantized model."""
 
@@ -301,6 +346,27 @@ class ContinuousBatchEngine:
                 cache, one)
 
         self._admit = jax.jit(_admit, donate_argnums=(3,))
+
+        def _admit_many(params, tokens, slot_ids, cache):
+            # cohort admission as ONE dispatch: a (k, bucket) batched
+            # prefill streams/dequantizes every weight ONCE for the whole
+            # cohort (k separate admissions pay the full weight pass k
+            # times — at 7B w4 each 16-token prefill is ~8 ms of
+            # VPU-bound dequant, so a 32-slot cohort burns ~0.25 s of
+            # device time plus 32 host round-trips). Row-scatter into the
+            # slot pool; duplicate slot ids (pow2 k-padding, repeat-last)
+            # rewrite identical content and are harmless.
+            k = tokens.shape[0]
+            many = common.init_kv_cache(
+                k, s_aligned, config.n_layers, config.n_kv_heads,
+                config.head_dim, cache_dtype)
+            _, many = mod.prefill(config, specs, params, tokens, many,
+                                  backend=backend, dtype=dtype)
+            return jax.tree.map(
+                lambda c, o: c.at[slot_ids].set(o.astype(c.dtype)),
+                cache, many)
+
+        self._admit_many = jax.jit(_admit_many, donate_argnums=(3,))
         self._slots = [_Slot() for _ in range(slots)]
         self._next_id = 0
         self._cur = jnp.zeros((slots, 1), jnp.int32)
@@ -323,7 +389,8 @@ class ContinuousBatchEngine:
 
     def add_request(self, prompt_tokens, max_new_tokens: int,
                     sampling: Optional[SamplingParams] = None,
-                    stop_tokens: Sequence[int] = ()) -> int:
+                    stop_tokens: Sequence[int] = (),
+                    _rid: Optional[int] = None) -> int:
         """Prefill + occupy a slot. Returns the request id.
 
         sampling: per-request temperature/top-k/top-p (None = greedy),
@@ -334,7 +401,10 @@ class ContinuousBatchEngine:
         seeded at pos = plen-1 with the LAST prompt token, whose re-decode
         rewrites identical k/v and yields the first-token logits — so
         prefill logits (which sit at the PAD position) are never used and
-        padding is harmless (pad cache rows beyond pos stay masked)."""
+        padding is harmless (pad cache rows beyond pos stay masked).
+
+        _rid: internal — a pre-reserved request id (add_requests assigns
+        ids in cohort input order across the single/batched split)."""
         if max_new_tokens < 1:
             # a 0-token request would still occupy a slot and emit one
             # token before the done check (round-1 advisor finding)
@@ -351,8 +421,11 @@ class ContinuousBatchEngine:
             raise ValueError("prompt + max_new_tokens exceeds max_seq"
                              + (" (incl. speculative window reserve)"
                                 if reserve else ""))
-        rid = self._next_id
-        self._next_id += 1
+        if _rid is None:
+            rid = self._next_id
+            self._next_id += 1
+        else:
+            rid = _rid
         if self.prefill_chunk and plen > self.prefill_chunk:
             # chunked admission: O(1) here — step() advances the staging
             # prefill one chunk at a time, interleaved with decode windows
@@ -395,6 +468,65 @@ class ContinuousBatchEngine:
                                  max_new=max_new_tokens, generated=0,
                                  tokens=[], stop=tuple(stop_tokens))
         return rid
+
+    def add_requests(self, requests, max_new_tokens: int,
+                     sampling: Optional[SamplingParams] = None,
+                     stop_tokens: Sequence[int] = ()) -> List[int]:
+        """Admit a cohort of prompts; returns request ids in input order.
+
+        Same-bucket whole-prompt admissions fuse into ONE batched
+        prefill + row-scatter dispatch (_admit_many): the cohort streams
+        and dequantizes every weight once instead of once per request,
+        and pays one host round-trip instead of k. Chunked admissions
+        (prefill_chunk), TP engines (no fused _admit_many) and singleton
+        buckets fall back to add_request per prompt."""
+        return _admit_cohort(self, requests, max_new_tokens, sampling,
+                             stop_tokens)
+
+    def _cohort_key(self, prompt, max_new: int):
+        plen = len(prompt)
+        reserve = (self.speculative[0] + 1) if self.speculative else 0
+        if (not hasattr(self, "_admit_many") or plen == 0 or max_new < 1
+                or plen + max_new + reserve > self.max_seq
+                or (self.prefill_chunk and plen > self.prefill_chunk)):
+            return None
+        b = self.PROMPT_BUCKET
+        return min(-(-plen // b) * b, self.max_seq)
+
+    def _admit_group(self, width: int, prompts, rids, max_new_tokens: int,
+                     sampling, stop_tokens) -> None:
+        """Fused cohort admission: ONE (k_pow2, width) prefill + scatter
+        dispatch plus ONE _cur update for the whole group (pow2 padding
+        repeats the last request — the duplicate scatter rewrites
+        identical rows)."""
+        k = len(prompts)
+        idxs = [i for i, s in enumerate(self._slots) if not s.active][:k]
+        kp = _pow2_pad(k)
+        toks = np.zeros((kp, width), np.int32)
+        sids = np.empty(kp, np.int32)
+        for r, p in enumerate(prompts):
+            toks[r, : len(p)] = p
+            sids[r] = idxs[r]
+        toks[k:] = toks[k - 1]
+        sids[k:] = sids[k - 1]
+        self.cache = self._admit_many(self.params, jnp.asarray(toks),
+                                      jnp.asarray(sids), self.cache)
+        ii = jnp.asarray(np.asarray(idxs, np.int32))
+        lasts = np.array([int(p[-1]) for p in prompts], np.int32)
+        self._cur = self._cur.at[ii, 0].set(jnp.asarray(lasts))
+        if self._ctx is not None:
+            rows = np.zeros((k, self.max_seq), np.int32)
+            for r, p in enumerate(prompts):
+                rows[r, : len(p)] = p
+            self._ctx = self._ctx.at[ii].set(jnp.asarray(rows))
+        for r, p in enumerate(prompts):
+            idx, plen = idxs[r], len(p)
+            self._pos[idx] = plen - 1
+            _set_slot_sampling(self, idx, rids[r], sampling)
+            self._slots[idx] = _Slot(active=True, request_id=rids[r],
+                                     pos=plen - 1, max_new=max_new_tokens,
+                                     generated=0, tokens=[],
+                                     stop=tuple(stop_tokens))
 
     def _advance_prefill(self) -> None:
         """Advance every mid-prefill slot by ONE chunk (called at the top
@@ -582,9 +714,11 @@ class ContinuousBatchEngine:
         pending = list(requests)
         results: Dict[int, List[int]] = {}
         while pending or any(s.active for s in self._slots):
-            while pending and self.free_slots():
-                self.add_request(pending.pop(0), max_new_tokens,
-                                 sampling=sampling, stop_tokens=stop_tokens)
+            n = min(len(pending), self.free_slots())
+            if n:  # cohort admission: one fused dispatch per shape group
+                self.add_requests(pending[:n], max_new_tokens,
+                                  sampling=sampling, stop_tokens=stop_tokens)
+                del pending[:n]
             if self.speculative and not bool((self._temp > 0).any()):
                 res = self.step_spec_window()
             else:
@@ -1073,6 +1207,32 @@ class PagedContinuousBatchEngine:
         self._admit_paged = jax.jit(_admit_impl, static_argnums=(8,),
                                     donate_argnums=(3,))
 
+        def _admit_many_impl(params, tokens, pools, npids, cnt):
+            # cohort admission (no shared-prefix members): ONE (k, bucket)
+            # batched prefill into a (k, pages) temp cache — the whole
+            # cohort streams/dequantizes the weights once — then each
+            # request's covered pages scatter into the pool. Pow2 padding
+            # repeats the last request; its duplicate scatter rewrites
+            # identical page content.
+            k = tokens.shape[0]
+            dense = common.init_kv_cache(
+                k, self.maxp * self.ps, config.n_layers, config.n_kv_heads,
+                config.head_dim, dense_dtype)
+            _, dense = mod.prefill(config, specs, params, tokens, dense,
+                                   backend=backend, dtype=dtype)
+            zero = jnp.asarray(0, jnp.int32)
+            for i in range(k):
+                di = jax.tree.map(
+                    lambda c: jax.lax.dynamic_slice_in_dim(c, i, 1, 0),
+                    dense)
+                pools = _scatter_all_impl(pools, di, npids[i], zero, cnt[i],
+                                          ps=self.ps,
+                                          n_kv_heads=config.n_kv_heads)
+            return pools
+
+        self._admit_paged_many = jax.jit(_admit_many_impl,
+                                         donate_argnums=(2,))
+
         self._slots = [_Slot() for _ in range(slots)]
         self._slot_pages: List[List[int]] = [[] for _ in range(slots)]
         self._slot_shared: List[int] = [0] * slots
@@ -1097,7 +1257,8 @@ class PagedContinuousBatchEngine:
 
     def add_request(self, prompt_tokens, max_new_tokens: int,
                     sampling: Optional[SamplingParams] = None,
-                    stop_tokens: Sequence[int] = ()) -> int:
+                    stop_tokens: Sequence[int] = (),
+                    _rid: Optional[int] = None) -> int:
         if max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
         idx = next((i for i, s in enumerate(self._slots) if not s.active), None)
@@ -1175,8 +1336,11 @@ class PagedContinuousBatchEngine:
             if n_shared:
                 spids = jnp.asarray(_bucket_pow2(shared_pids), jnp.int32)
                 dense = self._prime_dense(self.pool.pools, dense, spids)
-        rid = self._next_id
-        self._next_id += 1
+        if _rid is None:
+            rid = self._next_id
+            self._next_id += 1
+        else:
+            rid = _rid
         _set_slot_sampling(self, idx, rid, sampling)
         if chunked:
             # chunked admission: the page table stays zeroed and pos -1
@@ -1226,6 +1390,77 @@ class PagedContinuousBatchEngine:
                                  max_new=max_new_tokens, generated=0,
                                  tokens=[], stop=tuple(stop_tokens))
         return rid
+
+    def add_requests(self, requests, max_new_tokens: int,
+                     sampling: Optional[SamplingParams] = None,
+                     stop_tokens: Sequence[int] = ()) -> List[int]:
+        """Admit a cohort; returns request ids in input order. Same-shape
+        admissions with no shared-prefix hit fuse into ONE batched
+        prefill + page-scatter dispatch (_admit_paged_many); chunked
+        admissions, prefix-sharing hits, TP engines and singleton groups
+        fall back to add_request."""
+        return _admit_cohort(self, requests, max_new_tokens, sampling,
+                             stop_tokens)
+
+    def _cohort_key(self, prompt, max_new: int):
+        plen = len(prompt)
+        reserve = (self.speculative[0] + 1) if self.speculative else 0
+        if (not hasattr(self, "_admit_paged_many") or plen == 0
+                or max_new < 1 or plen + max_new + reserve > self.max_seq
+                or (self.prefill_chunk and plen > self.prefill_chunk)):
+            return None
+        shared, _ = self.pool.lookup_chain([int(t) for t in prompt])
+        if shared:  # prefix hit: the single path primes + suffix-prefills
+            return None
+        b = self.PROMPT_BUCKET
+        width = min(-(-plen // b) * b, self.max_seq)
+        return (width, _pow2_pad(-(-plen // self.ps)))
+
+    def _admit_group(self, key, prompts, rids, max_new_tokens: int,
+                     sampling, stop_tokens) -> None:
+        width, pw = key
+        k = len(prompts)
+        idxs = [i for i, s in enumerate(self._slots) if not s.active][:k]
+        reserve = (self.speculative[0] + 1) if self.speculative else 0
+        allocs: List[List[int]] = []
+        try:
+            for p in prompts:
+                total = -(-(len(p) + max_new_tokens + reserve) // self.ps)
+                allocs.append([self.pool.alloc() for _ in range(total)])
+        except RuntimeError:
+            registered = set(self.pool._registry.values())
+            for pids in allocs:
+                for pid in pids:
+                    self.pool.release(pid, registered=pid in registered)
+            raise
+        kp = _pow2_pad(k)
+        toks = np.zeros((kp, width), np.int32)
+        npids = np.zeros((kp, pw), np.int32)
+        cnt = np.zeros(kp, np.int32)
+        for r, p in enumerate(prompts):
+            toks[r, : len(p)] = p
+            covered = -(-len(p) // self.ps)
+            row = allocs[r][:covered]
+            npids[r, :covered] = row
+            npids[r, covered:] = row[-1]
+            cnt[r] = covered
+        toks[k:] = toks[k - 1]  # duplicate scatters rewrite identical pages
+        npids[k:] = npids[k - 1]
+        cnt[k:] = cnt[k - 1]
+        self.pool.pools = self._admit_paged_many(
+            self.params, jnp.asarray(toks), self.pool.pools,
+            jnp.asarray(npids), jnp.asarray(cnt))
+        for r, p in enumerate(prompts):
+            idx = idxs[r]
+            self._slot_pages[idx] = allocs[r]
+            self._slot_shared[idx] = 0
+            _set_slot_sampling(self, idx, rids[r], sampling)
+            self._register_and_seed(idx, [int(t) for t in p], allocs[r],
+                                    0, ())
+            self._slots[idx] = _Slot(active=True, request_id=rids[r],
+                                     pos=len(p) - 1,
+                                     max_new=max_new_tokens, generated=0,
+                                     tokens=[], stop=tuple(stop_tokens))
 
     def _finish_admission(self, idx, prompt, dense, pids, n_shared,
                           chain_key) -> None:
@@ -1444,9 +1679,11 @@ class PagedContinuousBatchEngine:
         pending = list(requests)
         results: Dict[int, List[int]] = {}
         while pending or any(s.active for s in self._slots):
-            while pending and self.free_slots():
-                self.add_request(pending.pop(0), max_new_tokens,
-                                 sampling=sampling, stop_tokens=stop_tokens)
+            n = min(len(pending), self.free_slots())
+            if n:  # cohort admission: one fused dispatch per shape group
+                self.add_requests(pending[:n], max_new_tokens,
+                                  sampling=sampling, stop_tokens=stop_tokens)
+                del pending[:n]
             if self.speculative and not bool((self._temp > 0).any()):
                 res = self.step_spec_window()
             else:
